@@ -1,0 +1,679 @@
+"""Document-level PLSS parsing: canonicalize Twp/Rge text, deduce the
+description layout, and walk the Twp/Rge + Section markers to assemble
+(twprge, sections, description) tract components.
+
+Semantics match the reference ``pytrs/parser/plssdesc/plss_preprocess.py``
+and ``plss_parse.py``, verified by the golden tables in the reference's
+``tests/test_plss_preprocess.py`` and ``tests/test_plssdesc_and_parse.py``.
+
+Pure-Python kernels; the Spark layer maps :func:`parse_document` over an
+Arrow batch of raw description strings and explodes the resulting tract
+arrays natively.
+"""
+
+import re
+
+from . import patterns as P
+from .trs import (
+    DEFAULT_EW,
+    DEFAULT_NS,
+    ERR_SEC,
+    ERR_TWPRGE,
+    is_error,
+    ocr_digits,
+    trs_decompose,
+    twprge_natural_to_short,
+)
+
+# Layout names (config/layouts.py:8-21).
+TRS_DESC = 'TRS_desc'
+DESC_STR = 'desc_STR'
+S_DESC_TR = 'S_desc_TR'
+TR_DESC_S = 'TR_desc_S'
+COPY_ALL = 'copy_all'
+LAYOUTS = (TRS_DESC, DESC_STR, S_DESC_TR, TR_DESC_S, COPY_ALL)
+
+# Minimum length for a substring to be reported as unused text
+# (plss_parse.py:285).
+MIN_REPORTABLE_UNUSED_LEN = 4
+
+_PP_SCRUBBERS = (
+    P.twprge_re,
+    P.pp_twprge_no_nswe,
+    P.pp_twprge_no_nsr,
+    P.pp_twprge_no_ewt,
+    P.pp_twprge_pm,
+    P.pp_twprge_comma_remove,
+)
+
+
+def unpack_twprge(mo, default_ns=None, default_ew=None, ocr_scrub=False):
+    """Twp/Rge match -> 'T154N-R97W' (unpackers.py:431-493)."""
+    if default_ns is None:
+        default_ns = DEFAULT_NS
+    if default_ns not in ('n', 's', 'N', 'S'):
+        raise ValueError(f"bad default_ns {default_ns!r}")
+    if default_ew is None:
+        default_ew = DEFAULT_EW
+    if default_ew not in ('e', 'w', 'E', 'W'):
+        raise ValueError(f"bad default_ew {default_ew!r}")
+    groups = mo.groupdict()
+    twp_num = groups['twpnum']
+    if ocr_scrub:
+        twp_num = ocr_digits(twp_num)
+    try:
+        twp_num = str(int(twp_num))
+    except ValueError:
+        pass
+    ns = default_ns
+    if groups['ns'] is not None:
+        ns = groups['ns'][0]
+    rge_num = groups['rgenum']
+    if rge_num is None:
+        # "Range 2" edge case: bare '2' needs the word "Range" first.
+        rge_num = groups.get('rgenum_edgecase_rge2')
+    if ocr_scrub:
+        rge_num = ocr_digits(rge_num)
+    try:
+        rge_num = str(int(rge_num))
+    except ValueError:
+        pass
+    ew = default_ew
+    if groups['ew'] is not None:
+        ew = groups['ew'][0]
+    return f"T{twp_num}{ns.upper()}-R{rge_num}{ew.upper()}"
+
+
+def find_twprge(text, default_ns=None, default_ew=None, preprocess=False,
+                ocr_scrub=False):
+    """All Twp/Rge's in the text as 'T154N-R97W' strings
+    (plss_preprocess.py:212-240)."""
+    if ocr_scrub:
+        preprocess = True
+    if preprocess:
+        text, _ = preprocess_plss(text, default_ns, default_ew, ocr_scrub)
+    return [unpack_twprge(mo, default_ns, default_ew)
+            for mo in P.twprge_re.finditer(text)]
+
+
+def _scrub_twprge_matches(rgx, text, default_ns, default_ew):
+    """Swap each Twp/Rge match for its canonical form plus a space.
+
+    Matches are found against the text as it stood when iteration
+    began; each replacement applies to every occurrence of that exact
+    matched substring in the evolving text
+    (plss_preprocess.py:178-191).
+    """
+    ocr = rgx is P.pp_twprge_ocr_scrub
+    for mo in rgx.finditer(text):
+        clean = unpack_twprge(mo, default_ns=default_ns,
+                              default_ew=default_ew, ocr_scrub=ocr)
+        text = text.replace(mo.group(0), clean + ' ')
+    return text
+
+
+def reduce_whitespace(text):
+    """Collapse space/tab runs, CR->LF, >=2 blank lines -> 1, to fixed
+    point (plss_preprocess.py:194-209)."""
+    text = text.strip()
+    prev = None
+    while text != prev:
+        prev = text
+        text = re.sub(r' +', ' ', text)
+        text = re.sub(r'\t+', ' ', text)
+        text = re.sub(r'\r', '\n', text)
+        text = re.sub(r'\n{2,}', '\n\n', text)
+        text = re.sub(r'^[ \t]', '', text)
+    return text
+
+
+def preprocess_plss(text, default_ns=None, default_ew=None,
+                    ocr_scrub=False, no_pm=False):
+    """Canonicalize all Twp/Rge variants in the text.
+
+    Returns (preprocessed text, list of Twp/Rge's that were 'fixed',
+    i.e. gained an N/S or E/W they lacked)
+    (plss_preprocess.py:121-175).
+
+    .. note:: The principal-meridian scrubber is super-linear in the
+       number of Twp/Rge's (documented hazard,
+       reference ``config.py:89-95``); ``no_pm=True`` skips it.
+    """
+    if default_ns is None:
+        default_ns = DEFAULT_NS
+    if default_ew is None:
+        default_ew = DEFAULT_EW
+    originals = find_twprge(text)
+    scrubbers = list(_PP_SCRUBBERS)
+    if no_pm:
+        scrubbers.remove(P.pp_twprge_pm)
+    if ocr_scrub:
+        scrubbers.insert(0, P.pp_twprge_ocr_scrub)
+    for rgx in scrubbers:
+        text = _scrub_twprge_matches(rgx, text, default_ns, default_ew)
+    text = reduce_whitespace(text)
+    fixed = find_twprge(text)
+    for twprge in originals:
+        if twprge in fixed:
+            fixed.remove(twprge)
+    return text, fixed
+
+
+def find_sec(text):
+    """All (unpacked) section numbers in the text as '00' strings
+    (plss_preprocess.py:243-257)."""
+    from .tract import unpack_secs
+    out = []
+    for mo in P.multisec_re.finditer(text):
+        secs, _, _ = unpack_secs(mo.group())
+        out.extend(secs)
+    return out
+
+
+def deduce_layout(text, candidates=None):
+    """Best-guess layout of the (preprocessed) text
+    (plss_parse.py:635-700)."""
+    if candidates is None:
+        candidates = [TRS_DESC, DESC_STR, S_DESC_TR, TR_DESC_S]
+    text = text.strip()
+    sec_mo = P.sec_word_re.search(text)
+    twprge_mo = P.twprge_re.search(text)
+    if not sec_mo or not twprge_mo:
+        return COPY_ALL
+    if sec_mo.start() < twprge_mo.start():
+        guess = COPY_ALL
+        if DESC_STR in candidates:
+            guess = DESC_STR
+        if S_DESC_TR in candidates and sec_mo.start() <= 1:
+            guess = S_DESC_TR
+        return guess
+    if TR_DESC_S in candidates:
+        between = text[twprge_mo.end():sec_mo.start()].strip()
+        if len(between) >= 4:
+            return TR_DESC_S
+    if TRS_DESC in candidates:
+        return TRS_DESC
+    return COPY_ALL
+
+
+def cleanup_desc(text):
+    """Strip common parse artifacts from a description block, to fixed
+    point (plss_parse.py:703-723)."""
+    trailing_words = (' the', ' all in', ' all of', ' of', ' in', ' and')
+    prev = None
+    while text != prev:
+        prev = text
+        text = text.lstrip('.')
+        text = text.strip(',;:-–—\t\n ')
+        for word in trailing_words:
+            if text.lower().endswith(word):
+                text = text[:-len(word)]
+    return text
+
+
+def _find_twprge_matches(text, layout, flags, flag_lines):
+    """Layout-aware Twp/Rge matches as (short_twprge, start, end),
+    dropping false positives like '...part of Section 4 of T154N-R97W'
+    in sec-first layouts (plss_parse.py:42-119)."""
+    matches = []
+    j = 0
+    for mo in P.twprge_re.finditer(text):
+        if layout in (DESC_STR, TR_DESC_S, COPY_ALL):
+            short = twprge_natural_to_short(unpack_twprge(mo))
+            matches.append((short, mo.start(0), mo.end(0)))
+            continue
+        legit = True
+        i = mo.start(0)
+        sec_mo = None
+        for sec_mo in P.multisec_re.finditer(text, pos=j, endpos=i):
+            j = sec_mo.start(0)
+        if sec_mo is not None:
+            substring = text[sec_mo.start(0):mo.end(0)]
+            if P.sec_twprge_in_between.search(substring) is not None:
+                legit = False
+        if legit:
+            short = twprge_natural_to_short(unpack_twprge(mo))
+            matches.append((short, mo.start(0), mo.end(0)))
+        else:
+            ignored = twprge_natural_to_short(unpack_twprge(mo))
+            flags.append(f'twprge_ignored<{ignored}>')
+            left = max(0, i - 20)
+            flag_lines.append(text[left:mo.end(0)])
+    return matches
+
+
+SEC_COLON_CAUTIOUS = 'sec_colon_cautious'
+_SECOND_PASS = 'second_pass'
+
+
+def _find_sec_matches(text, layout, require_colon, flags, flag_lines):
+    """Layout-aware section matches as (sec_list, start, end)
+    (plss_parse.py:122-253).
+
+    ``require_colon``: False / True / SEC_COLON_CAUTIOUS (two-pass:
+    require the colon, rerun without if nothing matched).
+    """
+    from .tract import unpack_secs
+
+    matches = []
+    if require_colon == _SECOND_PASS:
+        need_colon = False
+    elif isinstance(require_colon, bool):
+        need_colon = require_colon
+    else:
+        need_colon = True
+    if layout not in (TRS_DESC, S_DESC_TR):
+        need_colon = False
+
+    sec_nums = []
+    for mo in P.multisec_re.finditer(text):
+        legit = True
+        sec_txt = mo.group(0)
+        sec_nums, _, _ = unpack_secs(sec_txt)
+        # In sec-first layouts, a section preceded by 'of'/'said'/'in'/
+        # 'within' is a continuation, not a new tract.
+        illegal = (' of', ' said', ' in', ' within')
+        prior = text[:mo.start()].rstrip()
+        if layout in (TRS_DESC, S_DESC_TR) and prior.endswith(illegal):
+            legit = False
+        if need_colon and mo['colon'] is None:
+            legit = False
+        if not legit:
+            if len(sec_nums) > 1:
+                flag = f"multisec_ignored<{','.join(sec_nums)}>"
+            else:
+                flag = f"sec_ignored<{sec_nums[0]}>"
+            flags.append(flag)
+            flag_lines.append((flag, sec_txt))
+            continue
+        if mo['secnum_rightmost'] is not None:
+            flag = f"multisec_found<{','.join(sec_nums)}>"
+            flags.append(flag)
+            flag_lines.append((flag, sec_txt))
+        unpack_flags = []
+        unpack_flag_lines = []
+        secs, unpack_flags, unpack_flag_lines = unpack_secs(sec_txt)
+        flags.extend(unpack_flags)
+        flag_lines.extend(unpack_flag_lines)
+        matches.append((secs, mo.start(0), mo.end(0)))
+
+    if matches and require_colon != _SECOND_PASS:
+        return matches
+    if matches:
+        flag = f"pulled_sec_without_colon<{','.join(sec_nums)}>"
+        flags.append((flag, flag))
+        return matches
+    if require_colon == SEC_COLON_CAUTIOUS and layout in (TRS_DESC, S_DESC_TR):
+        # Second pass: relax the colon requirement, discard staged flags.
+        flags.clear()
+        flag_lines.clear()
+        return _find_sec_matches(text, layout, _SECOND_PASS, flags,
+                                 flag_lines)
+    return matches
+
+
+# Marker kinds for the interleave walk (plss_parse.py:34-39).
+_TWPRGE_START = 'TWPRGE_START'
+_TWPRGE_END = 'TWPRGE_END'
+_SEC_START = 'SEC_START'
+_SEC_END = 'SEC_END'
+_TEXT_START = 'TEXT_START'
+_TEXT_END = 'TEXT_END'
+
+_WARNING_SCANS = (
+    (P.well_re, 'well', 5, 25),
+    (P.depth_re, 'depth', 10, 20),
+    (P.including_re, 'including', 0, 40),
+    (P.less_except_re, 'less_except', 0, 40),
+    (P.isfa_re, 'insofar', 0, 40),
+)
+
+
+def _scan_warning_flags(chunk, w_flags, w_flag_lines):
+    """Context-regex warning scan with rightward context merging of
+    adjacent matches (plss_parse.py:1025-1071)."""
+    max_end = len(chunk)
+    for rgx, flag, left_context, right_context in _WARNING_SCANS:
+        start_pos = 0
+        while True:
+            start_mo = rgx.search(chunk, pos=start_pos)
+            if not start_mo:
+                break
+            end_mo = start_mo
+            final_end_mo = end_mo
+            while True:
+                left_bound = end_mo.end()
+                right_bound = min(max_end, end_mo.end() + right_context)
+                end_mo = rgx.search(chunk, pos=left_bound, endpos=right_bound)
+                if not end_mo:
+                    break
+                final_end_mo = end_mo
+            i = max(0, start_mo.start() - left_context)
+            j = min(final_end_mo.end() + right_context, max_end)
+            context = chunk[i:j].replace('\n', ' ').strip()
+            w_flags.append(flag)
+            w_flag_lines.append((flag, f"<{context}>"))
+            start_pos = j
+
+
+class _ChunkState:
+    """Working state for the marker walk over one text chunk
+    (plss_parse.py:726-1006)."""
+
+    def __init__(self):
+        self.twprge_queue = []
+        self.sec_queue = []
+        self.working_twprge = None
+        self.working_sec = None
+        self.twprge_used = False
+        self.sec_used = False
+        self.components = []
+        self.unused = []
+        self.w_flags = []
+        self.w_flag_lines = []
+        self.e_flags = []
+        self.e_flag_lines = []
+
+    def next_twprge(self):
+        if not self.twprge_used and self.working_twprge not in (
+                None, ERR_TWPRGE):
+            flag = f"twprge_error<{self.working_twprge}>"
+            self.e_flags.append(flag)
+            self.e_flag_lines.append((flag, f"<{self.working_twprge}>"))
+        self.twprge_used = False
+        if self.twprge_queue:
+            self.working_twprge = self.twprge_queue.pop(0)
+        else:
+            self.working_twprge = ERR_TWPRGE
+        return self.working_twprge
+
+    def next_sec(self):
+        if not self.sec_used and self.working_sec not in (None, ERR_SEC):
+            flag = f"sec_error<{self.working_sec}>"
+            self.e_flags.append(flag)
+            self.e_flag_lines.append(
+                (flag, f"<{self.working_sec}/{self.working_twprge}>"))
+        self.sec_used = False
+        if self.sec_queue:
+            self.working_sec = self.sec_queue.pop(0)
+        else:
+            self.working_sec = [ERR_SEC]
+        return self.working_sec
+
+
+def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
+                 sec_within):
+    """Parse one chunk into tract components; returns a _ChunkState.
+
+    Falls back to a COPY_ALL re-parse if no tract was identified
+    (plss_parse.py:790-846).
+    """
+    state = _ChunkState()
+    chunk_layout = layout
+    if chunk_layout != COPY_ALL and not mandate_layout:
+        chunk_layout = deduce_layout(text)
+
+    tw_flags, tw_flag_lines = [], []
+    twprge_matches = _find_twprge_matches(
+        text, chunk_layout, tw_flags, tw_flag_lines)
+    state.w_flags.extend(tw_flags)
+    state.w_flag_lines.extend(tw_flag_lines)
+    sec_flags, sec_flag_lines = [], []
+    sec_matches = _find_sec_matches(
+        text, chunk_layout, require_colon, sec_flags, sec_flag_lines)
+    state.w_flags.extend(sec_flags)
+    state.w_flag_lines.extend(sec_flag_lines)
+
+    # Interleave markers (plss_parse.py:867-890).
+    markers = {0: _TEXT_START, len(text): _TEXT_END}
+    for secs, start, end in sec_matches:
+        markers[start] = _SEC_START
+        markers[end] = _SEC_END
+        state.sec_queue.append(secs)
+    for twprge, start, end in twprge_matches:
+        markers[start] = _TWPRGE_START
+        markers[end] = _TWPRGE_END
+        state.twprge_queue.append(twprge)
+    positions = sorted(markers.keys())
+
+    if chunk_layout == COPY_ALL:
+        sec = state.next_sec()
+        twprge = state.next_twprge()
+        state.components.append({
+            'desc': text, 'sec': [sec[0]], 'twprge': twprge,
+            'sec_within': False,
+        })
+        _scan_warning_flags(text, state.w_flags, state.w_flag_lines)
+        return state
+
+    def stage_tract(desc):
+        desc = cleanup_desc(desc)
+        state.components.append({
+            'desc': desc, 'sec': state.working_sec,
+            'twprge': state.working_twprge, 'sec_within': False,
+        })
+        state.sec_used = True
+        state.twprge_used = True
+        # A section list can be used only once.
+        state.working_sec = [ERR_SEC]
+
+    sec_first_layouts = (TRS_DESC, S_DESC_TR)
+    twprge_first_layouts = (TRS_DESC, TR_DESC_S)
+    final = len(positions) - 1
+
+    if chunk_layout not in sec_first_layouts:
+        state.working_sec = state.next_sec()
+    if chunk_layout not in twprge_first_layouts:
+        state.working_twprge = state.next_twprge()
+
+    for count, pos in enumerate(positions):
+        kind = markers[pos]
+        next_pos = positions[min(final, count + 1)]
+        next_kind = markers[next_pos]
+        if kind == _TWPRGE_START:
+            state.next_twprge()
+            continue
+        if kind == _SEC_START:
+            state.next_sec()
+            continue
+        if kind == _TEXT_END:
+            continue
+        block = text[pos:next_pos]
+        if chunk_layout in sec_first_layouts and kind == _SEC_END:
+            # sec -> desc layouts: end of a section starts its desc.
+            stage_tract(block)
+        elif (chunk_layout not in sec_first_layouts
+              and next_kind == _SEC_START):
+            # desc -> sec layouts: text before a section is its desc.
+            stage_tract(block)
+        else:
+            state.unused.append((len(state.components), block))
+
+    # Recover unused working twprge/sec as error flags
+    # (plss_parse.py:811-827).
+    if not state.twprge_used and state.working_twprge != ERR_TWPRGE:
+        state.twprge_queue.insert(0, state.working_twprge)
+    if not state.sec_used and state.working_sec != [ERR_SEC]:
+        state.sec_queue.insert(0, state.working_sec)
+    for twprge in state.twprge_queue:
+        flag = f"unused_twprge<{twprge}>"
+        state.e_flags.append(flag)
+        state.e_flag_lines.append((flag, flag))
+    for seclist in state.sec_queue:
+        flag = f"unused_sec<{','.join(seclist)}>"
+        state.e_flags.append(flag)
+        state.e_flag_lines.append((flag, flag))
+
+    if sec_within:
+        _rebuild_sec_within(state.components, state.unused)
+
+    if not state.components:
+        # Nothing found: rerun the chunk as COPY_ALL
+        # (plss_parse.py:835-846).
+        return _parse_chunk(text, COPY_ALL, require_colon, clean_up,
+                            mandate_layout, sec_within)
+
+    _scan_warning_flags(text, state.w_flags, state.w_flag_lines)
+    return state
+
+
+def _rebuild_sec_within(components, unused, min_length=4):
+    """Reattach unused text to the single identified tract
+    (plss_parse.py:1074-1125)."""
+    if len(components) != 1:
+        return
+    tract = components[0]
+    desc = tract['desc']
+    orig = desc
+    while unused:
+        i, block = unused.pop(0)
+        block = cleanup_desc(block)
+        if len(block) >= min_length:
+            if i == 0:
+                desc = f"{block} {desc}"
+            else:
+                desc = f"{desc} {block}"
+    if desc != orig:
+        tract['sec_within'] = True
+        tract['desc'] = desc
+
+
+def _segment_chunks(text, layout):
+    """Break the text into one chunk per matching Twp/Rge
+    (plss_parse.py:531-632).  Returns (blocks, unused_blocks)."""
+    flags, flag_lines = [], []
+    matches = _find_twprge_matches(text, layout, flags, flag_lines)
+    if not matches or layout == COPY_ALL:
+        return [text], []
+    blocks = []
+    unused = []
+    if layout in (TRS_DESC, TR_DESC_S):
+        str_end = len(text)
+        for i, (_, start, _) in enumerate(matches):
+            next_start = str_end
+            if i + 1 < len(matches):
+                next_start = matches[i + 1][1]
+            if i == 0 and start != 0:
+                unused.append((0, text[:start]))
+            blocks.append(cleanup_desc(text[start:next_start]))
+    else:
+        str_len = len(text)
+        for i, (_, _, end) in enumerate(matches):
+            prev_end = 0
+            if i != 0:
+                prev_end = matches[i - 1][2]
+            if i == len(matches) - 1 and end != str_len:
+                unused.append((1, text[end:]))
+            blocks.append(cleanup_desc(text[prev_end:end]))
+    return blocks, unused
+
+
+def parse_document(text, layout=None, default_ns=None, default_ew=None,
+                   ocr_scrub=False, clean_up=None, require_colon=False,
+                   segment=False, sec_within=False, no_pm=False):
+    """Parse one raw PLSS description into tract components.
+
+    Returns a dict with:
+
+    - ``tracts``: list of dicts ``{'trs', 'desc', 'sec_within'}`` in
+      creation order (multi-sections fanned out, one tract per sec);
+    - ``w_flags`` / ``w_flag_lines`` / ``e_flags`` / ``e_flag_lines``;
+    - ``layout``: the layout used;
+    - ``pp_text``: the preprocessed text.
+
+    Mirrors ``PLSSParser`` (plss_parse.py:256-528) minus the per-tract
+    lot/QQ parsing, which is a separate stage (:mod:`.tract`).
+    """
+    mandate_layout = not segment and layout is not None
+    pp_text, fixed = preprocess_plss(
+        text, default_ns, default_ew, ocr_scrub, no_pm)
+    if layout is None:
+        layout = deduce_layout(pp_text)
+    if clean_up is None:
+        clean_up = layout != COPY_ALL
+
+    w_flags, w_flag_lines = [], []
+    e_flags, e_flag_lines = [], []
+    if fixed:
+        shorts = [twprge_natural_to_short(tr) for tr in fixed]
+        flag = f"fixed_twprge<{','.join(shorts)}>"
+        w_flags.append(flag)
+        w_flag_lines.append((flag, flag))
+
+    blocks = [pp_text]
+    unused_components = []
+    if segment:
+        blocks, unused_components = _segment_chunks(pp_text, layout)
+
+    components = []
+    for chunk in blocks:
+        chunk_layout = COPY_ALL if layout == COPY_ALL else None
+        if mandate_layout:
+            chunk_layout = layout
+        state = _parse_chunk(chunk, chunk_layout, require_colon, clean_up,
+                             mandate_layout, sec_within)
+        w_flags.extend(state.w_flags)
+        w_flag_lines.extend(state.w_flag_lines)
+        e_flags.extend(state.e_flags)
+        e_flag_lines.extend(state.e_flag_lines)
+        components.extend(state.components)
+        unused_components.extend(state.unused)
+
+    if sec_within:
+        _rebuild_sec_within(components, unused_components)
+
+    # Fan out multi-sections into one tract per section
+    # (plss_parse.py:502-528).
+    tracts = []
+    sec_within_indexes = []
+    uid = 0
+    for comp in components:
+        desc = comp['desc']
+        if clean_up:
+            desc = cleanup_desc(desc)
+        for sec in comp['sec']:
+            # Round-trip through the codec: the standardized key is
+            # lowercased on decompose, so an error-sentinel Twp/Rge
+            # (case-sensitive 'XXXz') collapses the whole key to the
+            # full error TRS -- same as the reference, where Tract
+            # always normalizes via trs_to_dict (tract.py:479-499).
+            tracts.append({
+                'trs': trs_decompose(f"{comp['twprge']}{sec}")['trs'],
+                'desc': desc,
+                'sec_within': comp['sec_within'],
+            })
+            if comp['sec_within']:
+                sec_within_indexes.append(uid)
+            uid += 1
+
+    # Unused-text error flags (plss_parse.py:418-435).
+    for _, block in unused_components:
+        if len(block) >= MIN_REPORTABLE_UNUSED_LEN:
+            flag = f"unused_desc<{block}>"
+            e_flags.append(flag)
+            e_flag_lines.append((flag, block))
+
+    # sec_within warning flags (plss_parse.py:462-473).
+    for i in sec_within_indexes:
+        tract = tracts[i]
+        flag = f"sec_within<{tract['trs']}>"
+        w_flags.append(flag)
+        short_desc = f"{tract['trs']}: {tract['desc']}"
+        if len(short_desc) > 30:
+            short_desc = short_desc[:27] + '...'
+        w_flag_lines.append((flag, short_desc))
+
+    # Error-TRS check (plss_parse.py:487-500).
+    if any(is_error(trs_decompose(t['trs'])) for t in tracts):
+        e_flags.append('twprge_error')
+        e_flag_lines.append(('twprge_error', 'twprge_error'))
+
+    return {
+        'tracts': tracts,
+        'w_flags': w_flags,
+        'w_flag_lines': w_flag_lines,
+        'e_flags': e_flags,
+        'e_flag_lines': e_flag_lines,
+        'layout': layout,
+        'pp_text': pp_text,
+    }
