@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric (per BASELINE.md): images/sec through the fixed
+pipeline phash->anchor -> cell encode -> broadcast cell join -> exact
+ray-cast PIP -> aliquot tile assignment, on the deterministic
+synthetic image table sized to the scale factor.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline wall sec>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "rows": ...,
+   "images_per_sec": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_RUNS           runs per timed stage (default 3, median)
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+RUNS = int(os.environ.get('BENCH_RUNS', '3'))
+CACHE_DIR = os.path.join(REPO, '.bench_cache')
+
+
+def _median_time(fn, runs=RUNS):
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from pytrs_spark import datagen
+    from pytrs_spark.operators import textops
+    from pytrs_spark.operators.ann import brute_force_topk
+    from pytrs_spark.pipeline import (
+        assign_images_to_tiles,
+        polygon_layer_from_descs,
+    )
+    from pytrs_spark.session import get_spark
+    from pytrs_spark.spatial.knn import knn_section_corners
+
+    spark = get_spark('bench', cores=CPUS)
+
+    # Scale the image count to the sf tier via the lineitem row count
+    # (~600k rows at sf0.1 -> 600k images).
+    li_rows = spark.read.parquet(f'{SF_DIR}/lineitem.parquet').count()
+    n_images = li_rows
+    sf_tag = os.path.basename(os.path.normpath(SF_DIR))
+
+    # Materialize the synthetic image table once (cached parquet so the
+    # generator isn't in the timed path).
+    img_path = os.path.join(CACHE_DIR, f'images_{sf_tag}_{n_images}')
+    if not os.path.exists(img_path):
+        datagen.gen_images(spark, n_images, with_bytes=False,
+                           partitions=max(CPUS, 8)) \
+            .write.mode('overwrite').parquet(img_path)
+    images = spark.read.parquet(img_path)
+
+    queries = {}
+
+    # Polygon layer build (parse -> geometry), timed once then cached:
+    # the layer is static relative to the image stream.
+    t0 = time.time()
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+    polygons.cache()
+    n_polys = polygons.count()
+    queries['polygon_layer_build'] = round(time.time() - t0, 3)
+
+    # Headline: tile assignment end to end (anchor/encode/join/PIP/
+    # assign), AQE re-plans and the polygon index broadcasts.
+    def tile_run():
+        assign_images_to_tiles(images, polygons) \
+            .select(F.max(F.xxhash64('image_id', 'trs', 'qq'))).collect()
+
+    headline = _median_time(tile_run)
+    queries['tile_assign'] = round(headline, 3)
+
+    # kNN to section corners.
+    pts = images.select('image_id', 'phash')
+    queries['knn_corners'] = round(_median_time(
+        lambda: knn_section_corners(pts, k=4)
+        .select(F.max(F.xxhash64('image_id', 'rank'))).collect(),
+        runs=1), 3)
+
+    # Parse throughput: documents/sec over a replicated desc corpus.
+    descs = datagen.gen_descs(spark)
+    n_docs = descs.count() * 50
+    big_descs = descs.crossJoin(
+        spark.range(50).select(F.col('id').alias('_rep')))
+    from pytrs_spark.pipeline import polygon_layer_from_descs as _plfd
+
+    def parse_run():
+        from pytrs_spark.operators.parse import (
+            parse_documents,
+            parse_tract_details,
+        )
+        parsed = parse_tract_details(
+            parse_documents(big_descs, text_col='raw_desc'))
+        parsed.select(F.max(F.xxhash64('trs'))).collect()
+
+    t_parse = _median_time(parse_run, runs=1)
+    queries['plss_parse'] = round(t_parse, 3)
+
+    # Text ops on the documents table.
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    queries['minhash_dedup'] = round(_median_time(
+        lambda: textops.minhash_lsh_candidates(docs).count(), runs=1), 3)
+    queries['quality_scores'] = round(_median_time(
+        lambda: textops.quality_score(docs.select('doc_id', 'text'))
+        .select(F.max(F.xxhash64('n_tokens'))).collect(), runs=1), 3)
+
+    # ANN brute-force top-k.
+    emb = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
+    q = emb.filter(F.col('vec_id') < 8).select(
+        F.col('vec_id').alias('query_id'), 'embedding')
+    queries['ann_topk'] = round(_median_time(
+        lambda: brute_force_topk(emb, q, k=10).count(), runs=1), 3)
+
+    result = {
+        'metric': ('images/sec through anchor->cell->broadcast join->'
+                   'PIP->tile assign (median of %d)' % RUNS),
+        'value': round(headline, 3),
+        'unit': 'sec',
+        'queries': queries,
+        'sf': sf_tag,
+        'rows': n_images,
+        'n_polygons': n_polys,
+        'cpus': CPUS,
+        'images_per_sec': round(n_images / headline, 1),
+        'parse_docs_per_sec': round(n_docs / t_parse, 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,50 @@
+"""The flagship pipeline: parse PLSS descriptions into a polygon
+layer, derive anchor points from image phashes, spatial-join, and
+assign each image to its (trs, qq) aliquot tile.
+
+    descs ──parse_documents──▶ tracts ──parse_tract_details──▶ qqs
+          ──decompose_trs──▶ numeric keys ──build_polygon_layer──▶ polys
+    images ──with_anchor (no bytes!)──▶ points
+    points ⋈ broadcast(poly cell index) ──PIP──▶ matches ──▶ tiles
+
+``bytes`` never enters the join path (late projection); the raster
+stage re-joins it by image_id.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.parse import (
+    decompose_trs,
+    parse_documents,
+    parse_tract_details,
+)
+from .spatial.grid import build_polygon_layer, with_anchor
+from .spatial.join import JOIN_RES, assign_tiles, spatial_join
+
+
+def polygon_layer_from_descs(descs: DataFrame,
+                             text_col: str = 'raw_desc') -> DataFrame:
+    """Raw description documents -> (trs, qq) polygon rows."""
+    tracts = parse_documents(descs, text_col=text_col)
+    tracts = parse_tract_details(tracts)
+    tracts = decompose_trs(tracts)
+    return build_polygon_layer(tracts)
+
+
+def assign_images_to_tiles(images: DataFrame, polygons: DataFrame,
+                           res: int = JOIN_RES, salt: int = 0) -> DataFrame:
+    """images (input_hint shape) x polygon layer -> one tile per image.
+
+    Output: image_id, caption, x, y, trs, qq (sorted-set comparable).
+    """
+    points = with_anchor(images)
+    matches = spatial_join(points, polygons, res=res, salt=salt)
+    tiles = assign_tiles(matches)
+    return tiles.select('image_id', 'caption', 'x', 'y', 'trs', 'qq')
+
+
+def run_flagship(spark, images: DataFrame, descs: DataFrame,
+                 salt: int = 0) -> DataFrame:
+    polygons = polygon_layer_from_descs(descs)
+    return assign_images_to_tiles(images, polygons, salt=salt)

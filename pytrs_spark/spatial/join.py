@@ -1,0 +1,135 @@
+"""Spatial join: broadcast cell-index equi-join + exact ray-casting
+point-in-polygon refinement + deterministic tile assignment, with
+explicit salted-key skew handling.
+
+Plan shape (the one we want at 100 TB):
+
+1. polygon layer -> explode covering cells at the join resolution ->
+   **broadcast** (the polygon-cell index is small: O(sections x 16)).
+2. images -> narrow projection (no ``bytes``) -> equi hash join on
+   ``cell`` against the broadcast index.  No shuffle of the image side
+   at all.
+3. exact PIP refinement in a vectorized numpy pandas UDF (even-odd ray
+   casting over the polygon ring; for half-open axis-aligned boxes the
+   crossing rule is exact and deterministic on shared edges).
+4. tile assignment: ``row_number() over (partition by image_id order
+   by trs, qq)`` -- deterministic smallest-key tie-break.
+
+Skew: dense cells (many images in one cell) do NOT skew a broadcast
+join (no shuffle by cell).  The salt path exists for the shuffle-join
+variant (forced when the polygon side exceeds the broadcast
+threshold): images get ``salt = pmod(xxhash64(image_id), S)``, the
+polygon-cell index is exploded x S, and the join key becomes
+``(cell, salt)`` -- plus AQE skew-join as belt and braces.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .grid import RES_SIZE, cover_cells
+
+JOIN_RES = 9   # 0.25 mi cells == depth-2 QQ size: ~1 candidate/point
+
+
+def polygon_cell_index(polygons: DataFrame, res: int = JOIN_RES) -> DataFrame:
+    """Explode each polygon to its covering cells at ``res`` (native)."""
+    return polygons.select(
+        'trs', 'qq', 'xmin', 'ymin', 'xmax', 'ymax', 'ring',
+        F.explode(cover_cells(
+            F.col('xmin'), F.col('ymin'), F.col('xmax'), F.col('ymax'),
+            res)).alias('cell'))
+
+
+@F.pandas_udf(T.BooleanType())
+def _pip_refine(px: pd.Series, py: pd.Series,
+                ring: pd.Series) -> pd.Series:
+    """Exact even-odd ray-casting point-in-polygon, vectorized.
+
+    General simple-polygon implementation (not a bbox shortcut), per
+    the north rule; for axis-aligned half-open boxes the crossing rule
+    lands exactly on [xmin, xmax) x [ymin, ymax).
+    """
+    x = px.to_numpy(dtype=np.float64)
+    y = py.to_numpy(dtype=np.float64)
+    n = len(x)
+    inside = np.zeros(n, dtype=bool)
+    # Group rows by identical ring to vectorize across points: rings
+    # repeat heavily (one per polygon, many candidate points each).
+    ring_key = ring.map(
+        lambda r: tuple((v['x'], v['y']) for v in r))
+    for key, idx in ring_key.groupby(ring_key).groups.items():
+        verts = np.asarray(key, dtype=np.float64)
+        ii = np.asarray(idx)
+        pxs, pys = x[ii], y[ii]
+        hit = np.zeros(len(ii), dtype=bool)
+        m = len(verts)
+        for k in range(m):
+            x1, y1 = verts[k]
+            x2, y2 = verts[(k + 1) % m]
+            crosses = (y1 > pys) != (y2 > pys)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                xint = (x2 - x1) * (pys - y1) / (y2 - y1) + x1
+            hit ^= crosses & (pxs < xint)
+        inside[ii] = hit
+    return pd.Series(inside)
+
+
+def spatial_join(points: DataFrame, polygons: DataFrame,
+                 res: int = JOIN_RES, broadcast_index: bool = True,
+                 salt: int = 0) -> DataFrame:
+    """points (with ``cell{res}``, ``x``, ``y``) x polygons -> matched
+    candidate rows refined by exact PIP.
+
+    ``salt > 0`` switches to the salted shuffle-join path for the
+    case where the polygon-cell index outgrows the broadcast
+    threshold: images carry ``pmod(xxhash64(image_id), salt)`` and the
+    index is exploded x salt, so one hot cell spreads over ``salt``
+    shuffle partitions.
+    """
+    index = polygon_cell_index(polygons, res)
+    cell_col = f'cell{res}'
+    pts = points.withColumnRenamed(cell_col, 'cell')
+
+    if salt > 0:
+        pts = pts.withColumn(
+            'salt', F.pmod(F.xxhash64('image_id'), F.lit(salt)))
+        index = index.withColumn(
+            'salt', F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))) \
+            .withColumn('salt', F.col('salt').cast('long'))
+        joined = pts.join(index, ['cell', 'salt'])
+    else:
+        if broadcast_index:
+            index = F.broadcast(index)
+        joined = pts.join(index, 'cell')
+
+    return joined.filter(
+        _pip_refine(F.col('x'), F.col('y'), F.col('ring')))
+
+
+def assign_tiles(matches: DataFrame) -> DataFrame:
+    """One deterministic (trs, qq) tile per image: smallest (trs, qq)
+    wins (explicit tie-break so output is byte-stable under any
+    parallelism)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy('image_id').orderBy('trs', 'qq')
+    return (matches
+            .withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') == 1)
+            .drop('_rn'))
+
+
+def cell_histogram(points: DataFrame, res: int = JOIN_RES) -> DataFrame:
+    """Pre-pass skew histogram: images per cell (used to pick the salt
+    factor; map-side combined by Catalyst)."""
+    return points.groupBy(f'cell{res}').count()
+
+
+def pick_salt_factor(points: DataFrame, res: int = JOIN_RES,
+                     target_per_task: int = 500_000) -> int:
+    """Choose S from the measured histogram: hottest cell divided by
+    the per-task target, capped sanely."""
+    hot = cell_histogram(points, res).agg(F.max('count')).first()[0] or 0
+    return int(min(64, max(0, hot // target_per_task)))

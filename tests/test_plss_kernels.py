@@ -1,0 +1,380 @@
+"""Row-for-row parity tests for the pure-Python PLSS kernels.
+
+Golden inputs/outputs are frozen from the reference's own unit tests
+(JamesPImes/pyTRS v2.2.1) -- citations per table:
+
+- TRS codec:        reference tests/test_trs.py:27-160
+- tract parse:      reference tests/test_tract_and_parse.py:24-88,252-495
+- preprocess:       reference tests/test_tract_preprocess.py:28-108,
+                    tests/test_plss_preprocess.py:24-122
+- document parse:   reference tests/test_plssdesc_and_parse.py:25-249
+"""
+
+import pytest
+
+from pytrs_spark.plss.aliquot import parse_aliquot
+from pytrs_spark.plss.document import (
+    deduce_layout,
+    find_twprge,
+    parse_document,
+    preprocess_plss,
+)
+from pytrs_spark.plss.simplify import simplify_aliquots
+from pytrs_spark.plss.tract import (
+    parse_tract,
+    remove_aliquot_interveners,
+    scrub_aliquots,
+)
+from pytrs_spark.plss.trs import (
+    pretty_twprge,
+    trs_compose,
+    trs_decompose,
+    twprge_natural_to_short,
+    twprge_short_to_natural,
+)
+
+
+class TestTRSCodec:
+    def test_compose(self):
+        for twp, rge, sec in [('154n', '97w', '1'), ('154', '97', '1'),
+                              (154, 97, 1)]:
+            assert trs_compose(twp, rge, sec) == '154n97w01'
+        for twp, rge, sec in [('154s', '97e', '1'), ('154', '97', '1'),
+                              (154, 97, 1)]:
+            assert trs_compose(twp, rge, sec, default_ns='s',
+                               default_ew='e') == '154s97e01'
+
+    def test_decompose_valid(self):
+        assert trs_decompose('154n97w01') == {
+            'trs': '154n97w01',
+            'twp': '154n', 'twp_num': 154, 'twp_ns': 'n',
+            'twp_undef': False,
+            'rge': '97w', 'rge_num': 97, 'rge_ew': 'w', 'rge_undef': False,
+            'sec': '01', 'sec_num': 1, 'sec_undef': False,
+        }
+
+    def test_decompose_undef(self):
+        d = trs_decompose(None)
+        assert d['trs'] == '___z___z__'
+        assert d['twp_undef'] and d['rge_undef'] and d['sec_undef']
+        assert d['twp_num'] is None and d['sec_num'] is None
+
+    def test_decompose_error(self):
+        d = trs_decompose('asdf')
+        assert d['trs'] == 'XXXzXXXzXX'
+        assert not (d['twp_undef'] or d['rge_undef'] or d['sec_undef'])
+        assert d['twp_num'] is None and d['sec_num'] is None
+
+    def test_error_twprge_collapses_sec(self):
+        # Case-sensitive 'XXXz' sentinel dies on the lowercase round
+        # trip, collapsing the whole key (reference trs.py:594-601).
+        assert trs_decompose('XXXzXXXz36')['trs'] == 'XXXzXXXzXX'
+
+    def test_pretty(self):
+        custom = dict(t='Twp ', r='Rge ', delim=', ', n=' North',
+                      s=' South', e=' East', w=' West', undef='___X')
+        assert pretty_twprge(trs_decompose('154n97w14')) == 'T154N-R97W'
+        assert pretty_twprge(trs_decompose('154n97w14'), **custom) \
+            == 'Twp 154 North, Rge 97 West'
+        assert pretty_twprge(trs_decompose('154s97e14')) == 'T154S-R97E'
+        assert pretty_twprge(trs_decompose(None)) == 'T---X-R---X'
+        assert pretty_twprge(trs_decompose(None), **custom) \
+            == 'Twp ___X, Rge ___X'
+
+    def test_natural_short(self):
+        pairs = {'T154N-R97W': '154n97w', 'T1N-R7E': '1n7e',
+                 'T154S-R97W': '154s97w', 'T1S-R7W': '1s7w'}
+        for natural, short in pairs.items():
+            assert twprge_natural_to_short(natural) == short
+            assert twprge_short_to_natural(short) == natural
+
+
+class TestAliquotParse:
+    def test_basic(self):
+        assert parse_aliquot('S½N½') == ['SENE', 'SWNE', 'SENW', 'SWNW']
+        assert parse_aliquot('SE¼SE¼') == ['SESE']
+
+    def test_depth_min(self):
+        assert parse_aliquot('N½', qq_depth_min=1) == ['NE', 'NW']
+        assert parse_aliquot('N½', qq_depth_min=2) == [
+            'NENE', 'NWNE', 'SENE', 'SWNE',
+            'NENW', 'NWNW', 'SENW', 'SWNW']
+        assert parse_aliquot('N½', qq_depth_min=3) == [
+            'NENENE', 'NWNENE', 'SENENE', 'SWNENE',
+            'NENWNE', 'NWNWNE', 'SENWNE', 'SWNWNE',
+            'NESENE', 'NWSENE', 'SESENE', 'SWSENE',
+            'NESWNE', 'NWSWNE', 'SESWNE', 'SWSWNE',
+            'NENENW', 'NWNENW', 'SENENW', 'SWNENW',
+            'NENWNW', 'NWNWNW', 'SENWNW', 'SWNWNW',
+            'NESENW', 'NWSENW', 'SESENW', 'SWSENW',
+            'NESWNW', 'NWSWNW', 'SESWNW', 'SWSWNW']
+
+
+class TestTractPreprocess:
+    def test_intervener_removal(self):
+        table = {
+            'N½ of the S½': 'N½S½',
+            'NE¼ of the SW¼': 'NE¼SW¼',
+            'NE¼ of SW¼': 'NE¼SW¼',
+            'NE¼ SW¼': 'NE¼SW¼',
+            'N½ of NE¼ of the SW¼': 'N½NE¼SW¼',
+            'N½ of the NE¼ of SW¼': 'N½NE¼SW¼',
+            'N½ NE¼ SW¼': 'N½NE¼SW¼',
+        }
+        for txt, expected in table.items():
+            assert remove_aliquot_interveners(txt) == expected
+
+    def test_scrub(self):
+        table = {
+            'Lot 1 of SE/4 of the NW/4': 'Lot 1 of SE¼NW¼',
+            'Southeast Quarter of the Northeast Quarter': 'SE¼NE¼',
+            'One Hundred Feet': 'One Hundred Feet',
+            'NENE': 'NENE',
+            'S2NE': 'S½NE¼',
+            'S2NENW': 'S½NE¼NW¼',
+            'N2 of NE of NW, NW': 'N½NE¼NW¼, NW',
+        }
+        for txt, expected in table.items():
+            assert scrub_aliquots(txt) == expected
+
+    def test_scrub_clean_qq(self):
+        table = {
+            'Lot 1 of SE/4 of the NW/4': 'Lot 1 of SE¼NW¼',
+            'Southeast Quarter of the Northeast Quarter': 'SE¼NE¼',
+            'NENE': 'NE¼NE¼',
+            'S2NE': 'S½NE¼',
+            'S2NENW': 'S½NE¼NW¼',
+            'N2 of NE of NW, NW': 'N½NE¼NW¼, NW¼',
+            'S½N½ SW': 'S½N½SW¼',
+            'S2SE, E2SW': 'S½SE¼, E½SW¼',
+        }
+        for txt, expected in table.items():
+            assert scrub_aliquots(txt, clean_qq=True) == expected
+
+
+class TestTractParse:
+    def test_basic(self):
+        r = parse_tract('Lots 1 - 3, S/2N/2, Lot 8(39.21), SE/4SE/4')
+        assert r['lots'] == ['L1', 'L2', 'L3', 'L8']
+        assert r['lot_acres'] == {'L8': '39.21'}
+        assert r['qqs'] == ['SENE', 'SWNE', 'SENW', 'SWNW', 'SESE']
+
+    def test_clean_qq(self):
+        table = {
+            'Lot 1 of SE/4 of the NW/4': ['L1', 'SENW'],
+            'Southeast Quarter of the Northeast Quarter': ['SENE'],
+            'Lots 1 - 3, NENE': ['L1', 'L2', 'L3', 'NENE'],
+            'S2NE': ['SENE', 'SWNE'],
+            'S2NENW, Lot 7': ['L7', 'S2NENW'],
+            'N2 of NE of NW, NW':
+                ['N2NENW', 'NENW', 'NWNW', 'SENW', 'SWNW'],
+            'S½N½ SW': ['S2NESW', 'S2NWSW'],
+        }
+        for txt, expected in table.items():
+            r = parse_tract(txt, clean_qq=True)
+            assert r['lots'] + r['qqs'] == expected, txt
+
+    def test_lot_divs(self):
+        with_divs = {
+            'N/2 of Lot 1, Lot 3, E/2SW/4 of Lot 7':
+                ['N2 of L1', 'L3', 'E2SW of L7'],
+            'Lot 5, N/2 of Lots 1 - 3':
+                ['L5', 'N2 of L1', 'N2 of L2', 'N2 of L3'],
+        }
+        without_divs = {
+            'N/2 of Lot 1, Lot 3, E/2SW/4 of Lot 7': ['L1', 'L3', 'L7'],
+            'Lot 5, N/2 of Lots 1 - 3': ['L5', 'L1', 'L2', 'L3'],
+        }
+        for txt, expected in with_divs.items():
+            assert parse_tract(txt)['lots'] == expected
+        for txt, expected in without_divs.items():
+            assert parse_tract(txt, suppress_lot_divs=True)['lots'] \
+                == expected
+
+    def test_qq_depth_max(self):
+        txt = 'S/2N/2NW/4SW/4, SE/4SE/4'
+        assert parse_tract(txt, qq_depth_max=2)['qqs'] == ['NWSW', 'SESE']
+        assert parse_tract(txt, qq_depth_max=3)['qqs'] == \
+            ['N2NWSW', 'SESE']
+        assert parse_tract(txt, qq_depth_max=4)['qqs'] == \
+            ['S2N2NWSW', 'SESE']
+
+    def test_qq_depth_exact(self):
+        txt = 'S/2N/2NW/4SW/4, SE/4SE/4'
+        assert parse_tract(txt, qq_depth=1)['qqs'] == ['SW', 'SE']
+        assert parse_tract(txt, qq_depth=2)['qqs'] == ['NWSW', 'SESE']
+        assert parse_tract(txt, qq_depth=3)['qqs'] == \
+            ['NENWSW', 'NWNWSW', 'NESESE', 'NWSESE', 'SESESE', 'SWSESE']
+
+    def test_break_halves(self):
+        txt = 'N/2NW/4SW/4, SE/4SE/4'
+        assert parse_tract(txt)['qqs'] == ['N2NWSW', 'SESE']
+        assert parse_tract(txt, break_halves=True)['qqs'] == \
+            ['NENWSW', 'NWNWSW', 'SESE']
+
+    def test_dup_flags(self):
+        r = parse_tract('Lots 1 - 3, NW/4, Lot 2, Lot 1, NE/4NW/4, SW/4NW/4')
+        assert 'dup_lot<L1,L2>' in r['w_flags']
+        assert ('dup_lot<L1,L2>', 'dup_lot<L1,L2>') in r['w_flag_lines']
+        assert 'dup_qq<NENW,SWNW>' in r['w_flags']
+
+    def test_lots_qqs_order(self):
+        r = parse_tract('Lots 1 - 3, S/2NE/4, Lot 5, Lot 1')
+        assert r['lots'] + r['qqs'] == \
+            ['L1', 'L2', 'L3', 'L5', 'L1', 'SENE', 'SWNE']
+
+
+class TestSimplify:
+    def test_simplify(self):
+        r = parse_tract(
+            'S2SW, NENE, NWNE, NESW, NWSW, N2SENE, SWSENE, SESENE, '
+            'SWNW, SESWNE', clean_qq=True)
+        assert simplify_aliquots(r['qqs']) == \
+            ['N2NE', 'SENE', 'SESWNE', 'SWNW', 'SW']
+
+    def test_nonstandard(self):
+        r = parse_tract('E2, W2', clean_qq=True)
+        assert simplify_aliquots(r['qqs']) == ['N2', 'S2']
+
+    def test_standard(self):
+        r = parse_tract('E2, W2', clean_qq=True)
+        assert simplify_aliquots(r['qqs'], assume_standard=True) == ['ALL']
+
+    def test_empty(self):
+        r = parse_tract('asdf', clean_qq=True)
+        assert simplify_aliquots(r['qqs']) == []
+
+
+class TestPLSSPreprocess:
+    def test_twprge_canonicalization(self):
+        for txt in ('Township 154 North, Range 97 West Sec 14: NE/4',
+                    'T154N-R97W Sec 14: NE/4',
+                    '154N-97W Sec 14: NE/4',
+                    'T154-R97 Sec 14: NE/4',
+                    '154N-R97 Sec 14: NE/4'):
+            assert preprocess_plss(txt)[0] == 'T154N-R97W Sec 14: NE/4'
+
+    def test_pm_scrub(self):
+        got, _ = preprocess_plss('T154N-R97W, 5th P.M., Sec 14: NE/4')
+        assert got == 'T154N-R97W Sec 14: NE/4'
+
+    def test_ocr_scrub(self):
+        txt = ('Township lS4 North, Range 97 West\nSection 14: NE/4\n'
+               'Township 1SS North, Range 97 West\nSec 22: ALL')
+        expected = 'T154N-R97W Section 14: NE/4\nT155N-R97W Sec 22: ALL'
+        assert preprocess_plss(txt, ocr_scrub=True)[0] == expected
+
+    def test_find_twprge(self):
+        txt = ('Township 154 North, Range 97 West\nSection 14: NE/4\n'
+               'T 155 N, R 97 W\nSection 22: ALL\n156N-97W\n'
+               'Sec 1: Lots 1 - 3\nT1S-R9E')
+        assert find_twprge(txt) == \
+            ['T154N-R97W', 'T155N-R97W', 'T156N-R97W', 'T1S-R9E']
+
+    def test_find_twprge_preprocess(self):
+        txt = ('Township 154, Range 97 West\nSection 14: NE/4\n'
+               'T 155 N, R 97\nSection 22: ALL\nT156-R97\n'
+               'Sec 1: Lots 1 - 3\nT1S-R9E')
+        assert find_twprge(txt, preprocess=True) == \
+            ['T154N-R97W', 'T155N-R97W', 'T156N-R97W', 'T1S-R9E']
+        assert find_twprge(txt, default_ns='s', default_ew='e',
+                           preprocess=True) == \
+            ['T154S-R97W', 'T155N-R97E', 'T156S-R97E', 'T1S-R9E']
+
+    def test_no_pm(self):
+        for txt in (
+                'Township 154 North, Range 97 West, 5th PM, Sec 14: NE/4',
+                'T154N-R97W, 5th PM, Sec 14: NE/4',
+                '154N-97W, 5th PM, Sec 14: NE/4',
+                'T154-R97, 5th PM, Sec 14: NE/4',
+                '154N-R97, 5th PM, Sec 14: NE/4'):
+            assert preprocess_plss(txt)[0] == 'T154N-R97W Sec 14: NE/4'
+            assert preprocess_plss(txt, no_pm=True)[0] == \
+                'T154N-R97W 5th PM, Sec 14: NE/4'
+
+
+MULTI_LAYOUT_DESCS = (
+    "T155N-R97W Sec 1: SW/4, T154N-R97W Sec 20: W/2, "
+    "Sec 24 - 27: S/2, Sec 28: N/2",
+    "Sec 1: SW/4 of T155N-R97W, Sec 20: W/2, Sec 24 - 27: S/2, "
+    "Sec 28: N/2 of T154N-R97W",
+    "SW/4 of Sec 1, T155N-R97W, W/2 of Sec 20, S/2 of Sec 24 - 27: "
+    "N/2 of Sec 28, T154N-R97W",
+    "T155N-R97W SW/4 of Sec 1, T154N-R97W W/2 of Sec 20, "
+    "S/2 of Sec 24 - 27, N/2 of Sec 28",
+)
+
+
+class TestDocumentParse:
+    @pytest.mark.parametrize("desc", MULTI_LAYOUT_DESCS)
+    def test_multisec_all_layouts(self, desc):
+        tracts = parse_document(desc)['tracts']
+        assert tracts[0]['trs'] == '155n97w01'
+        assert tracts[0]['desc'] == 'SW/4'
+        assert tracts[1]['trs'] == '154n97w20'
+        assert tracts[1]['desc'] == 'W/2'
+        assert tracts[-1]['trs'] == '154n97w28'
+        assert tracts[-1]['desc'] == 'N/2'
+        mid = tracts[2:-1]
+        assert [t['trs'] for t in mid] == \
+            [f"154n97w{s:02d}" for s in range(24, 28)]
+        assert all(t['desc'] == 'S/2' for t in mid)
+
+    def test_default_nsew(self):
+        def first_trs(txt, **kw):
+            return parse_document(txt, **kw)['tracts'][0]['trs']
+        assert first_trs("T154-R97W Sec 14: NE/4") == '154n97w14'
+        assert first_trs("T154-R97W Sec 14: NE/4",
+                         default_ns='s') == '154s97w14'
+        assert first_trs("T154N-R97 Sec 14: NE/4") == '154n97w14'
+        assert first_trs("T154N-R97 Sec 14: NE/4",
+                         default_ew='e') == '154n97e14'
+        assert first_trs("T154-R97 Sec 14: NE/4") == '154n97w14'
+        assert first_trs("T154-R97 Sec 14: NE/4", default_ns='s',
+                         default_ew='e') == '154s97e14'
+
+    def test_desc_is_flawed(self):
+        r = parse_document("Sec 22: W/2, T154N-R97W Sec 14: NE/4, "
+                           "Sec 15: S/2")
+        assert len(r['e_flags']) > 0
+        r = parse_document("T154N-R97W Sec 14: NE/4, Sec 15: W/2")
+        assert len(r['e_flags']) == 0
+
+    def test_sec_within(self):
+        txts = (
+            'T154N-R97W: That part of the NE/4 of Sec 13 - 15 '
+            'lying within RoW',
+            'T154N-R97W\nThat part of the NE/4 of Sec 13 - 15 '
+            'lying within RoW',
+            'That part of the NE/4 of Sec 13 - 15, T154N-R97W '
+            'lying within RoW',
+            'That part of the NE/4 of Sec 13 - 15 lying within RoW, '
+            'T154N-R97W',
+        )
+        expected_trs = ['154n97w13', '154n97w14', '154n97w15']
+        for txt in txts:
+            r = parse_document(txt, sec_within=True)
+            assert [t['trs'] for t in r['tracts']] == expected_trs, txt
+            for t in r['tracts']:
+                assert t['desc'] == 'That part of the NE/4 lying within RoW'
+            for trs in expected_trs:
+                assert f"sec_within<{trs}>" in r['w_flags']
+
+    def test_no_pm_parse(self):
+        r = parse_document('T154N-R97W, 5th PM, Sec 14: NE/4')
+        assert len(r['tracts']) == 1
+        assert r['tracts'][0] == {'trs': '154n97w14', 'desc': 'NE/4',
+                                  'sec_within': False}
+        r = parse_document('T154N-R97W, 5th PM, Sec 14: NE/4', no_pm=True)
+        assert len(r['tracts']) == 1
+        assert r['tracts'][0]['trs'] == '154n97w14'
+        assert r['tracts'][0]['desc'] == '5th PM'
+        assert r['e_flags'] == ['unused_desc< NE/4>']
+
+    def test_layout_deduction(self):
+        assert deduce_layout('T154N-R97W Sec 14: NE/4') == 'TRS_desc'
+        assert deduce_layout('NE/4 of Section 14, T154N-R97W') == 'desc_STR'
+        assert deduce_layout('Section 14: NE/4, T154N-R97W') == 'S_desc_TR'
+        assert deduce_layout('T154N-R97W some words here NE/4 of '
+                             'Section 14') == 'TR_desc_S'
+        assert deduce_layout('no plss here at all') == 'copy_all'
