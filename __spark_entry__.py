@@ -22,10 +22,11 @@ from pyspark.sql import functions as F
 
 from pytrs_spark import datagen
 from pytrs_spark.operators import query as Q
+from pytrs_spark.operators.parse import parse_documents_full
+from pytrs_spark.session import tune_session
 from pytrs_spark.operators import textops
 from pytrs_spark.operators.ann import brute_force_topk
 from pytrs_spark.operators.parse import (
-    decompose_trs,
     parse_documents,
     parse_tract_details,
     trs_struct,
@@ -306,7 +307,7 @@ _SORT_CORPUS = ("T154N-R97W Sec 14: NE/4, Sec 1: S2N2, Sec 5: SW/4, "
 def _sorted_corpus(spark: SparkSession, key: str, reverse=False):
     docs = spark.createDataFrame([(0, _SORT_CORPUS)],
                                  "doc_id long, raw_desc string")
-    tracts = decompose_trs(parse_documents(docs, text_col='raw_desc'))
+    tracts = parse_documents(docs, text_col='raw_desc', decompose=True)
     exprs = Q.compile_sort_key(key, 'orig_index', reverse)
     exprs.append(F.col('orig_index').desc() if reverse
                  else F.col('orig_index').asc())
@@ -343,8 +344,7 @@ def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.createDataFrame(
         [(i, d) for i, d in enumerate(_CONSOL_DESCS)],
         "doc_id long, raw_desc string")
-    tracts = parse_documents(docs, text_col='raw_desc')
-    tracts = parse_tract_details(tracts)
+    tracts = parse_documents_full(docs, text_col='raw_desc')
     # Global creation order across documents.
     tracts = tracts.withColumn(
         'orig_index',
@@ -380,8 +380,8 @@ SELECT * FROM (VALUES
 def q_group_by_twprge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group constructed tract rows by Twp/Rge (Q5)."""
     docs = _docs_from_lineitem(spark, sf_dir)
-    tracts = decompose_trs(parse_documents(
-        docs, text_col='raw_desc', keep_cols=['key']))
+    tracts = parse_documents(docs, text_col='raw_desc',
+                             keep_cols=['key'], decompose=True)
     return tracts.groupBy('twprge').agg(
         F.count('*').alias('n_tracts'),
         F.countDistinct('trs').alias('n_distinct_trs'))
@@ -552,13 +552,14 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format('ts', 'yyyy-MM-dd HH').alias('hour'),
         'event_type')
         .agg(F.count('*').alias('n_events'),
-             F.sum(F.col('value').cast('decimal(18,6)')).alias('sum_value')))
+             F.sum(F.col('value').cast('decimal(18,6)'))
+             .cast('double').alias('sum_value')))
 
 
 _ORACLE_EVENTS = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -597,11 +598,26 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    tune_session(spark)
     return q_tile_assign(spark, '/root/testdata/sf0.001')
 
 
+def _tuned(fn):
+    """Apply engine runtime confs before running a query (the driver
+    owns session creation, so per-call is the only hook)."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_session(spark)
+        return fn(spark, sf_dir)
+    wrapped.__name__ = getattr(fn, '__name__', 'query')
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _tuned(v) for k, v in _RAW_QUERIES.items()}
+
+
+_RAW_QUERIES = {
         'tile_assign': q_tile_assign,
         'knn_corners': q_knn_corners,
         'trs_roundtrip': q_trs_roundtrip,
@@ -622,7 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simhash': q_simhash,
         'fingerprint': q_fingerprint,
         'lang_id': q_lang_id,
-    }
+}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -105,12 +105,8 @@ def main():
     from pytrs_spark.pipeline import polygon_layer_from_descs as _plfd
 
     def parse_run():
-        from pytrs_spark.operators.parse import (
-            parse_documents,
-            parse_tract_details,
-        )
-        parsed = parse_tract_details(
-            parse_documents(big_descs, text_col='raw_desc'))
+        from pytrs_spark.operators.parse import parse_documents_full
+        parsed = parse_documents_full(big_descs, text_col='raw_desc')
         parsed.select(F.max(F.xxhash64('trs'))).collect()
 
     t_parse = _median_time(parse_run, runs=1)

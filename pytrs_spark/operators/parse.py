@@ -28,18 +28,63 @@ from pyspark.sql import types as T
 from ..plss import document as doc_kernel
 from ..plss import simplify as simplify_kernel
 from ..plss import tract as tract_kernel
+from ..plss import trs as trs_kernel
+
+
+def _ensure_parallelism(df: DataFrame, parallelism='auto') -> DataFrame:
+    """Repartition a DataFrame ahead of a CPU-heavy parse UDF when it
+    has fewer partitions than the cluster has task slots.
+
+    Small local inputs (one parquet file, ``createDataFrame``) arrive
+    as 1 partition and would serialize the parse onto one core; at
+    warehouse scale the input already has >= slots partitions and this
+    is a no-op (no shuffle added).  ``parallelism=0`` disables;
+    an int forces that partition count.
+    """
+    if parallelism == 0 or parallelism is None:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism if parallelism == 'auto' else parallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - planning quirk; skip the hint
+        return df
+    if current < target:
+        return df.repartition(target)
+    return df
 
 _FLAG_LINE = T.StructType([
     T.StructField("flag", T.StringType()),
     T.StructField("context", T.StringType()),
 ])
 
+# The tract struct carries the 12 decomposed TRS fields alongside the
+# composed key.  Decomposing inside the Arrow batch (the Python codec
+# is a dict lookup + one regex) and materializing through the
+# ArrowEvalPython node is deliberate: the pure-native ``trs_struct``
+# expression is ~30 regexp_extract calls, and Catalyst's
+# SimplifyExtractValueOps + projection collapse replicate that tree
+# into every downstream reference (filters, section-box math, ring
+# vertices), which measured ~100x slower than this barrier.
+_TRACT_STRUCT = T.StructType([
+    T.StructField("trs", T.StringType()),
+    T.StructField("desc", T.StringType()),
+    T.StructField("sec_within", T.BooleanType()),
+    T.StructField("twp", T.StringType()),
+    T.StructField("twp_num", T.IntegerType()),
+    T.StructField("twp_ns", T.StringType()),
+    T.StructField("twp_undef", T.BooleanType()),
+    T.StructField("rge", T.StringType()),
+    T.StructField("rge_num", T.IntegerType()),
+    T.StructField("rge_ew", T.StringType()),
+    T.StructField("rge_undef", T.BooleanType()),
+    T.StructField("sec", T.StringType()),
+    T.StructField("sec_num", T.IntegerType()),
+    T.StructField("sec_undef", T.BooleanType()),
+])
+
 _DOC_RESULT = T.StructType([
-    T.StructField("tracts", T.ArrayType(T.StructType([
-        T.StructField("trs", T.StringType()),
-        T.StructField("desc", T.StringType()),
-        T.StructField("sec_within", T.BooleanType()),
-    ]))),
+    T.StructField("tracts", T.ArrayType(_TRACT_STRUCT)),
     T.StructField("w_flags", T.ArrayType(T.StringType())),
     T.StructField("w_flag_lines", T.ArrayType(_FLAG_LINE)),
     T.StructField("e_flags", T.ArrayType(T.StringType())),
@@ -73,9 +118,16 @@ def _doc_parse_udf(layout=None, default_ns=None, default_ew=None,
                 default_ew=default_ew, ocr_scrub=ocr_scrub,
                 require_colon=require_colon, segment=segment,
                 sec_within=sec_within, no_pm=no_pm)
+            tracts = []
+            for t in r['tracts']:
+                d = trs_kernel.trs_decompose(t['trs'])
+                tracts.append((
+                    d['trs'], t['desc'], t['sec_within'],
+                    d['twp'], d['twp_num'], d['twp_ns'], d['twp_undef'],
+                    d['rge'], d['rge_num'], d['rge_ew'], d['rge_undef'],
+                    d['sec'], d['sec_num'], d['sec_undef']))
             rows.append((
-                [(t['trs'], t['desc'], t['sec_within'])
-                 for t in r['tracts']],
+                tracts,
                 r['w_flags'], r['w_flag_lines'],
                 r['e_flags'], r['e_flag_lines'],
                 r['layout'], r['pp_text'],
@@ -87,20 +139,24 @@ def _doc_parse_udf(layout=None, default_ns=None, default_ew=None,
 
 
 def parse_documents(df: DataFrame, text_col: str = 'raw_desc',
-                    keep_cols=None, **config) -> DataFrame:
+                    keep_cols=None, decompose: bool = False,
+                    parallelism='auto', **config) -> DataFrame:
     """Explode raw PLSS descriptions into one row per tract.
 
     Output columns: the ``keep_cols`` passthrough (default: every input
     column except ``text_col``), plus ``trs``, ``desc``, ``orig_index``
     (creation order within the document), ``sec_within``, doc-level
     ``w_flags`` / ``e_flags`` (+ ``*_flag_lines``), ``layout``,
-    ``desc_is_flawed``, and ``orig_desc``.
+    ``desc_is_flawed``, and ``orig_desc``.  With ``decompose=True``,
+    also the 12 decomposed TRS fields + ``twprge`` (computed inside the
+    Arrow batch -- see ``_TRACT_STRUCT`` note).
 
     The per-document parse runs in one Arrow batch; the tract fan-out
     (multi-sections etc.) is a native ``posexplode``.
     """
     if keep_cols is None:
         keep_cols = [c for c in df.columns if c != text_col]
+    df = _ensure_parallelism(df, parallelism)
     parsed = df.withColumn('_doc', _doc_parse_udf(**config)(F.col(text_col)))
     exploded = parsed.select(
         *keep_cols,
@@ -112,16 +168,142 @@ def parse_documents(df: DataFrame, text_col: str = 'raw_desc',
         F.col('_doc.layout').alias('layout'),
         F.posexplode_outer('_doc.tracts').alias('orig_index', '_tract'),
     )
+    decomposed = []
+    if decompose:
+        decomposed = [
+            F.col(f'_tract.{f}').alias(f)
+            for f in ('twp', 'twp_num', 'twp_ns', 'twp_undef',
+                      'rge', 'rge_num', 'rge_ew', 'rge_undef',
+                      'sec', 'sec_num', 'sec_undef')
+        ] + [F.concat('_tract.twp', '_tract.rge').alias('twprge')]
     return exploded.select(
         *keep_cols,
         F.col('_tract.trs').alias('trs'),
         F.col('_tract.desc').alias('desc'),
         F.col('orig_index'),
         F.col('_tract.sec_within').alias('sec_within'),
+        *decomposed,
         'orig_desc', 'layout',
         'doc_w_flags', 'doc_w_flag_lines',
         'doc_e_flags', 'doc_e_flag_lines',
         (F.size('doc_e_flags') > 0).alias('desc_is_flawed'),
+    )
+
+
+# Fused document+tract parse: one Arrow batch does the whole
+# reference pipeline (PLSSDesc.parse -> Tract.parse per tract,
+# plssdesc.py:222-370 + tract.py:830-1015).  One ArrowEvalPython node
+# instead of two chained ones -- fewer Python workers per task, one
+# Arrow hop, and no UDF re-execution across stage boundaries.  Used by
+# the polygon pipeline; the unfused operators remain for stage-level
+# parity testing.
+_FULL_TRACT_STRUCT = T.StructType(
+    _TRACT_STRUCT.fields + [
+        T.StructField("lots", T.ArrayType(T.StringType())),
+        T.StructField("qqs", T.ArrayType(T.StringType())),
+        T.StructField("lot_acres",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("aliquots_whole", T.ArrayType(T.StringType())),
+        T.StructField("pp_desc", T.StringType()),
+        T.StructField("t_w_flags", T.ArrayType(T.StringType())),
+        T.StructField("t_w_flag_lines", T.ArrayType(_FLAG_LINE)),
+    ])
+
+_FULL_RESULT = T.StructType([
+    T.StructField("tracts", T.ArrayType(_FULL_TRACT_STRUCT)),
+    T.StructField("w_flags", T.ArrayType(T.StringType())),
+    T.StructField("w_flag_lines", T.ArrayType(_FLAG_LINE)),
+    T.StructField("e_flags", T.ArrayType(T.StringType())),
+    T.StructField("e_flag_lines", T.ArrayType(_FLAG_LINE)),
+    T.StructField("layout", T.StringType()),
+])
+
+
+def _full_parse_udf(layout=None, default_ns=None, default_ew=None,
+                    ocr_scrub=False, require_colon=False, segment=False,
+                    sec_within=False, no_pm=False, clean_qq=False,
+                    suppress_lot_divs=False, qq_depth_min=2,
+                    qq_depth_max=None, qq_depth=None, break_halves=False):
+    @F.pandas_udf(_FULL_RESULT)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for text in texts:
+            if text is None:
+                text = ''
+            r = doc_kernel.parse_document(
+                text, layout=layout, default_ns=default_ns,
+                default_ew=default_ew, ocr_scrub=ocr_scrub,
+                require_colon=require_colon, segment=segment,
+                sec_within=sec_within, no_pm=no_pm)
+            tracts = []
+            for t in r['tracts']:
+                d = trs_kernel.trs_decompose(t['trs'])
+                tp = tract_kernel.parse_tract(
+                    t['desc'], clean_qq=clean_qq,
+                    suppress_lot_divs=suppress_lot_divs,
+                    qq_depth_min=qq_depth_min, qq_depth_max=qq_depth_max,
+                    qq_depth=qq_depth, break_halves=break_halves)
+                tracts.append((
+                    d['trs'], t['desc'], t['sec_within'],
+                    d['twp'], d['twp_num'], d['twp_ns'], d['twp_undef'],
+                    d['rge'], d['rge_num'], d['rge_ew'], d['rge_undef'],
+                    d['sec'], d['sec_num'], d['sec_undef'],
+                    tp['lots'], tp['qqs'], tp['lot_acres'],
+                    tp['aliquots_whole'], tp['pp_desc'],
+                    tp['w_flags'], tp['w_flag_lines']))
+            rows.append((tracts, r['w_flags'], r['w_flag_lines'],
+                         r['e_flags'], r['e_flag_lines'], r['layout']))
+        return pd.DataFrame(rows, columns=[
+            'tracts', 'w_flags', 'w_flag_lines', 'e_flags',
+            'e_flag_lines', 'layout'])
+    return udf
+
+
+def parse_documents_full(df: DataFrame, text_col: str = 'raw_desc',
+                         keep_cols=None, parallelism='auto',
+                         **config) -> DataFrame:
+    """Fused ``parse_documents(decompose=True)`` +
+    ``parse_tract_details`` in a single Arrow-batched UDF; same output
+    schema as the chained pair."""
+    if keep_cols is None:
+        keep_cols = [c for c in df.columns if c != text_col]
+    df = _ensure_parallelism(df, parallelism)
+    parsed = df.withColumn('_doc',
+                           _full_parse_udf(**config)(F.col(text_col)))
+    exploded = parsed.select(
+        *keep_cols,
+        F.col(text_col).alias('orig_desc'),
+        F.col('_doc.w_flags').alias('doc_w_flags'),
+        F.col('_doc.w_flag_lines').alias('doc_w_flag_lines'),
+        F.col('_doc.e_flags').alias('doc_e_flags'),
+        F.col('_doc.e_flag_lines').alias('doc_e_flag_lines'),
+        F.col('_doc.layout').alias('layout'),
+        F.posexplode_outer('_doc.tracts').alias('orig_index', '_tract'),
+    )
+    t = F.col('_tract')
+    return exploded.select(
+        *keep_cols,
+        t['trs'].alias('trs'),
+        t['desc'].alias('desc'),
+        F.col('orig_index'),
+        t['sec_within'].alias('sec_within'),
+        *[t[f].alias(f)
+          for f in ('twp', 'twp_num', 'twp_ns', 'twp_undef',
+                    'rge', 'rge_num', 'rge_ew', 'rge_undef',
+                    'sec', 'sec_num', 'sec_undef')],
+        F.concat(t['twp'], t['rge']).alias('twprge'),
+        'orig_desc', 'layout',
+        'doc_e_flags', 'doc_e_flag_lines',
+        (F.size('doc_e_flags') > 0).alias('desc_is_flawed'),
+        t['lots'].alias('lots'),
+        t['qqs'].alias('qqs'),
+        t['lot_acres'].alias('lot_acres'),
+        t['aliquots_whole'].alias('aliquots_whole'),
+        t['pp_desc'].alias('pp_desc'),
+        (F.size(t['lots']) > 0).alias('had_lots'),
+        F.concat(t['t_w_flags'], F.col('doc_w_flags')).alias('w_flags'),
+        F.concat(t['t_w_flag_lines'],
+                 F.col('doc_w_flag_lines')).alias('w_flag_lines'),
     )
 
 
@@ -149,13 +331,14 @@ def _tract_parse_udf(clean_qq=False, suppress_lot_divs=False,
 
 
 def parse_tract_details(df: DataFrame, desc_col: str = 'desc',
-                        **config) -> DataFrame:
+                        parallelism='auto', **config) -> DataFrame:
     """Add lots / qqs / lot_acres / aliquots_whole / tract-level flags.
 
     Tract-level warning flags are appended after the handed-down doc
     flags when present (reference ``plss_parse.py:475-485`` hand-down
     order).
     """
+    df = _ensure_parallelism(df, parallelism)
     out = df.withColumn('_t', _tract_parse_udf(**config)(F.col(desc_col)))
     cols = [
         F.col('_t.lots').alias('lots'),

@@ -14,21 +14,21 @@ stage re-joins it by image_id.
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.parse import (
-    decompose_trs,
-    parse_documents,
-    parse_tract_details,
-)
+from .operators.parse import parse_documents_full
 from .spatial.grid import build_polygon_layer, with_anchor
 from .spatial.join import JOIN_RES, assign_tiles, spatial_join
 
 
 def polygon_layer_from_descs(descs: DataFrame,
                              text_col: str = 'raw_desc') -> DataFrame:
-    """Raw description documents -> (trs, qq) polygon rows."""
-    tracts = parse_documents(descs, text_col=text_col)
-    tracts = parse_tract_details(tracts)
-    tracts = decompose_trs(tracts)
+    """Raw description documents -> (trs, qq) polygon rows.
+
+    One fused Arrow-batched UDF does document parse + tract parse +
+    TRS decomposition, so downstream geometry references materialized
+    columns (not replicated regexp trees) and each task holds one
+    Python worker (not a chain of three).
+    """
+    tracts = parse_documents_full(descs, text_col=text_col)
     return build_polygon_layer(tracts)
 
 

@@ -9,6 +9,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Catalyst rules excluded engine-wide: InferFiltersFromGenerate turns
+# every explode-of-UDF-output into a `size(udf(..)) > 0` filter below
+# the Generate, which duplicates the (expensive) parse UDF into a
+# second ArrowEvalPython node per stage.  Explode already drops
+# empty/null arrays; the inferred filter buys nothing here.
+EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs this engine relies on to an existing
+    session (used when the caller -- e.g. the bench driver -- owns
+    session creation)."""
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
 
 def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
               extra_conf=None) -> SparkSession:
@@ -16,11 +34,19 @@ def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cores)
+    # Make the repo importable in worker daemons (pre-import module).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (repo_root + os.pathsep + pp) if pp \
+            else repo_root
     builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.python.daemon.module", "pytrs_spark.daemon")
+        .config("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

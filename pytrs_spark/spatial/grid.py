@@ -112,10 +112,10 @@ def build_polygon_layer(tracts: DataFrame) -> DataFrame:
     ``parse_tract_details``).  Output: ``trs, qq, depth, xmin, ymin,
     xmax, ymax, ring`` (closed vertex ring for the exact PIP stage).
 
-    The QQ explode is native; only the per-distinct-qq fraction lookup
-    is Python (deduplicated first, then broadcast-joined back, so the
-    UDF runs once per distinct aliquot string, not once per polygon --
-    the columnar answer to the reference's TRS memo cache).
+    The QQ explode is native; the per-row fraction lookup is a trivial
+    Arrow-batched UDF applied inline (a distinct+broadcast-join memo
+    was measured slower here: it doubles the parse lineage and adds a
+    shuffle for a UDF that costs microseconds per row).
     """
     valid = tracts.filter(
         F.col('twp_num').isNotNull() & F.col('rge_num').isNotNull()
@@ -124,11 +124,8 @@ def build_polygon_layer(tracts: DataFrame) -> DataFrame:
         'trs', 'twp_num', 'twp_ns', 'rge_num', 'rge_ew', 'sec_num',
         F.explode('qqs').alias('qq')).dropDuplicates(['trs', 'qq'])
 
-    distinct_qq = exploded.select('qq').distinct() \
-        .withColumn('_f', qq_fraction_box(F.col('qq'))) \
-        .select('qq', '_f.fx0', '_f.fy0', '_f.fx1', '_f.fy1')
-
-    j = exploded.join(F.broadcast(distinct_qq), 'qq')
+    j = exploded.withColumn('_f', qq_fraction_box(F.col('qq'))) \
+        .select('*', '_f.fx0', '_f.fy0', '_f.fx1', '_f.fy1').drop('_f')
     sx0, sy0, _, _ = section_box(
         F.col('twp_num'), F.col('twp_ns'), F.col('rge_num'),
         F.col('rge_ew'), F.col('sec_num'))
