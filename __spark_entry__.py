@@ -106,6 +106,32 @@ def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select('image_id', 'trs', 'qq')
 
 
+def q_tile_assign_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: the explicit salted-key shuffle-join path must produce the
+    exact same tile assignment as the broadcast path (same oracle)."""
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+    points = _points_from_orders(spark, sf_dir)
+    tiles = assign_images_to_tiles(points, polygons, salt=4)
+    return tiles.select('image_id', 'trs', 'qq')
+
+
+def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: per-(trs, qq) composited raster tiles; the per-tile image
+    count is SQL-checkable, pixel checksums are covered by tests."""
+    from pytrs_spark.pipeline import run_raster
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+    images = _points_from_orders(spark, sf_dir) \
+        .withColumn('bytes', F.lit(None).cast('binary'))
+    tiles = run_raster(images, polygons, tile_px=16, patch_px=4)
+    return tiles.select('trs', 'qq', 'n_images')
+
+
+_ORACLE_RASTER = f"""
+SELECT trs, qq, COUNT(*) AS n_images
+FROM ({_ORACLE_TILE}) GROUP BY trs, qq
+"""
+
+
 def q_knn_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=4 nearest section corners per point via ring expansion."""
     points = _points_from_orders(spark, sf_dir)
@@ -619,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _RAW_QUERIES = {
         'tile_assign': q_tile_assign,
+        'tile_assign_salted': q_tile_assign_salted,
+        'raster_tiles': q_raster_tiles,
         'knn_corners': q_knn_corners,
         'trs_roundtrip': q_trs_roundtrip,
         'parse_fanout': q_parse_fanout,
@@ -644,6 +672,8 @@ _RAW_QUERIES = {
 def oracle_sql() -> dict[str, str]:
     return {
         'tile_assign': _ORACLE_TILE,
+        'tile_assign_salted': _ORACLE_TILE,
+        'raster_tiles': _ORACLE_RASTER,
         'knn_corners': _ORACLE_KNN,
         'trs_roundtrip': _ORACLE_TRS,
         'parse_fanout': _ORACLE_FANOUT,

@@ -48,3 +48,15 @@ def run_flagship(spark, images: DataFrame, descs: DataFrame,
                  salt: int = 0) -> DataFrame:
     polygons = polygon_layer_from_descs(descs)
     return assign_images_to_tiles(images, polygons, salt=salt)
+
+
+def run_raster(images: DataFrame, polygons: DataFrame,
+               tile_px: int = 64, patch_px: int = 16) -> DataFrame:
+    """G8 end to end: assign tiles on the bytes-free projection, then
+    re-join ``bytes`` by image_id and composite one raster per
+    (trs, qq) aliquot."""
+    from .raster import materialize_tiles
+    points = with_anchor(images)
+    assigned = assign_tiles(spatial_join(points, polygons))
+    return materialize_tiles(assigned, images,
+                             tile_px=tile_px, patch_px=patch_px)

@@ -1,0 +1,98 @@
+"""G8 (raster tiles) + G10 (lineage checkpoints / resume) tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pytrs_spark import datagen, imagecodec
+from pytrs_spark.lineage import (
+    lineage_metrics,
+    load_output,
+    run_checkpointed,
+)
+from pytrs_spark.pipeline import (
+    assign_images_to_tiles,
+    polygon_layer_from_descs,
+    run_raster,
+)
+from pytrs_spark.raster import regrid_images
+
+
+@pytest.fixture(scope='module')
+def polygons(spark):
+    p = polygon_layer_from_descs(datagen.gen_descs(spark)).cache()
+    p.count()
+    return p
+
+
+def test_codec_psnr_invariants():
+    rng = np.random.Generator(np.random.PCG64(7))
+    pixels = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    # Lossless round trip is exact.
+    assert np.array_equal(
+        imagecodec.decode(imagecodec.encode(pixels, 'png')), pixels)
+    # Lossy round trip >= 40 dB (input_hint gate).
+    got = imagecodec.decode(imagecodec.encode(pixels, 'jpeg'))
+    assert imagecodec.psnr(pixels, got) >= 40.0
+
+
+def test_regrid_images_psnr(spark):
+    images = datagen.gen_images(spark, 64, with_bytes=True, partitions=4)
+    out = regrid_images(images, out_h=24, out_w=24) \
+        .select('image_id', 'fmt', 'psnr_db').collect()
+    assert len(out) == 64
+    for r in out:
+        assert r['psnr_db'] >= 40.0, (r['image_id'], r['fmt'], r['psnr_db'])
+
+
+def test_materialize_tiles_deterministic(spark, polygons):
+    images = datagen.gen_images(spark, 200, with_bytes=True, partitions=4)
+    t1 = run_raster(images, polygons, tile_px=32, patch_px=8) \
+        .orderBy('trs', 'qq').collect()
+    images8 = datagen.gen_images(spark, 200, with_bytes=True, partitions=8)
+    t2 = run_raster(images8, polygons, tile_px=32, patch_px=8) \
+        .orderBy('trs', 'qq').collect()
+    assert [(r['trs'], r['qq'], r['n_images'], r['checksum']) for r in t1] \
+        == [(r['trs'], r['qq'], r['n_images'], r['checksum']) for r in t2]
+    assert sum(r['n_images'] for r in t1) == 200
+    # Decoded tile must be the lossless composite (nonzero where
+    # patches landed).
+    probe = next(r for r in t1 if r['n_images'] > 0)
+    pixels = imagecodec.decode(bytes(probe['tile']))
+    assert pixels.shape == (32, 32, 3)
+    assert pixels.any()
+
+
+def test_lineage_resume(spark, tmp_path):
+    out = str(tmp_path / 'out')
+    lin = str(tmp_path / 'lineage')
+    images = datagen.gen_images(spark, 300, with_bytes=False, partitions=4)
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+
+    def process(part):
+        return assign_images_to_tiles(part, polygons)
+
+    with pytest.raises(RuntimeError, match='injected failure'):
+        run_checkpointed(spark, images, process, out, lin,
+                         n_buckets=6, run_id='r1', fail_after=2)
+    assert len(lineage_metrics(spark, lin).collect()) == 2
+
+    # Resume finishes only the remaining buckets.
+    n2 = run_checkpointed(spark, images, process, out, lin,
+                          n_buckets=6, run_id='r2')
+    assert n2 == 4
+    metrics = lineage_metrics(spark, lin).collect()
+    buckets = [m['bucket'] for m in metrics]
+    assert sorted(buckets) == list(range(6))       # no double-counting
+    assert all(m['n_in'] == m['n_out'] for m in metrics)
+
+    # Resumed output == single-shot run, row for row.
+    resumed = load_output(spark, out).select('image_id', 'trs', 'qq')
+    oneshot = assign_images_to_tiles(images, polygons) \
+        .select('image_id', 'trs', 'qq')
+    assert resumed.exceptAll(oneshot).isEmpty()
+    assert oneshot.exceptAll(resumed).isEmpty()
+
+    # Fully-caught-up rerun is a no-op.
+    assert run_checkpointed(spark, images, process, out, lin,
+                            n_buckets=6, run_id='r3') == 0
