@@ -432,6 +432,55 @@ FROM fanned GROUP BY 1
 """
 
 
+def q_filter_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: select rows whose TRS carries the error sentinel (keeps
+    undefined rows out -- tri-state null semantics)."""
+    decomposed = q_trs_roundtrip(spark, sf_dir)
+    pred = Q.filter_errors(decomposed, rge=False, undef=False)
+    return decomposed.filter(pred).select('key', 'trs')
+
+
+_ORACLE_FILTER_ERRORS = """
+WITH keys AS (
+  SELECT l_orderkey * 10 + l_linenumber AS key FROM lineitem
+)
+SELECT key, 'XXXzXXXzXX' AS trs FROM keys WHERE key % 13 = 0
+"""
+
+
+def q_dedup_lots_qqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 method='lots_qqs': duplicates keyed on trs + sorted distinct
+    lots+qqs (keep-first)."""
+    docs = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(_CONSOL_DESCS)],
+        "doc_id long, raw_desc string")
+    tracts = parse_documents_full(docs, text_col='raw_desc')
+    tracts = tracts.withColumn(
+        'global_order', F.col('doc_id') * 1000 + F.col('orig_index'))
+    dups = Q.filter_duplicates(tracts, method='lots_qqs',
+                               order_col='global_order')
+    return dups.groupBy('trs').agg(F.count('*').alias('n_dups'))
+
+
+def q_quick_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: quick_desc formatting in creation order."""
+    docs = spark.createDataFrame([(0, _SORT_CORPUS)],
+                                 "doc_id long, raw_desc string")
+    tracts = parse_documents(docs, text_col='raw_desc')
+    return Q.quick_desc(tracts).select('orig_index', 'quick_desc')
+
+
+def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: semi-join membership of a probe TRS list against the
+    parsed corpus."""
+    docs = spark.createDataFrame([(0, _SORT_CORPUS)],
+                                 "doc_id long, raw_desc string")
+    tracts = parse_documents(docs, text_col='raw_desc')
+    probe = spark.createDataFrame(
+        [('154n97w01',), ('154n97w14',), ('999n99w99',)], ['trs'])
+    return probe.join(tracts.select('trs'), 'trs', 'left_semi')
+
+
 def q_dedup_trs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-TRS rows (keep-first semantics) on the fan-out corpus."""
     docs = _docs_from_lineitem(spark, sf_dir)
@@ -657,6 +706,10 @@ _RAW_QUERIES = {
         'consolidate': q_consolidate,
         'group_by_twprge': q_group_by_twprge,
         'dedup_trs': q_dedup_trs,
+        'filter_errors': q_filter_errors,
+        'dedup_lots_qqs': q_dedup_lots_qqs,
+        'quick_desc': q_quick_desc,
+        'membership': q_membership,
         'dedup_exact': q_dedup_exact,
         'token_count': q_token_count,
         'quality': q_quality,
@@ -686,6 +739,16 @@ def oracle_sql() -> dict[str, str]:
         'consolidate': _ORACLE_CONSOLIDATE,
         'group_by_twprge': _ORACLE_GROUP,
         'dedup_trs': _ORACLE_DEDUP,
+        'filter_errors': _ORACLE_FILTER_ERRORS,
+        'dedup_lots_qqs':
+            "SELECT '155n97w01' AS trs, CAST(1 AS BIGINT) AS n_dups",
+        'quick_desc': """
+            SELECT * FROM (VALUES
+              (0, '154n97w14: NE/4'), (1, '154n97w01: S2N2'),
+              (2, '154n97w05: SW/4'), (3, '153n98w36: ALL')
+            ) AS g(orig_index, quick_desc)""",
+        'membership': ("SELECT trs FROM (VALUES ('154n97w01'), "
+                       "('154n97w14')) AS g(trs)"),
         'dedup_exact': _ORACLE_DEDUP_EXACT,
         'token_count': _ORACLE_TOKENS,
         'quality': _ORACLE_QUALITY,

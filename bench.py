@@ -41,6 +41,95 @@ def _median_time(fn, runs=RUNS):
     return statistics.median(times)
 
 
+def _prepare_images(spark, n_images, sf_tag):
+    """Materialize the synthetic image table once (cached parquet so
+    the generator isn't in the timed path)."""
+    from pytrs_spark import datagen
+    img_path = os.path.join(CACHE_DIR, f'images_{sf_tag}_{n_images}')
+    if not os.path.exists(img_path):
+        datagen.gen_images(spark, n_images, with_bytes=False,
+                           partitions=max(CPUS, 8)) \
+            .write.mode('overwrite').parquet(img_path)
+    return spark.read.parquet(img_path)
+
+
+def scaling_child():
+    """One parallelism level of the N-vs-4N scaling evidence: the full
+    tile pipeline at local[SPARK_GRAFT_CPUS], median of BENCH_RUNS."""
+    from pyspark.sql import functions as F
+
+    from pytrs_spark import datagen
+    from pytrs_spark.pipeline import (
+        assign_images_to_tiles,
+        polygon_layer_from_descs,
+    )
+    from pytrs_spark.session import get_spark
+
+    spark = get_spark('bench-scaling', cores=CPUS)
+    li_rows = spark.read.parquet(f'{SF_DIR}/lineitem.parquet').count()
+    # The scaling probe needs enough work per core that fixed per-job
+    # overhead (broadcast build, worker spin-up, stage scheduling)
+    # doesn't dominate the high-parallelism leg: ~4M rows keeps the
+    # 32-core leg >10 s of real compute.
+    li_rows = int(os.environ.get('BENCH_SCALING_ROWS',
+                                 str(max(li_rows, 4_000_000))))
+    sf_tag = os.path.basename(os.path.normpath(SF_DIR))
+    images = _prepare_images(spark, li_rows, sf_tag)
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+    polygons.cache().count()
+
+    def run():
+        assign_images_to_tiles(images, polygons) \
+            .select(F.max(F.xxhash64('image_id', 'trs', 'qq'))).collect()
+
+    run()   # warm workers; not timed
+    wall = _median_time(run)
+    print(json.dumps({'cores': CPUS, 'rows': li_rows,
+                      'wall_s': round(wall, 3),
+                      'images_per_sec': round(li_rows / wall, 1)}))
+    spark.stop()
+
+
+def scaling_main():
+    """Run the same tile job at two parallelism levels (the sandbox
+    stand-in for N vs 4N executors) and report scaling efficiency."""
+    import subprocess
+    lo, hi = (int(x) for x in
+              os.environ.get('BENCH_SCALING_CORES', '8,32').split(','))
+    results = {}
+    for cores in (lo, hi):
+        env = {**os.environ, 'SPARK_GRAFT_CPUS': str(cores)}
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--scaling-child'],
+            env=env, capture_output=True, text=True, check=False)
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith('{')]
+        if not lines:
+            print(out.stdout[-2000:], file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f'scaling child at {cores} cores failed')
+        results[cores] = json.loads(lines[-1])
+    speedup = results[lo]['wall_s'] / results[hi]['wall_s']
+    efficiency = speedup / (hi / lo)
+    report = {
+        'metric': f'tile-pipeline scaling local[{lo}] vs local[{hi}]',
+        'value': round(efficiency, 3),
+        'unit': 'efficiency',
+        'queries': {
+            f'wall_s_local{lo}': results[lo]['wall_s'],
+            f'wall_s_local{hi}': results[hi]['wall_s'],
+            f'images_per_sec_local{lo}': results[lo]['images_per_sec'],
+            f'images_per_sec_local{hi}': results[hi]['images_per_sec'],
+        },
+        'sf': os.path.basename(os.path.normpath(SF_DIR)),
+        'rows': results[hi]['rows'],
+        'speedup': round(speedup, 2),
+        'parallelism_ratio': hi // lo,
+    }
+    print(json.dumps(report))
+    return report
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -62,14 +151,7 @@ def main():
     n_images = li_rows
     sf_tag = os.path.basename(os.path.normpath(SF_DIR))
 
-    # Materialize the synthetic image table once (cached parquet so the
-    # generator isn't in the timed path).
-    img_path = os.path.join(CACHE_DIR, f'images_{sf_tag}_{n_images}')
-    if not os.path.exists(img_path):
-        datagen.gen_images(spark, n_images, with_bytes=False,
-                           partitions=max(CPUS, 8)) \
-            .write.mode('overwrite').parquet(img_path)
-    images = spark.read.parquet(img_path)
+    images = _prepare_images(spark, n_images, sf_tag)
 
     queries = {}
 
@@ -145,4 +227,9 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--scaling-child' in sys.argv:
+        scaling_child()
+    elif '--scaling' in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -1,0 +1,194 @@
+"""Bulk sources / sinks (SURVEY.md §2.1 S2-S5).
+
+- :func:`read_plss_csv` / :func:`parse_plss_table` -- the reference's
+  ``parse_csv`` (samples/csv_parser/parse_csv.py:29-120) re-expressed
+  as ``spark.read.csv`` + one fused Arrow-batched parse with *per-row*
+  config / layout override columns (ordinary columns, not plan
+  parameters -- distinct configs are parsed once per Arrow batch and
+  memoized).
+- :func:`stringify_tracts` / :func:`write_tracts_csv` -- the
+  ``TractWriter`` sink (tractwriter.py:135-171): attribute projection,
+  list -> ``', '`` join, dict -> ``k:v`` stringification, optional UID
+  ``'0001.a-d'`` (utils/__init__.py:53-71), all as native columns so
+  the sink stays inside whole-stage codegen.
+"""
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plss.config import parse_config
+from .parse import _FULL_RESULT, _ensure_parallelism
+from ..plss import document as doc_kernel
+from ..plss import tract as tract_kernel
+from ..plss import trs as trs_kernel
+
+
+def _dynamic_parse_udf(default_config: str = None):
+    """Fused parse with per-row config/layout strings.  Distinct
+    config strings are memoized per batch (typically a handful of
+    values across millions of rows)."""
+    base = parse_config(default_config)
+
+    @F.pandas_udf(_FULL_RESULT)
+    def udf(texts: pd.Series, configs: pd.Series,
+            layouts: pd.Series) -> pd.DataFrame:
+        memo = {}
+
+        def kwargs_for(cfg, layout):
+            key = (cfg, layout)
+            if key not in memo:
+                kw = dict(base)
+                if cfg:
+                    kw = {**kw, **parse_config(cfg)}
+                if layout:
+                    kw['layout'] = layout
+                memo[key] = kw
+            return memo[key]
+
+        rows = []
+        for text, cfg, layout in zip(texts, configs, layouts):
+            kw = kwargs_for(cfg, layout)
+            doc_kw = {k: kw[k] for k in
+                      ('layout', 'default_ns', 'default_ew', 'ocr_scrub',
+                       'require_colon', 'segment', 'sec_within', 'no_pm')
+                      if k in kw}
+            tract_kw = {k: kw[k] for k in
+                        ('clean_qq', 'suppress_lot_divs', 'qq_depth',
+                         'qq_depth_min', 'qq_depth_max', 'break_halves')
+                        if k in kw}
+            r = doc_kernel.parse_document(text or '', **doc_kw)
+            tracts = []
+            for t in r['tracts']:
+                d = trs_kernel.trs_decompose(t['trs'])
+                tp = tract_kernel.parse_tract(t['desc'], **tract_kw)
+                tracts.append((
+                    d['trs'], t['desc'], t['sec_within'],
+                    d['twp'], d['twp_num'], d['twp_ns'], d['twp_undef'],
+                    d['rge'], d['rge_num'], d['rge_ew'], d['rge_undef'],
+                    d['sec'], d['sec_num'], d['sec_undef'],
+                    tp['lots'], tp['qqs'], tp['lot_acres'],
+                    tp['aliquots_whole'], tp['pp_desc'],
+                    tp['w_flags'], tp['w_flag_lines']))
+            rows.append((tracts, r['w_flags'], r['w_flag_lines'],
+                         r['e_flags'], r['e_flag_lines'], r['layout']))
+        return pd.DataFrame(rows, columns=[
+            'tracts', 'w_flags', 'w_flag_lines', 'e_flags',
+            'e_flag_lines', 'layout'])
+    return udf
+
+
+def parse_plss_table(df: DataFrame, desc_col: str,
+                     config_col: str = None, layout_col: str = None,
+                     config: str = None, keep_cols=None,
+                     parallelism='auto') -> DataFrame:
+    """Parse a description column with optional per-row config/layout
+    override columns (reference parse_csv semantics: a non-empty
+    ``config_col`` value overrides ``config`` for that row)."""
+    if keep_cols is None:
+        keep_cols = [c for c in df.columns if c != desc_col]
+    df = _ensure_parallelism(df, parallelism)
+    cfg = F.col(config_col) if config_col else F.lit(None).cast('string')
+    lay = F.col(layout_col) if layout_col else F.lit(None).cast('string')
+    parsed = df.withColumn(
+        '_doc', _dynamic_parse_udf(config)(F.col(desc_col), cfg, lay))
+    t = F.col('_tract')
+    return parsed.select(
+        *keep_cols,
+        F.col(desc_col).alias('orig_desc'),
+        F.col('_doc.e_flags').alias('doc_e_flags'),
+        F.col('_doc.w_flags').alias('doc_w_flags'),
+        F.col('_doc.layout').alias('layout'),
+        F.posexplode_outer('_doc.tracts').alias('orig_index', '_tract'),
+    ).select(
+        *keep_cols,
+        t['trs'].alias('trs'),
+        t['desc'].alias('desc'),
+        'orig_index',
+        *[t[f].alias(f)
+          for f in ('twp_num', 'twp_ns', 'rge_num', 'rge_ew', 'sec_num')],
+        t['lots'].alias('lots'),
+        t['qqs'].alias('qqs'),
+        t['lot_acres'].alias('lot_acres'),
+        'orig_desc', 'layout', 'doc_w_flags', 'doc_e_flags',
+        (F.size('doc_e_flags') > 0).alias('desc_is_flawed'),
+    )
+
+
+def read_plss_csv(spark: SparkSession, path: str, desc_col,
+                  header: bool = True, config: str = None,
+                  config_col=None, layout_col=None) -> DataFrame:
+    """S2: bulk CSV source.  ``desc_col`` (and the override columns)
+    may be names or 1-indexed positions (reference parse_csv indexes
+    columns from 1)."""
+    df = spark.read.csv(path, header=header)
+
+    def resolve(col):
+        if col is None:
+            return None
+        if isinstance(col, int):
+            return df.columns[col - 1]
+        return col
+
+    return parse_plss_table(
+        df, resolve(desc_col), config_col=resolve(config_col),
+        layout_col=resolve(layout_col), config=config)
+
+
+def num_to_alpha_col(n) -> Column:
+    """1 -> 'a', 26 -> 'z', 27 -> 'aa' (utils/__init__.py:8-17),
+    native columns."""
+    n = n.cast('int')
+    prefix = F.when(
+        (n - 1) / 26 >= 1,
+        F.char(F.floor((n - 1) / 26).cast('int') + 96)).otherwise('')
+    return F.concat(prefix, F.char((n - 1) % 26 + 97))
+
+
+def uid_col(doc_num, sub, total_sub, just: int = 4) -> Column:
+    """The reference UID ``'0001.a-d'`` (gen_uid, utils:53-71)."""
+    return F.concat(
+        F.lpad(doc_num.cast('string'), just, '0'), F.lit('.'),
+        num_to_alpha_col(sub), F.lit('-'), num_to_alpha_col(total_sub))
+
+
+def stringify_tracts(df: DataFrame, attributes, doc_col: str = None,
+                     include_uid: bool = False) -> DataFrame:
+    """Project + stringify tract rows for a flat sink: arrays join with
+    ``', '``, maps render ``k:v,k:v`` sorted by key (TractWriter
+    semantics)."""
+    cols = []
+    if include_uid:
+        if doc_col is None:
+            raise ValueError('include_uid requires doc_col')
+        wdoc = Window.partitionBy(doc_col)
+        worder = wdoc.orderBy('orig_index')
+        cols.append(uid_col(
+            F.dense_rank().over(Window.orderBy(doc_col)),
+            F.row_number().over(worder),
+            F.count('*').over(wdoc)).alias('uid'))
+    for attr in attributes:
+        dtype = dict(df.dtypes).get(attr)
+        c = F.col(attr)
+        if dtype and dtype.startswith('array'):
+            c = F.array_join(c.cast('array<string>'), ', ')
+        elif dtype and dtype.startswith('map'):
+            c = F.array_join(
+                F.transform(
+                    F.array_sort(F.map_keys(c)),
+                    lambda k: F.concat(k, F.lit(':'),
+                                       F.element_at(F.col(attr), k))),
+                ',')
+        cols.append(c.alias(attr))
+    return df.select(*cols)
+
+
+def write_tracts_csv(df: DataFrame, path: str, attributes,
+                     doc_col: str = None, include_uid: bool = False,
+                     mode: str = 'overwrite', header: bool = True):
+    """S3: CSV sink (``'a'`` append / ``'w'`` overwrite modes map to
+    Spark save modes)."""
+    mode = {'w': 'overwrite', 'a': 'append'}.get(mode, mode)
+    stringify_tracts(df, attributes, doc_col=doc_col,
+                     include_uid=include_uid) \
+        .write.mode(mode).option('header', str(header).lower()).csv(path)

@@ -37,7 +37,8 @@ JOIN_RES = 9   # 0.25 mi cells == depth-2 QQ size: ~1 candidate/point
 def polygon_cell_index(polygons: DataFrame, res: int = JOIN_RES) -> DataFrame:
     """Explode each polygon to its covering cells at ``res`` (native)."""
     return polygons.select(
-        'trs', 'qq', 'xmin', 'ymin', 'xmax', 'ymax', 'ring',
+        'trs', 'qq', 'xmin', 'ymin', 'xmax', 'ymax',
+        'ring_xs', 'ring_ys',
         F.explode(cover_cells(
             F.col('xmin'), F.col('ymin'), F.col('xmax'), F.col('ymax'),
             res)).alias('cell'))
@@ -45,30 +46,32 @@ def polygon_cell_index(polygons: DataFrame, res: int = JOIN_RES) -> DataFrame:
 
 @F.pandas_udf(T.BooleanType())
 def _pip_refine(px: pd.Series, py: pd.Series,
-                ring: pd.Series) -> pd.Series:
+                ring_xs: pd.Series, ring_ys: pd.Series) -> pd.Series:
     """Exact even-odd ray-casting point-in-polygon, vectorized.
 
     General simple-polygon implementation (not a bbox shortcut), per
     the north rule; for axis-aligned half-open boxes the crossing rule
     lands exactly on [xmin, xmax) x [ymin, ymax).
+
+    Rows are grouped by ring vertex count so every edge test runs as a
+    (rows, ) numpy op -- no per-row Python, no per-ring grouping (the
+    previous tuple-keyed groupby cost ~100 us/row and was the scaling
+    bottleneck of the whole join).
     """
     x = px.to_numpy(dtype=np.float64)
     y = py.to_numpy(dtype=np.float64)
     n = len(x)
     inside = np.zeros(n, dtype=bool)
-    # Group rows by identical ring to vectorize across points: rings
-    # repeat heavily (one per polygon, many candidate points each).
-    ring_key = ring.map(
-        lambda r: tuple((v['x'], v['y']) for v in r))
-    for key, idx in ring_key.groupby(ring_key).groups.items():
-        verts = np.asarray(key, dtype=np.float64)
-        ii = np.asarray(idx)
+    lens = ring_xs.map(len).to_numpy()
+    for m in np.unique(lens):
+        ii = np.nonzero(lens == m)[0]
+        xs = np.array([ring_xs.iat[i] for i in ii], dtype=np.float64)
+        ys = np.array([ring_ys.iat[i] for i in ii], dtype=np.float64)
         pxs, pys = x[ii], y[ii]
         hit = np.zeros(len(ii), dtype=bool)
-        m = len(verts)
         for k in range(m):
-            x1, y1 = verts[k]
-            x2, y2 = verts[(k + 1) % m]
+            x1, y1 = xs[:, k], ys[:, k]
+            x2, y2 = xs[:, (k + 1) % m], ys[:, (k + 1) % m]
             crosses = (y1 > pys) != (y2 > pys)
             with np.errstate(divide='ignore', invalid='ignore'):
                 xint = (x2 - x1) * (pys - y1) / (y2 - y1) + x1
@@ -106,19 +109,32 @@ def spatial_join(points: DataFrame, polygons: DataFrame,
         joined = pts.join(index, 'cell')
 
     return joined.filter(
-        _pip_refine(F.col('x'), F.col('y'), F.col('ring')))
+        _pip_refine(F.col('x'), F.col('y'),
+                    F.col('ring_xs'), F.col('ring_ys')))
 
 
 def assign_tiles(matches: DataFrame) -> DataFrame:
     """One deterministic (trs, qq) tile per image: smallest (trs, qq)
     wins (explicit tie-break so output is byte-stable under any
-    parallelism)."""
-    from pyspark.sql import Window
-    w = Window.partitionBy('image_id').orderBy('trs', 'qq')
-    return (matches
-            .withColumn('_rn', F.row_number().over(w))
-            .filter(F.col('_rn') == 1)
-            .drop('_rn'))
+    parallelism).
+
+    Implemented as ``min(struct(trs, qq, payload...))`` rather than a
+    ``row_number`` window: lexicographic struct-min is the same
+    tie-break but gets map-side partial aggregation, so the shuffle
+    carries ~1 row per image instead of every candidate row sorted.
+    """
+    # The ring vertex arrays are polygon-side working data; the tile
+    # row doesn't need them (and arrays through an agg cost memory).
+    payload = [c for c in matches.columns
+               if c not in ('image_id', 'trs', 'qq',
+                            'ring_xs', 'ring_ys')]
+    best = F.min(F.struct('trs', 'qq', *payload)).alias('_best')
+    agg = matches.groupBy('image_id').agg(best)
+    return agg.select(
+        'image_id',
+        F.col('_best')['trs'].alias('trs'),
+        F.col('_best')['qq'].alias('qq'),
+        *[F.col('_best')[c].alias(c) for c in payload])
 
 
 def cell_histogram(points: DataFrame, res: int = JOIN_RES) -> DataFrame:

@@ -1,0 +1,86 @@
+"""Config-string codec + bulk CSV source/sink (S2/S3) tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pytrs_spark.operators.io import (
+    parse_plss_table,
+    read_plss_csv,
+    stringify_tracts,
+    write_tracts_csv,
+)
+from pytrs_spark.plss.config import parse_config
+
+
+def test_parse_config_tokens():
+    assert parse_config('n,w') == {'default_ns': 'n', 'default_ew': 'w'}
+    assert parse_config('s,e,clean_qq,qq_depth.3') == {
+        'default_ns': 's', 'default_ew': 'e', 'clean_qq': True,
+        'qq_depth': 3}
+    assert parse_config('qq_depth_min.2,qq_depth_max.4,break_halves') == {
+        'qq_depth_min': 2, 'qq_depth_max': 4, 'break_halves': True}
+    assert parse_config('TRS_desc,segment') == {
+        'layout': 'TRS_desc', 'segment': True}
+    assert parse_config('include_lot_divs') == {'suppress_lot_divs': False}
+    assert parse_config('') == {}
+    assert parse_config(None) == {}
+    # Unknown tokens dropped silently (reference behavior).
+    assert parse_config('bogus,n') == {'default_ns': 'n'}
+
+
+CORPUS = [
+    (1, 'T154N-R97W Sec 14: NE/4, Sec 15: Lots 1 - 3, S/2N/2', None, None),
+    (2, '154n97w: NW/4 of Sec 1', 'clean_qq,qq_depth.1', None),
+    (3, 'T10S-R5E Sec 3: ALL', None, 'TRS_desc'),
+]
+
+
+@pytest.fixture(scope='module')
+def parsed(spark):
+    df = spark.createDataFrame(
+        CORPUS, 'doc_id long, desc string, cfg string, lay string')
+    return parse_plss_table(df, 'desc', config_col='cfg',
+                            layout_col='lay').cache()
+
+
+def test_parse_plss_table_per_row_config(parsed):
+    rows = {(r['doc_id'], r['trs']): r
+            for r in parsed.collect()}
+    assert rows[(1, '154n97w14')]['qqs'] == ['NENE', 'NWNE', 'SENE', 'SWNE']
+    assert rows[(1, '154n97w15')]['lots'] == ['L1', 'L2', 'L3']
+    # Per-row qq_depth.1 override: quarters, not quarter-quarters.
+    assert rows[(2, '154n97w01')]['qqs'] == ['NW']
+    assert rows[(3, '10s5e03')]['qqs'] == [
+        'NENE', 'NWNE', 'SENE', 'SWNE', 'NENW', 'NWNW', 'SENW', 'SWNW',
+        'NESE', 'NWSE', 'SESE', 'SWSE', 'NESW', 'NWSW', 'SESW', 'SWSW']
+
+
+def test_stringify_and_uid(parsed):
+    out = stringify_tracts(
+        parsed, ['trs', 'lots', 'qqs', 'lot_acres'],
+        doc_col='doc_id', include_uid=True) \
+        .orderBy('uid').collect()
+    assert [r['uid'] for r in out] == \
+        ['0001.a-b', '0001.b-b', '0002.a-a', '0003.a-a']
+    assert out[1]['lots'] == 'L1, L2, L3'
+    assert out[0]['qqs'] == 'NENE, NWNE, SENE, SWNE'
+
+
+def test_csv_roundtrip(spark, tmp_path, parsed):
+    src = str(tmp_path / 'in')
+    dst = str(tmp_path / 'out')
+    spark.createDataFrame(
+        CORPUS, 'doc_id long, desc string, cfg string, lay string') \
+        .write.mode('overwrite').option('header', 'true').csv(src)
+    back = read_plss_csv(spark, src, desc_col='desc',
+                         config_col='cfg', layout_col='lay')
+    assert back.count() == 4
+    # Positional (1-indexed) column selection, reference-style.
+    back_pos = read_plss_csv(spark, src, desc_col=2,
+                             config_col=3, layout_col=4)
+    assert back_pos.count() == 4
+    write_tracts_csv(back, dst, ['trs', 'desc', 'lots', 'qqs'],
+                     doc_col='doc_id', include_uid=True)
+    again = spark.read.option('header', 'true').csv(dst)
+    assert again.count() == 4
+    assert set(again.columns) == {'uid', 'trs', 'desc', 'lots', 'qqs'}
