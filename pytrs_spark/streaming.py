@@ -1,0 +1,65 @@
+"""Structured Streaming front-ends.
+
+The reference is strictly batch (single-threaded, eager); these
+operators are the engine's streaming ingest path for the same
+semantics:
+
+- :func:`stream_tiles` -- continuous tile assignment: a parquet file
+  stream of image rows, each micro-batch pushed through the identical
+  batch pipeline via ``foreachBatch`` (image_ids are unique per batch,
+  so per-batch assignment equals batch assignment; the polygon layer
+  is a static broadcast side).
+- :func:`stream_events_hourly` -- watermarked hourly rollup of the
+  events table (late data bounded by the watermark), the streaming
+  counterpart of the ``events_hourly`` batch query.
+
+Both run with ``trigger(availableNow=True)`` in tests: process
+everything pending, then stop -- the same code path a 24/7 incremental
+ingest would run.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IMAGE_SCHEMA = ('image_id string, bytes binary, w int, h int, '
+                'fmt string, caption string, phash long')
+
+
+def stream_tiles(spark: SparkSession, source_dir: str,
+                 polygons: DataFrame, out_dir: str,
+                 checkpoint_dir: str, available_now: bool = True):
+    """File-stream of image rows -> tile assignments, exactly-once via
+    the streaming checkpoint.  Returns the started query."""
+    from .pipeline import assign_images_to_tiles
+
+    stream = (spark.readStream.schema(IMAGE_SCHEMA)
+              .option('maxFilesPerTrigger', 8)
+              .parquet(source_dir))
+
+    def process(batch: DataFrame, batch_id: int):
+        assign_images_to_tiles(batch, polygons) \
+            .write.mode('append').parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(process) \
+        .option('checkpointLocation', checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_events_hourly(events: DataFrame,
+                         watermark: str = '2 hours') -> DataFrame:
+    """Watermarked hourly per-type rollup over a streaming events
+    DataFrame (ts timestamp, event_type string, value double)."""
+    # Watermarks require TIMESTAMP (tz-aware); parquet NTZ columns get
+    # cast (session tz is pinned to UTC engine-wide).
+    events = events.withColumn('ts', F.col('ts').cast('timestamp'))
+    return (events
+            .withWatermark('ts', watermark)
+            .groupBy(F.window('ts', '1 hour').alias('win'), 'event_type')
+            .agg(F.count('*').alias('n_events'),
+                 F.sum(F.col('value').cast('decimal(18,6)'))
+                 .cast('double').alias('sum_value'))
+            .select(F.date_format('win.start', 'yyyy-MM-dd HH')
+                    .alias('hour'),
+                    'event_type', 'n_events', 'sum_value'))

@@ -1,0 +1,190 @@
+"""Differential oracle: run a varied corpus through BOTH the reference
+library (imported read-only from /root/reference) and our pure-Python
+kernels, and require row-for-row equality of (trs, desc, lots, qqs,
+lot_acres) plus flag parity.
+
+This is the north-star "matching pyTRS's own tract/aliquot parsing
+unit tests row-for-row" check, generalized: instead of freezing a few
+golden rows, every assertion is computed fresh from the reference at
+test time.  Skipped cleanly if the reference tree is absent.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, '/root/reference')
+pytrs = pytest.importorskip('pytrs')
+
+from pytrs_spark.plss import document as D  # noqa: E402
+from pytrs_spark.plss import tract as Tr  # noqa: E402
+from pytrs_spark.plss.simplify import simplify_aliquots  # noqa: E402
+
+CORPUS = [
+    "T154N-R97W Sec 14: NE/4",
+    "T154N-R97W Sec 14: NE/4, Sec 15 - 17: ALL, Sec 1: Lots 1 - 3, S/2N/2",
+    "Township 155 North, Range 97 West Sec 1: Lots 1(38.29), 2(39.22), "
+    "S2N2",
+    "Sec 14 of T154N-R97W: N/2 of the NE/4 of SW/4",
+    "ALL of Sec 4 - 6, E/2, W/2 of Sec 7, T10S-R5E",
+    "T154N-R97W Sec 25: W½SE¼, E½SW¼, including a road easement",
+    "154n97w: NW/4 of Sec 1",
+    "T154N-R97W Sec 3 - 5, 7: S/2",
+    "Sec 9 - 3: NE/4, T154N-R97W",                   # reversed range
+    "T1S-R7E Sec 36: Lot 8(39.21), N/2 of Lot 2, SE/4SE/4",
+    "T154N-R97W Sec 14: NENE, NWNE",                 # clean_qq shapes
+    "T154N-R97W Sec 14: S2NENW",
+    "T154N-R97W Sec 01: E½NE",                       # half+quarter infer
+    "Lots 1 - 3, Sec 1, T154N-R97W",
+    "T154N-R97W Sec 14: ALL",
+    "T154N-R97W, 5th P.M., Sec 14: SW/4",            # PM scrubber
+    "T154N-R97W Sec 14: NE/4, T153N-R98W Sec 22: W/2",  # 2 twprge
+    "Section 4: N2 of T7N-R2W",
+    "W/2 of Sec 30, T154N-R97W",
+    "T154N-R97W Sec 14: N/2 less and except the E/2NE/4",
+    "T15oN-R97W Sec 14: NE/4",                       # OCR 'o' for 0
+]
+
+CONFIGS = [
+    {},
+    {'clean_qq': True},
+    {'qq_depth': 1},
+    {'qq_depth_min': 3},
+    {'qq_depth_max': 1},
+    {'break_halves': True},
+    {'suppress_lot_divs': True},
+    {'default_ns': 's', 'default_ew': 'e'},
+]
+
+
+def _cfg_string(kw):
+    parts = []
+    for k, v in kw.items():
+        if k == 'default_ns':
+            parts.append(v)
+        elif k == 'default_ew':
+            parts.append(v)
+        elif v is True:
+            parts.append(k)
+        else:
+            parts.append(f'{k}.{v}')
+    parts.append('parse_qq')
+    return ','.join(parts)
+
+
+def _ours(text, kw):
+    doc_kw = {k: kw[k] for k in ('default_ns', 'default_ew') if k in kw}
+    tract_kw = {k: kw[k] for k in
+                ('clean_qq', 'suppress_lot_divs', 'qq_depth',
+                 'qq_depth_min', 'qq_depth_max', 'break_halves')
+                if k in kw}
+    r = D.parse_document(text, **doc_kw)
+    rows = []
+    for t in r['tracts']:
+        tp = Tr.parse_tract(t['desc'], **tract_kw)
+        rows.append((t['trs'], t['desc'], tp['lots'], tp['qqs'],
+                     tp['lot_acres']))
+    return rows, r
+
+
+def _reference(text, kw):
+    ref = pytrs.PLSSDesc(text, config=_cfg_string(kw))
+    rows = [(t.trs, t.desc, t.lots, t.qqs, t.lot_acres)
+            for t in ref.tracts]
+    return rows, ref
+
+
+@pytest.mark.parametrize('kw', CONFIGS,
+                         ids=[_cfg_string(c) for c in CONFIGS])
+def test_corpus_row_for_row(kw):
+    diffs = []
+    for text in CORPUS:
+        ours, _ = _ours(text, kw)
+        theirs, _ = _reference(text, kw)
+        if ours != theirs:
+            diffs.append((text, theirs, ours))
+    assert not diffs, '\n'.join(
+        f'{t!r}\n  ref : {r}\n  mine: {m}' for t, r, m in diffs)
+
+
+def test_flags_match_reference():
+    for text in CORPUS:
+        _, mine = _ours(text, {})
+        _, ref = _reference(text, {})
+        assert sorted(mine['w_flags']) == sorted(ref.w_flags), text
+        assert sorted(mine['e_flags']) == sorted(ref.e_flags), text
+        # ref.layout is populated only when configured explicitly; the
+        # deduced layout isn't exposed, so compare only when present.
+        if ref.layout is not None:
+            assert mine['layout'] == ref.layout, text
+
+
+def _random_corpus(n=150, seed=42):
+    """Seeded generator of structurally varied descriptions built from
+    the grammar's building blocks (layouts x aliquots x lots x ranges)."""
+    import random
+    rng = random.Random(seed)
+    aliquots = ['NE/4', 'W/2', 'S/2N/2', 'SE/4SW/4', 'N/2 of the NE/4',
+                'E½NW¼', 'ALL', 'NENE', 'S2NENW', 'W½SE¼']
+    lot_bits = ['Lot 1', 'Lots 1 - 3', 'Lot 8(39.21)',
+                'Lots 4(21.7), 5(22.3)', 'N/2 of Lot 2']
+    out = []
+    for _ in range(n):
+        twp = rng.randint(1, 199)
+        rge = rng.randint(1, 99)
+        ns = rng.choice('NS')
+        ew = rng.choice('EW')
+        tr_style = rng.choice([
+            f'T{twp}{ns}-R{rge}{ew}',
+            f'Township {twp} {"North" if ns == "N" else "South"}, '
+            f'Range {rge} {"East" if ew == "E" else "West"}',
+            f'{twp}{ns.lower()}{rge}{ew.lower()}',
+        ])
+        n_secs = rng.randint(1, 3)
+        parts = []
+        for _ in range(n_secs):
+            s = rng.randint(1, 36)
+            if rng.random() < 0.25:
+                sec = f'Sec {s} - {min(36, s + rng.randint(1, 3))}'
+            else:
+                sec = f'Sec {s}'
+            body = ', '.join(
+                rng.sample(aliquots, rng.randint(1, 2))
+                + (rng.sample(lot_bits, 1) if rng.random() < 0.3 else []))
+            parts.append((sec, body))
+        layout_roll = rng.random()
+        if layout_roll < 0.6:   # TRS_desc
+            doc = tr_style + ' ' + ', '.join(
+                f'{sec}: {body}' for sec, body in parts)
+        elif layout_roll < 0.8:  # desc_STR
+            doc = ', '.join(f'{body} of {sec}' for sec, body in parts) \
+                + ', ' + tr_style
+        else:                    # TR_desc_S
+            doc = tr_style + ' ' + ', '.join(
+                f'{body} of {sec}' for sec, body in parts)
+        out.append(doc)
+    return out
+
+
+def test_randomized_corpus_row_for_row():
+    diffs = []
+    for text in _random_corpus():
+        ours, _ = _ours(text, {})
+        theirs, _ = _reference(text, {})
+        if ours != theirs:
+            diffs.append((text, theirs, ours))
+    assert not diffs, f'{len(diffs)} diffs; first 3:\n' + '\n'.join(
+        f'{t!r}\n  ref : {r}\n  mine: {m}' for t, r, m in diffs[:3])
+
+
+def test_simplify_matches_reference_aliquots():
+    """A6: our quadtree consolidation == the reference's on every
+    corpus tract's qqs (both orderings and 'ALL' rendering)."""
+    from pytrs.parser.tract.aliquot_simplify import (
+        simplify_aliquots as ref_simplify,
+    )
+    for text in CORPUS:
+        for _, _, _, qqs, _ in _ours(text, {})[0]:
+            for std in (False, True):
+                assert simplify_aliquots(qqs, std) \
+                    == ref_simplify(qqs, assume_standard=std), (text, qqs)

@@ -1,0 +1,102 @@
+"""Structured Streaming ingest + multimodal operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pytrs_spark import datagen, imagecodec
+from pytrs_spark.multimodal import (
+    encode_fake_video,
+    image_features,
+    sample_video_frames,
+)
+from pytrs_spark.pipeline import (
+    assign_images_to_tiles,
+    polygon_layer_from_descs,
+)
+from pytrs_spark.streaming import stream_events_hourly, stream_tiles
+
+
+def test_stream_tiles_matches_batch(spark, tmp_path):
+    src = str(tmp_path / 'src')
+    out = str(tmp_path / 'out')
+    ckpt = str(tmp_path / 'ckpt')
+    images = datagen.gen_images(spark, 200, with_bytes=False, partitions=4)
+    images.write.mode('overwrite').parquet(src)
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark)).cache()
+    polygons.count()
+
+    q = stream_tiles(spark, src, polygons, out, ckpt)
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out).select('image_id', 'trs', 'qq')
+    batch = assign_images_to_tiles(
+        spark.read.parquet(src), polygons).select('image_id', 'trs', 'qq')
+    assert streamed.count() == 200
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
+
+    # Restart from the checkpoint with no new files: exactly-once, no
+    # duplicate output.
+    q2 = stream_tiles(spark, src, polygons, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_stream_events_hourly_matches_batch(spark, tmp_path):
+    sf = '/root/testdata/sf0.001'
+    batch_events = spark.read.parquet(f'{sf}/events.parquet')
+    src = str(tmp_path / 'events_dir')
+    batch_events.write.mode('overwrite').parquet(src)
+    stream = spark.readStream.schema(batch_events.schema).parquet(src)
+    # File-stream the events table -> rollup -> memory sink (complete
+    # mode; the watermark bounds state).
+    rolled = stream_events_hourly(
+        stream.select('ts', 'event_type', 'value'))
+    q = (rolled.writeStream.format('memory').queryName('ev_roll')
+         .outputMode('complete').trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.table('ev_roll')
+    want = (spark.read.parquet(f'{sf}/events.parquet')
+            .groupBy(F.date_format('ts', 'yyyy-MM-dd HH').alias('hour'),
+                     'event_type')
+            .agg(F.count('*').alias('n_events'),
+                 F.sum(F.col('value').cast('decimal(18,6)'))
+                 .cast('double').alias('sum_value')))
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
+
+
+def test_image_features(spark):
+    images = datagen.gen_images(spark, 48, with_bytes=True, partitions=4)
+    feats = image_features(images).collect()
+    assert len(feats) == 48
+    # Cross-check one row against a local decode.
+    row = feats[0]
+    local = {r['image_id']: r['bytes']
+             for r in images.select('image_id', 'bytes').collect()}
+    px = imagecodec.decode(bytes(local[row['image_id']]))
+    assert row['w'] == px.shape[1] and row['h'] == px.shape[0]
+    assert abs(row['brightness'] - float(px.mean())) < 1e-9
+
+
+def test_sample_video_frames(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    vids = []
+    for i in range(5):
+        frames = rng.integers(0, 256, size=(23, 8, 12, 3), dtype=np.uint8)
+        vids.append((f'v{i}', encode_fake_video(frames)))
+    df = spark.createDataFrame(vids, 'video_id string, bytes binary')
+    out = sample_video_frames(df, every_nth=10).collect()
+    # 23 frames sampled every 10th -> idx 0, 10, 20 per video.
+    assert len(out) == 15
+    assert sorted({r['frame_idx'] for r in out}) == [0, 10, 20]
+    f = imagecodec.decode(bytes(out[0]['frame']))
+    assert f.shape == (8, 12, 3)
+
+
+def test_video_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([('v0', b'\x00\x00\x00\x18ftypmp42')],
+                               'video_id string, bytes binary')
+    with pytest.raises(Exception, match='NotImplementedError|libav'):
+        sample_video_frames(df).collect()
