@@ -177,7 +177,7 @@ def main():
     queries['knn_corners'] = round(_median_time(
         lambda: knn_section_corners(pts, k=4)
         .select(F.max(F.xxhash64('image_id', 'rank'))).collect(),
-        runs=1), 3)
+        runs=RUNS), 3)
 
     # Parse throughput: documents/sec over a replicated desc corpus.
     descs = datagen.gen_descs(spark)
@@ -191,23 +191,23 @@ def main():
         parsed = parse_documents_full(big_descs, text_col='raw_desc')
         parsed.select(F.max(F.xxhash64('trs'))).collect()
 
-    t_parse = _median_time(parse_run, runs=1)
+    t_parse = _median_time(parse_run, runs=RUNS)
     queries['plss_parse'] = round(t_parse, 3)
 
     # Text ops on the documents table.
     docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
     queries['minhash_dedup'] = round(_median_time(
-        lambda: textops.minhash_lsh_candidates(docs).count(), runs=1), 3)
+        lambda: textops.minhash_lsh_candidates(docs).count(), runs=RUNS), 3)
     queries['quality_scores'] = round(_median_time(
         lambda: textops.quality_score(docs.select('doc_id', 'text'))
-        .select(F.max(F.xxhash64('n_tokens'))).collect(), runs=1), 3)
+        .select(F.max(F.xxhash64('n_tokens'))).collect(), runs=RUNS), 3)
 
     # ANN brute-force top-k.
     emb = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
     q = emb.filter(F.col('vec_id') < 8).select(
         F.col('vec_id').alias('query_id'), 'embedding')
     queries['ann_topk'] = round(_median_time(
-        lambda: brute_force_topk(emb, q, k=10).count(), runs=1), 3)
+        lambda: brute_force_topk(emb, q, k=10).count(), runs=RUNS), 3)
 
     result = {
         'metric': ('images/sec through anchor->cell->broadcast join->'

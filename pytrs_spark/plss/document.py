@@ -105,6 +105,15 @@ def _scrub_twprge_matches(rgx, text, default_ns, default_ew):
     (plss_preprocess.py:178-191).
     """
     ocr = rgx is P.pp_twprge_ocr_scrub
+    if rgx is P.pp_twprge_pm and not P.pm_re.search(text):
+        # The PM scrubber's pattern (TWPRGE + up-to-25 junk chars + PM)
+        # backtracks super-linearly on every Twp/Rge NOT followed by a
+        # principal meridian (the reference's documented perf hazard,
+        # config.py:89-95).  It can only ever match if a PM token
+        # exists at all, so a cheap pre-scan skips it with identical
+        # semantics -- this alone is ~70% of parse kernel time on
+        # PM-free corpora.
+        return text
     for mo in rgx.finditer(text):
         clean = unpack_twprge(mo, default_ns=default_ns,
                               default_ew=default_ew, ocr_scrub=ocr)
