@@ -619,6 +619,24 @@ SELECT query_id, rank, vec_id FROM (
 """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path; bucket recall is
+    approximate by construction -> rows-only check).  Candidates are
+    exact-reranked, so every returned (query, vec, rank) is the true
+    cosine order within the retrieved set."""
+    from pytrs_spark.operators.ann import lsh_bucket_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select('embedding').first()[0])
+    queries = emb.filter(F.col('vec_id') < 5) \
+        .select(F.col('vec_id').alias('query_id'), 'embedding')
+    # 8-bit buckets x 8 tables: ~vectors/256 candidates per table at
+    # this scale, multi-probe via table union.
+    topk = lsh_bucket_topk(emb, queries, dim=dim, k=10,
+                           planes=8, tables=8)
+    return topk.select('query_id', 'rank', 'vec_id',
+                       F.round('cos_sim', 6).alias('cos_sim'))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-type event rollup (decimal sums for exactness)."""
     spark.conf.set('spark.sql.session.timeZone', 'UTC')
@@ -714,6 +732,7 @@ _RAW_QUERIES = {
         'token_count': q_token_count,
         'quality': q_quality,
         'ann_topk': q_ann_topk,
+        'ann_lsh': q_ann_lsh,
         'events_hourly': q_events_hourly,
         'minhash_pairs': q_minhash_pairs,
         'simhash': q_simhash,

@@ -502,7 +502,13 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
     # (plss_parse.py:811-827).
     if not state.twprge_used and state.working_twprge != ERR_TWPRGE:
         state.twprge_queue.insert(0, state.working_twprge)
-    if not state.sec_used and state.working_sec != [ERR_SEC]:
+    # Deliberate divergence: the reference inserts a never-staged
+    # (None) working sec here and then crashes on the join below
+    # (plss_parse.py:811-827 raises TypeError for e.g.
+    # 'Sec 14 of ...' under sec_colon_required).  A row-level crash is
+    # unacceptable in a distributed engine, so None is skipped; the
+    # unused-sec flags are otherwise identical.
+    if not state.sec_used and state.working_sec not in (None, [ERR_SEC]):
         state.sec_queue.insert(0, state.working_sec)
     for twprge in state.twprge_queue:
         flag = f"unused_twprge<{twprge}>"

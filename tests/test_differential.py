@@ -54,16 +54,26 @@ CONFIGS = [
     {'break_halves': True},
     {'suppress_lot_divs': True},
     {'default_ns': 's', 'default_ew': 'e'},
+    {'segment': True},
+    {'require_colon': True},
+    {'sec_within': True},
+    {'ocr_scrub': True},
+    {'no_pm': True},
 ]
+
+_DOC_KW = ('layout', 'default_ns', 'default_ew', 'ocr_scrub',
+           'require_colon', 'segment', 'sec_within', 'no_pm')
 
 
 def _cfg_string(kw):
     parts = []
     for k, v in kw.items():
-        if k == 'default_ns':
+        if k in ('default_ns', 'default_ew'):
             parts.append(v)
-        elif k == 'default_ew':
+        elif k == 'layout':
             parts.append(v)
+        elif k == 'require_colon':
+            parts.append('sec_colon_required')
         elif v is True:
             parts.append(k)
         else:
@@ -73,7 +83,7 @@ def _cfg_string(kw):
 
 
 def _ours(text, kw):
-    doc_kw = {k: kw[k] for k in ('default_ns', 'default_ew') if k in kw}
+    doc_kw = {k: kw[k] for k in _DOC_KW if k in kw}
     tract_kw = {k: kw[k] for k in
                 ('clean_qq', 'suppress_lot_divs', 'qq_depth',
                  'qq_depth_min', 'qq_depth_max', 'break_halves')
@@ -99,8 +109,16 @@ def _reference(text, kw):
 def test_corpus_row_for_row(kw):
     diffs = []
     for text in CORPUS:
+        try:
+            theirs, _ = _reference(text, kw)
+        except TypeError:
+            # The reference crashes on some inputs (e.g. unused
+            # never-staged sec under sec_colon_required,
+            # plss_parse.py:825).  Our kernel must not crash; nothing
+            # to compare beyond that.
+            _ours(text, kw)
+            continue
         ours, _ = _ours(text, kw)
-        theirs, _ = _reference(text, kw)
         if ours != theirs:
             diffs.append((text, theirs, ours))
     assert not diffs, '\n'.join(
