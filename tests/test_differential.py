@@ -184,11 +184,19 @@ def _random_corpus(n=150, seed=42):
     return out
 
 
-def test_randomized_corpus_row_for_row():
+@pytest.mark.parametrize('kw', [{}, {'clean_qq': True}, {'qq_depth': 2},
+                                {'break_halves': True}, {'segment': True}],
+                         ids=['default', 'clean_qq', 'qq_depth2',
+                              'break_halves', 'segment'])
+def test_randomized_corpus_row_for_row(kw):
     diffs = []
     for text in _random_corpus():
-        ours, _ = _ours(text, {})
-        theirs, _ = _reference(text, {})
+        try:
+            theirs, _ = _reference(text, kw)
+        except TypeError:
+            _ours(text, kw)
+            continue
+        ours, _ = _ours(text, kw)
         if ours != theirs:
             diffs.append((text, theirs, ours))
     assert not diffs, f'{len(diffs)} diffs; first 3:\n' + '\n'.join(
