@@ -221,6 +221,45 @@ FROM built
 """
 
 
+def q_pretty_twprge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12: pretty Twp/Rge formatting + natural<->short round trip
+    as pure native columns."""
+    from pytrs_spark.operators.parse import (
+        pretty_twprge_col,
+        twprge_natural_to_short_col,
+    )
+    d = q_trs_roundtrip(spark, sf_dir)
+    pretty = pretty_twprge_col(
+        F.col('twp_num'), F.col('twp_ns'),
+        F.col('rge_num'), F.col('rge_ew'))
+    return d.select(
+        'key', pretty.alias('pretty'),
+        twprge_natural_to_short_col(pretty).alias('short'))
+
+
+_ORACLE_PRETTY = """
+WITH keys AS (
+  SELECT l_orderkey * 10 + l_linenumber AS key FROM lineitem
+), built AS (
+  SELECT key,
+         key % 299 + 1 AS twp_n,
+         CASE WHEN key % 2 = 0 THEN 'N' ELSE 'S' END AS ns,
+         key % 98 + 1 AS rge_n,
+         CASE WHEN key % 3 = 0 THEN 'E' ELSE 'W' END AS ew,
+         key % 13 AS mode
+  FROM keys
+), p AS (
+  SELECT key,
+    CASE WHEN mode IN (0, 1) THEN 'T---X-R---X'
+         ELSE 'T' || twp_n || ns || '-R' || rge_n || ew END AS pretty
+  FROM built
+)
+SELECT key, pretty,
+       regexp_replace(lower(pretty), '[rt-]', '', 'g') AS short
+FROM p
+"""
+
+
 def _docs_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constructed PLSS documents with numerically-known structure."""
     keys = _keyed_lineitem(spark, sf_dir)
@@ -716,6 +755,7 @@ _RAW_QUERIES = {
         'raster_tiles': q_raster_tiles,
         'knn_corners': q_knn_corners,
         'trs_roundtrip': q_trs_roundtrip,
+        'pretty_twprge': q_pretty_twprge,
         'parse_fanout': q_parse_fanout,
         'tract_qqs': q_tract_qqs,
         'aliquot_simplify': q_aliquot_simplify,
@@ -748,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         'raster_tiles': _ORACLE_RASTER,
         'knn_corners': _ORACLE_KNN,
         'trs_roundtrip': _ORACLE_TRS,
+        'pretty_twprge': _ORACLE_PRETTY,
         'parse_fanout': _ORACLE_FANOUT,
         'tract_qqs': _values_oracle(_GOLDEN_QQS, 'qq'),
         'aliquot_simplify': _values_oracle(_GOLDEN_ALIQUOTS, 'aliquot'),

@@ -47,8 +47,11 @@ def _prepare_images(spark, n_images, sf_tag):
     from pytrs_spark import datagen
     img_path = os.path.join(CACHE_DIR, f'images_{sf_tag}_{n_images}')
     if not os.path.exists(img_path):
+        # Fixed, core-count-independent layout: the cache is shared
+        # between scaling legs, and a low-core leg writing few big
+        # files would cap every later leg's scan parallelism.
         datagen.gen_images(spark, n_images, with_bytes=False,
-                           partitions=max(CPUS, 8)) \
+                           partitions=64) \
             .write.mode('overwrite').parquet(img_path)
     return spark.read.parquet(img_path)
 
@@ -92,37 +95,54 @@ def scaling_child():
 
 def scaling_main():
     """Run the same tile job at two parallelism levels (the sandbox
-    stand-in for N vs 4N executors) and report scaling efficiency."""
+    stand-in for N vs 4N executors) and report scaling efficiency.
+
+    The host VM shows intermittent CPU steal that inflates identical
+    runs 3-6x for minutes at a time, so the two legs ALTERNATE over
+    ``BENCH_SCALING_ROUNDS`` rounds and the per-leg minimum wall is
+    used: steal is strictly additive noise, so min-of-rounds is the
+    closest observable to uncontended capability at each parallelism.
+    All samples are reported for transparency.
+    """
     import subprocess
     lo, hi = (int(x) for x in
               os.environ.get('BENCH_SCALING_CORES', '8,32').split(','))
-    results = {}
-    for cores in (lo, hi):
-        env = {**os.environ, 'SPARK_GRAFT_CPUS': str(cores)}
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--scaling-child'],
-            env=env, capture_output=True, text=True, check=False)
-        lines = [ln for ln in out.stdout.splitlines()
-                 if ln.startswith('{')]
-        if not lines:
-            print(out.stdout[-2000:], file=sys.stderr)
-            print(out.stderr[-2000:], file=sys.stderr)
-            raise SystemExit(f'scaling child at {cores} cores failed')
-        results[cores] = json.loads(lines[-1])
-    speedup = results[lo]['wall_s'] / results[hi]['wall_s']
+    rounds = int(os.environ.get('BENCH_SCALING_ROUNDS', '2'))
+    samples = {lo: [], hi: []}
+    rows = None
+    for _ in range(rounds):
+        for cores in (lo, hi):
+            env = {**os.environ, 'SPARK_GRAFT_CPUS': str(cores)}
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 '--scaling-child'],
+                env=env, capture_output=True, text=True, check=False)
+            lines = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith('{')]
+            if not lines:
+                print(out.stdout[-2000:], file=sys.stderr)
+                print(out.stderr[-2000:], file=sys.stderr)
+                raise SystemExit(f'scaling child at {cores} cores failed')
+            child = json.loads(lines[-1])
+            samples[cores].append(child['wall_s'])
+            rows = child['rows']
+    best = {c: min(s) for c, s in samples.items()}
+    speedup = best[lo] / best[hi]
     efficiency = speedup / (hi / lo)
     report = {
-        'metric': f'tile-pipeline scaling local[{lo}] vs local[{hi}]',
+        'metric': f'tile-pipeline scaling local[{lo}] vs local[{hi}] '
+                  f'(best of {rounds} alternated rounds)',
         'value': round(efficiency, 3),
         'unit': 'efficiency',
         'queries': {
-            f'wall_s_local{lo}': results[lo]['wall_s'],
-            f'wall_s_local{hi}': results[hi]['wall_s'],
-            f'images_per_sec_local{lo}': results[lo]['images_per_sec'],
-            f'images_per_sec_local{hi}': results[hi]['images_per_sec'],
+            f'wall_s_local{lo}': best[lo],
+            f'wall_s_local{hi}': best[hi],
+            f'images_per_sec_local{lo}': round(rows / best[lo], 1),
+            f'images_per_sec_local{hi}': round(rows / best[hi], 1),
         },
         'sf': os.path.basename(os.path.normpath(SF_DIR)),
-        'rows': results[hi]['rows'],
+        'rows': rows,
+        'samples': {str(c): s for c, s in samples.items()},
         'speedup': round(speedup, 2),
         'parallelism_ratio': hi // lo,
     }

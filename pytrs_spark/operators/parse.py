@@ -462,6 +462,29 @@ def compose_trs(twp, rge, sec, default_ns='n', default_ew='w') -> Column:
     return F.concat(twp_s, rge_s, sec_s)
 
 
+def pretty_twprge_col(twp_num, twp_ns, rge_num, rge_ew,
+                      t='T', delim='-', r='R', undef='---X') -> Column:
+    """P12: '154n97w' fields -> 'T154N-R97W', pure native columns
+    (reference trs.py:193-238).  Undefined/error components render as
+    ``undef``."""
+    twp = F.coalesce(twp_num.cast('string'), F.lit(undef))
+    rge = F.coalesce(rge_num.cast('string'), F.lit(undef))
+    ns = F.upper(F.coalesce(twp_ns, F.lit('')))
+    ew = F.upper(F.coalesce(rge_ew, F.lit('')))
+    return F.concat(F.lit(t), twp, ns, F.lit(delim), F.lit(r), rge, ew)
+
+
+def twprge_short_to_natural_col(twprge) -> Column:
+    """P11: '154n97w' -> 'T154N-R97W' (unpackers.py:529-540)."""
+    return F.regexp_replace(
+        F.concat(F.lit('T'), F.upper(twprge)), '(N|S)', '$1-R')
+
+
+def twprge_natural_to_short_col(twprge) -> Column:
+    """P11: 'T154N-R97W' -> '154n97w' (unpackers.py:517-526)."""
+    return F.regexp_replace(F.lower(twprge), '[rt-]', '')
+
+
 # Derived columns (lazy in the reference; pruned-unless-selected here).
 
 _STR_ARRAY = T.ArrayType(T.StringType())

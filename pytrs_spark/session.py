@@ -47,6 +47,13 @@ def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.python.daemon.module", "pytrs_spark.daemon")
         .config("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
+        # 32 MB scan splits: benchmark-scale inputs (hundreds of MB)
+        # must still fan out to >= task-slot scan tasks; the 128 MB
+        # default capped a 750 MB / 8-file table at 8-way parallelism.
+        # On a real warehouse (TB-scale inputs) either value saturates.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               "33554432"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
