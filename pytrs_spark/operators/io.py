@@ -208,10 +208,18 @@ def stringify_tracts(df: DataFrame, attributes, doc_col: str = None,
     if include_uid:
         if doc_col is None:
             raise ValueError('include_uid requires doc_col')
+        # Doc numbers come from a global sort over DISTINCT doc ids
+        # only (docs << tracts; the result broadcast-joins back), never
+        # a whole-dataset single-task window.  The per-doc sub/total
+        # windows partition by doc and scale normally.
+        doc_nums = (df.select(doc_col).distinct()
+                    .withColumn('_doc_num', F.row_number().over(
+                        Window.orderBy(doc_col))))
+        df = df.join(F.broadcast(doc_nums), doc_col)
         wdoc = Window.partitionBy(doc_col)
         worder = wdoc.orderBy('orig_index')
         cols.append(uid_col(
-            F.dense_rank().over(Window.orderBy(doc_col)),
+            F.col('_doc_num'),
             F.row_number().over(worder),
             F.count('*').over(wdoc)).alias('uid'))
     for attr in attributes:

@@ -334,9 +334,11 @@ def parse_tract_details(df: DataFrame, desc_col: str = 'desc',
                         parallelism='auto', **config) -> DataFrame:
     """Add lots / qqs / lot_acres / aliquots_whole / tract-level flags.
 
-    Tract-level warning flags are appended after the handed-down doc
-    flags when present (reference ``plss_parse.py:475-485`` hand-down
-    order).
+    Flag order matches the reference hand-down: the tract's own flags
+    come FIRST and the handed-down document flags are appended after
+    them (``plss_parse.py:475-485``: ``tract.w_flags.extend(
+    self.w_flags)``); pinned order-sensitively by
+    ``test_flag_handdown_order`` in tests/test_differential.py.
     """
     df = _ensure_parallelism(df, parallelism)
     out = df.withColumn('_t', _tract_parse_udf(**config)(F.col(desc_col)))
@@ -443,22 +445,63 @@ def decompose_trs(df: DataFrame, trs_col: str = 'trs') -> DataFrame:
     )
 
 
-def compose_trs(twp, rge, sec, default_ns='n', default_ew='w') -> Column:
-    """Build the standardized TRS key from numeric/str component
-    columns -- pure native columns (reference trs.py:383-521).
+def _compose_twprge(col, directions, default_dir) -> Column:
+    """One Twp or Rge component of construct_trs (trs.py:441-513):
+    strip a trailing direction letter if present, int-normalize the
+    number when castable (drops leading zeros, like ``int(...)``),
+    re-append the direction, and regex-validate with the reference's
+    ``\\b\\d{1,3}[nsNS]\\b`` *search* (so e.g. '-5n' passes via the
+    word boundary after '-', and 4-digit numbers fail to the error
+    sentinel 'XXXz').  Null/empty -> undefined sentinel '___z'."""
+    s = col.cast('string')
+    last = F.lower(F.substring(s, -1, 1))
+    has_dir = last.isin(*directions)
+    num_part = F.when(has_dir, s.substr(F.lit(1), F.length(s) - 1)) \
+        .otherwise(s)
+    dirc = F.when(has_dir, last).otherwise(F.lit(default_dir))
+    as_int = num_part.try_cast('int')
+    # int-castable -> formatted num+dir; else the reference checks the
+    # *stripped* string itself (so '154nn' -> strips one 'n', fails
+    # int('154n'), then passes the regex as '154n').
+    cand = F.when(as_int.isNotNull(),
+                  F.concat(as_int.cast('string'), dirc)) \
+        .otherwise(num_part)
+    dir_class = ''.join(directions)
+    rgx = rf'\b\d{{1,3}}[{dir_class}{dir_class.upper()}]\b'
+    return (F.when(s.isNull() | (s == ''), F.lit('___z'))
+            .when(cand.rlike(rgx), cand)
+            .otherwise(F.lit('XXXz')))
 
-    ``twp``/``rge`` are int columns (direction from defaults);
-    ``sec`` an int column.  Nulls become undefined sentinels.
+
+def compose_trs(twp, rge, sec, default_ns='n', default_ew='w') -> Column:
+    """Build the standardized TRS key from component columns -- pure
+    native columns with full reference parity (trs.py:383-521
+    ``TRS.construct_trs``), including the error/undefined sentinel
+    paths.
+
+    ``twp``/``rge``/``sec`` may be int columns (direction from the
+    defaults) or string columns with optional embedded direction
+    (``'154n'``); unparseable components become the error sentinels
+    ('XXXz' / 'XX'), null/empty the undefined sentinels ('___z' /
+    '__') -- exactly what :func:`trs_struct` decodes back out.
     """
-    twp, rge, sec = F.col(twp) if isinstance(twp, str) else twp, \
-        F.col(rge) if isinstance(rge, str) else rge, \
-        F.col(sec) if isinstance(sec, str) else sec
-    twp_s = (F.when(twp.isNull(), F.lit('___z'))
-             .otherwise(F.concat(twp.cast('string'), F.lit(default_ns))))
-    rge_s = (F.when(rge.isNull(), F.lit('___z'))
-             .otherwise(F.concat(rge.cast('string'), F.lit(default_ew))))
-    sec_s = (F.when(sec.isNull(), F.lit('__'))
-             .otherwise(F.lpad(sec.cast('string'), 2, '0')))
+    if default_ns not in ('n', 's'):
+        raise ValueError(f'default_ns must be n or s, got {default_ns!r}')
+    if default_ew not in ('e', 'w'):
+        raise ValueError(f'default_ew must be e or w, got {default_ew!r}')
+    twp, rge, sec = [F.col(c) if isinstance(c, str) else c
+                     for c in (twp, rge, sec)]
+    twp_s = _compose_twprge(twp, ('n', 's'), default_ns)
+    rge_s = _compose_twprge(rge, ('e', 'w'), default_ew)
+    # Section: str(sec).rjust(2, '0') -- rjust never truncates, so a
+    # 3-digit section stays 3 digits and then fails the \b\d{2}\b
+    # search into the 'XX' error sentinel (trs.py:515-520).
+    sec_str = sec.cast('string')
+    sec_padded = F.when(F.length(sec_str) < 2,
+                        F.lpad(sec_str, 2, '0')).otherwise(sec_str)
+    sec_s = (F.when(sec_str.isNull() | (sec_str == ''), F.lit('__'))
+             .when(sec_padded.rlike(r'\b\d{2}\b'), sec_padded)
+             .otherwise(F.lit('XX')))
     return F.concat(twp_s, rge_s, sec_s)
 
 

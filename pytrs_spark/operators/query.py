@@ -46,9 +46,16 @@ def filter_errors(df: DataFrame, twp=True, rge=True, sec=True,
     return pred
 
 
-def dedup_key(method: str) -> Column:
+def dedup_key(method: str, instance_cols=('doc_id', 'orig_index')) -> Column:
     """Dedup key per the reference's filter_duplicates methods
-    (containers.py:221-336)."""
+    (containers.py:221-336).
+
+    ``'instance'``: the reference's default for TractList is object
+    *identity* -- the same Tract appearing twice in the list.  Rows
+    have value semantics, so identity maps to the row's provenance key
+    (``instance_cols``, default (doc_id, orig_index)): two rows with
+    the same provenance ARE the same tract instance listed twice.
+    """
     if method == 'trs':
         return F.col('trs')
     if method == 'desc':
@@ -56,16 +63,20 @@ def dedup_key(method: str) -> Column:
     if method == 'lots_qqs':
         lq = F.array_sort(F.array_distinct(F.concat('lots', 'qqs')))
         return F.concat_ws('_', F.col('trs'), F.array_join(lq, ','))
+    if method == 'instance':
+        return F.struct(*[F.col(c) for c in instance_cols])
     raise ValueError(f"unknown dedup method {method!r}")
 
 
 def filter_duplicates(df: DataFrame, method='trs',
-                      order_col='orig_index', keep_first=False) -> DataFrame:
+                      order_col='orig_index', keep_first=False,
+                      instance_cols=('doc_id', 'orig_index')) -> DataFrame:
     """Return the duplicate rows (first occurrence is NOT a duplicate),
     or with ``keep_first=True`` drop them instead (the reference's
     ``drop`` split).  Window over the dedup key ordered by creation
     order."""
-    w = Window.partitionBy(dedup_key(method)).orderBy(order_col)
+    w = Window.partitionBy(dedup_key(method, instance_cols)) \
+        .orderBy(order_col)
     out = df.withColumn('_rn', F.row_number().over(w))
     if keep_first:
         return out.filter(F.col('_rn') == 1).drop('_rn')
@@ -213,16 +224,23 @@ def consolidate(df: DataFrame, desc_delim: str = '; ') -> DataFrame:
     return out
 
 
-def list_trs(df: DataFrame, remove_duplicates=False) -> DataFrame:
+def list_trs(df: DataFrame, remove_duplicates=False,
+             order_col: str = 'orig_index',
+             with_rank: bool = False) -> DataFrame:
     """All TRS keys in creation order; optional order-preserving
-    distinct (containers.py:1672-1701)."""
-    base = df.select('trs', 'orig_index').orderBy('orig_index')
-    if not remove_duplicates:
-        return base.select('trs')
-    w = Window.partitionBy('trs').orderBy('orig_index')
-    return (base.withColumn('_rn', F.row_number().over(w))
-            .filter(F.col('_rn') == 1)
-            .orderBy('orig_index').select('trs'))
+    distinct (containers.py:1672-1701).  ``with_rank=True`` adds an
+    explicit 1-based ``rank`` column carrying the creation order (row
+    order alone is not stable through a shuffle-ful consumer)."""
+    base = df.select('trs', F.col(order_col).alias('_ord'))
+    if remove_duplicates:
+        w = Window.partitionBy('trs').orderBy('_ord')
+        base = (base.withColumn('_rn', F.row_number().over(w))
+                .filter(F.col('_rn') == 1).drop('_rn'))
+    if with_rank:
+        return (base.withColumn(
+            'rank', F.row_number().over(Window.orderBy('_ord')))
+            .select('rank', 'trs'))
+    return base.orderBy('_ord').select('trs')
 
 
 def contains_trs(df: DataFrame, trs_values, match_all=False) -> bool:
@@ -244,3 +262,159 @@ def quick_desc(df: DataFrame, delim: str = ': ') -> DataFrame:
     return df.select(
         F.concat(F.col('trs'), F.lit(delim), F.col('desc'))
         .alias('quick_desc'), 'orig_index').orderBy('orig_index')
+
+
+def sort_grouped(df: DataFrame, attributes, sort_key: str = 'i,s,r,t',
+                 reverse: bool = False,
+                 order_col: str = 'orig_index') -> DataFrame:
+    """Group rows and custom-sort each group's tract list by the sort
+    DSL (containers.py:950-981 ``sort_grouped``).  Same output shape
+    as :func:`group_by`, but the per-group arrays are in DSL order
+    instead of creation order.
+
+    The per-group rank comes from a ``row_number`` window partitioned
+    by the group key (sorting happens within each group's partition,
+    never globally), then ``sort_array`` on (rank, ...) structs.
+    """
+    if isinstance(attributes, str):
+        attributes = [attributes]
+    exprs = compile_sort_key(sort_key, order_col, reverse)
+    if reverse:
+        exprs.append(F.col(order_col).desc())
+    w = Window.partitionBy(*attributes).orderBy(*exprs)
+    ranked = df.withColumn('_rank', F.row_number().over(w))
+    return (ranked.groupBy(*attributes)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    '_rank', 'orig_index', 'trs', 'desc'))),
+                lambda s: s.dropFields('_rank')).alias('tracts'),
+                F.count('*').alias('n_tracts')))
+
+
+def unpack_group(grouped: DataFrame, group_cols=None) -> DataFrame:
+    """Flatten a grouped DataFrame (from :func:`group_by` /
+    :func:`sort_grouped`) back into one tract row per element,
+    preserving each group's internal order (containers.py:982-1023
+    ``unpack_group``).  ``pos`` is the element's position within its
+    group."""
+    group_cols = group_cols or [
+        c for c in grouped.columns if c not in ('tracts', 'n_tracts')]
+    ex = grouped.select(
+        *group_cols, F.posexplode('tracts').alias('pos', '_t'))
+    return ex.select(*group_cols, 'pos', '_t.*')
+
+
+def from_multiple(*dfs: DataFrame) -> DataFrame:
+    """Heterogeneous union (containers.py:1026-1064 ``_from_multiple``
+    + the append type checks at containers.py:1947-1963): combine
+    tract/TRS sources with differing schemas into one DataFrame.
+
+    Each input must carry a ``trs`` column (the type check -- a
+    source without it raises, the analog of the reference rejecting
+    foreign object types); missing attribute columns null-fill via
+    ``unionByName(allowMissingColumns=True)``.  A bare TRS-string
+    source (just ``trs``) coerces through the same codec as everything
+    else downstream (P10 decompose works on the unioned result).
+    """
+    if not dfs:
+        raise ValueError('from_multiple needs at least one DataFrame')
+    for df in dfs:
+        if 'trs' not in df.columns:
+            raise TypeError(
+                f'from_multiple: source missing trs column '
+                f'(has {df.columns})')
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+# --- S5 sinks: driver-side materializations ----------------------------
+# The reference's tracts_to_dict/list/str and pretty_desc return Python
+# objects / strings (containers.py:1259-1396, 1472-1556, 1588-1636);
+# these are presentation sinks, collected on the driver by design --
+# use write_tracts_csv (operators/io.py) for data-scale output.
+
+def tracts_to_dict(df: DataFrame, attributes,
+                   order_col: str = 'orig_index') -> list:
+    """List of per-tract dicts of the requested attributes, in
+    creation order (containers.py:1259-1296)."""
+    rows = df.select(*attributes, order_col).orderBy(order_col).collect()
+    return [{a: r[a] for a in attributes} for r in rows]
+
+
+def tracts_to_list(df: DataFrame, attributes,
+                   order_col: str = 'orig_index') -> list:
+    """Nested list of the requested attributes per tract
+    (containers.py:1298-1337)."""
+    return [[d[a] for a in attributes]
+            for d in tracts_to_dict(df, attributes, order_col)]
+
+
+def tracts_to_str(df: DataFrame, attributes,
+                  order_col: str = 'orig_index') -> str:
+    """The reference's orderly multi-line per-tract report
+    (containers.py:1339-1396): 'Tract i / N' header, one justified
+    'attr : value' line per attribute, lists flattened with ', '."""
+    dicts = tracts_to_dict(df, attributes, order_col)
+    jst = max(len(a) for a in attributes) + 1
+    jst_linebreak = '\n' + ' ' * (jst + 2)
+    total = len(dicts)
+    out = ''
+    for i, dct in enumerate(dicts, start=1):
+        block = f'\n\nTract {i} / {total}' if i > 1 \
+            else f'Tract {i} / {total}'
+        for att, v in dct.items():
+            if isinstance(v, (list, tuple)):
+                v = ', '.join(str(x) for x in v)
+            v = str(v).replace('\n', jst_linebreak)
+            block = f'{block}\n{att.ljust(jst)}: {v}'
+        out += block
+    return out
+
+
+def pretty_desc_lines(df: DataFrame, word_sec: str = 'Sec ',
+                      order_col: str = 'orig_index') -> DataFrame:
+    """The lines of the reference's ``pretty_desc``
+    (containers.py:1588-1636): tracts grouped into consecutive *runs*
+    of the same Twp/Rge in current order (runs -- NOT a global group-by:
+    the reference groups 'only to the extent possible while maintaining
+    the current sort order'), one 'T154N-R97W' header line per run and
+    one '<word_sec><sec>: <desc>' line per tract.
+
+    Output: (line_no, line) -- a DataFrame so the formatting stays
+    distributed; :func:`pretty_desc` joins it into the final string.
+    Run detection is a lag + running count over the creation order.
+    """
+    from .parse import pretty_twprge_col
+    w = Window.orderBy(order_col)
+    runs = df.withColumn(
+        '_new_run',
+        (F.lag('twprge').over(w).isNull()
+         | (F.lag('twprge').over(w) != F.col('twprge'))).cast('int'))
+    runs = runs.withColumn('_run', F.sum('_new_run').over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    pretty = pretty_twprge_col(
+        F.col('twp_num'), F.col('twp_ns'),
+        F.col('rge_num'), F.col('rge_ew'))
+    header = runs.groupBy('_run').agg(
+        F.min(order_col).alias('_ord'),
+        F.first(pretty, ignorenulls=False).alias('line')) \
+        .select('_run', F.lit(0).alias('_sub'), '_ord', 'line')
+    sec = F.lpad(F.col('sec_num').cast('string'), 2, '0')
+    body = runs.select(
+        '_run', F.lit(1).alias('_sub'), F.col(order_col).alias('_ord'),
+        F.concat(F.lit(word_sec), sec, F.lit(': '), F.col('desc'))
+        .alias('line'))
+    return header.unionByName(body) \
+        .withColumn('line_no', F.row_number().over(
+            Window.orderBy('_run', '_sub', '_ord'))) \
+        .select('line_no', 'line')
+
+
+def pretty_desc(df: DataFrame, word_sec: str = 'Sec ',
+                order_col: str = 'orig_index') -> str:
+    """The reference's ``pretty_desc`` string (driver-side sink)."""
+    rows = pretty_desc_lines(df, word_sec, order_col) \
+        .orderBy('line_no').collect()
+    return '\n'.join(r['line'] for r in rows)

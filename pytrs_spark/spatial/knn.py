@@ -64,19 +64,31 @@ def _topk_udf(k: int, radius: int):
         x = xs.to_numpy(dtype=np.float64)
         y = ys.to_numpy(dtype=np.float64)
         n = len(x)
+        fin = np.isfinite(x) & np.isfinite(y)
         offs = np.arange(-radius, radius + 2, dtype=np.float64)
         m = len(offs)
+        # Base cell CLAMPED into the lattice: out-of-domain points get
+        # a window anchored at the nearest boundary cell, which always
+        # contains their true nearest corners (all corners lie on the
+        # clamped side).
+        with np.errstate(invalid='ignore'):
+            bx = np.clip(np.floor(x), X0, X1 - 1)
+            by = np.clip(np.floor(y), Y0, Y1 - 1)
+        bx = np.where(fin, bx, X0)
+        by = np.where(fin, by, Y0)
         # Candidate lattice (n, m, m) by broadcasting; flatten to
         # (n, m*m).
-        cx = (np.floor(x)[:, None] + offs[None, :])          # (n, m)
-        cy = (np.floor(y)[:, None] + offs[None, :])          # (n, m)
+        cx = (bx[:, None] + offs[None, :])                   # (n, m)
+        cy = (by[:, None] + offs[None, :])                   # (n, m)
         dx2 = (x[:, None] - cx) ** 2                         # (n, m)
         dy2 = (y[:, None] - cy) ** 2                         # (n, m)
         d2 = (dx2[:, :, None] + dy2[:, None, :]).reshape(n, m * m)
         cxf = np.broadcast_to(cx[:, :, None], (n, m, m)).reshape(n, m * m)
         cyf = np.broadcast_to(cy[:, None, :], (n, m, m)).reshape(n, m * m)
-        # Lattice membership: closed-form domain range check.
-        invalid = ((cxf < X0) | (cxf > X1) | (cyf < Y0) | (cyf > Y1))
+        # Lattice membership: closed-form domain range check;
+        # non-finite inputs have no candidates at all.
+        invalid = ((cxf < X0) | (cxf > X1) | (cyf < Y0) | (cyf > Y1)
+                   | ~fin[:, None])
         rec = np.empty((n, m * m), dtype=[('d2', 'f8'), ('cx', 'f8'),
                                           ('cy', 'f8')])
         rec['d2'] = np.where(invalid, np.inf, d2)
@@ -85,7 +97,29 @@ def _topk_udf(k: int, radius: int):
         rec.sort(axis=1, order=['d2', 'cx', 'cy'])
         top = rec[:, :k]
         n_valid = (~invalid).sum(axis=1)
-        safe = (n_valid >= k) & (top['d2'][:, k - 1] <= radius * radius)
+        # Safety: every corner OUTSIDE the window is outside in x or in
+        # y; an x-outside corner is at least gap_x away in x (infinite
+        # when the window already reaches that domain edge -- no such
+        # corner exists) and at least the best valid in-window y-offset
+        # away in y.  The k-th candidate is final once it beats that
+        # lower bound.  (Strictly tighter than the plain kth <= r^2
+        # ring test, and it converges for clamped out-of-domain points,
+        # whose in-window gap grows with their offset.)
+        col_invalid = (cx < X0) | (cx > X1)
+        row_invalid = (cy < Y0) | (cy > Y1)
+        bdx2 = np.where(col_invalid, np.inf, dx2).min(axis=1)
+        bdy2 = np.where(row_invalid, np.inf, dy2).min(axis=1)
+        gap_x_lo = np.where(bx - radius <= X0, np.inf, x - (bx - radius))
+        gap_x_hi = np.where(bx + radius + 1 >= X1, np.inf,
+                            (bx + radius + 1) - x)
+        gap_y_lo = np.where(by - radius <= Y0, np.inf, y - (by - radius))
+        gap_y_hi = np.where(by + radius + 1 >= Y1, np.inf,
+                            (by + radius + 1) - y)
+        gx2 = np.minimum(gap_x_lo, gap_x_hi) ** 2
+        gy2 = np.minimum(gap_y_lo, gap_y_hi) ** 2
+        bound = np.minimum(gx2 + bdy2, gy2 + bdx2)
+        with np.errstate(invalid='ignore'):
+            safe = fin & (n_valid >= k) & (top['d2'][:, k - 1] <= bound)
         topk_col = [
             [(float(r['d2']), float(r['cx']), float(r['cy']))
              for r in row[:min(k, nv)]]
@@ -105,11 +139,23 @@ def _topk_at_radius(pts: DataFrame, k: int, radius: int) -> DataFrame:
 
 
 def knn_section_corners(points: DataFrame, k: int = 4,
-                        max_radius: int = 8) -> DataFrame:
+                        max_radius: int = 8,
+                        on_unresolved: str = 'drop') -> DataFrame:
     """k nearest corners per point.  Input needs image_id + phash (or
     precomputed x/y); output (image_id, rank, cx, cy, dist2).
 
     Deterministic tie-break: (dist2, cx, cy).
+
+    Every point with finite coordinates gets an answer: the candidate
+    window clamps to the lattice, so out-of-domain points resolve to
+    their true nearest boundary corners (for k <= 4 provably within
+    the first radius -- the 4 best corners sit in the clamped 2x2
+    block or the boundary column/row, all inside the r=2 window, and
+    the gap-based safety bound certifies it).  Non-finite coordinates
+    have no defined neighbours and are dropped (``on_unresolved=
+    'drop'``, the default) or raise (``'error'``, costs one extra
+    count job); same handling for k > 4 points still unsafe past
+    ``max_radius``.
     """
     from .grid import anchor_xy
 
@@ -119,12 +165,9 @@ def knn_section_corners(points: DataFrame, k: int = 4,
     else:
         pts = points.select('image_id', 'x', 'y')
 
-    pts = pts.withColumn('ix', F.floor('x').cast('long')) \
-             .withColumn('iy', F.floor('y').cast('long'))
-
     # Smallest radius that can possibly satisfy the safety margin for
-    # k corners: ceil(sqrt(k)/...) -- for k <= 4 the 4 cell corners are
-    # within sqrt(2), provably safe at r=2.
+    # k corners -- for k <= 4 every finite point is provably safe at
+    # r=2 (see docstring), so the loop runs once.
     radius = 2
     finished = []
     remaining = pts
@@ -132,14 +175,23 @@ def knn_section_corners(points: DataFrame, k: int = 4,
         staged = _topk_at_radius(remaining, k, radius)
         finished.append(staged.filter('_safe'))
         remaining = staged.filter('NOT _safe') \
-            .select('image_id', 'x', 'y', 'ix', 'iy')
-        # k <= 4 is provably complete at the first radius -- skip the
-        # emptiness probe (an extra job) in that case.
+            .select('image_id', 'x', 'y')
+        # k <= 4 is provably complete at the first radius for every
+        # finite point -- skip the emptiness probe (an extra job); the
+        # only rows left behind are non-finite, handled below.
         if k <= 4 and radius == 2:
             break
         if remaining.isEmpty():
             break
         radius += 1
+
+    if on_unresolved == 'error':
+        n_left = remaining.count()
+        if n_left:
+            raise ValueError(
+                f'knn_section_corners: {n_left} rows unresolved '
+                f'(non-finite coords, or k={k} unsafe past radius '
+                f'{max_radius})')
 
     out = finished[0]
     for part in finished[1:]:

@@ -28,8 +28,17 @@ IMAGE_SCHEMA = ('image_id string, bytes binary, w int, h int, '
 def stream_tiles(spark: SparkSession, source_dir: str,
                  polygons: DataFrame, out_dir: str,
                  checkpoint_dir: str, available_now: bool = True):
-    """File-stream of image rows -> tile assignments, exactly-once via
-    the streaming checkpoint.  Returns the started query."""
+    """File-stream of image rows -> tile assignments.  Returns the
+    started query.
+
+    End-to-end exactly-once: the streaming checkpoint makes each
+    micro-batch at-least-once, and the per-batch write is *idempotent*
+    -- every batch lands in its own ``batch_id=<id>`` partition with
+    dynamic overwrite, so a batch replayed after a crash between the
+    parquet write and the checkpoint commit overwrites its own rows
+    instead of appending duplicates.  (A blind ``mode('append')``
+    here would only be at-least-once.)
+    """
     from .pipeline import assign_images_to_tiles
 
     stream = (spark.readStream.schema(IMAGE_SCHEMA)
@@ -38,7 +47,10 @@ def stream_tiles(spark: SparkSession, source_dir: str,
 
     def process(batch: DataFrame, batch_id: int):
         assign_images_to_tiles(batch, polygons) \
-            .write.mode('append').parquet(out_dir)
+            .withColumn('batch_id', F.lit(batch_id)) \
+            .write.mode('overwrite') \
+            .option('partitionOverwriteMode', 'dynamic') \
+            .partitionBy('batch_id').parquet(out_dir)
 
     writer = stream.writeStream.foreachBatch(process) \
         .option('checkpointLocation', checkpoint_dir)

@@ -214,3 +214,66 @@ def test_simplify_matches_reference_aliquots():
             for std in (False, True):
                 assert simplify_aliquots(qqs, std) \
                     == ref_simplify(qqs, assume_standard=std), (text, qqs)
+
+
+def test_flag_handdown_order():
+    """Order-sensitive flag parity: the tract's own flags come FIRST,
+    handed-down document flags AFTER (plss_parse.py:475-485
+    ``tract.w_flags.extend(self.w_flags)``)."""
+    checked = 0
+    for text in CORPUS:
+        try:
+            ref = pytrs.PLSSDesc(text, config='parse_qq')
+        except TypeError:
+            continue
+        doc = D.parse_document(text)
+        for t, rt in zip(doc['tracts'], ref.tracts):
+            tp = Tr.parse_tract(t['desc'])
+            combined = list(tp['w_flags']) + list(doc['w_flags'])
+            assert combined == list(rt.w_flags), (text, t['desc'])
+            if combined:
+                checked += 1
+    assert checked > 0   # the corpus must actually exercise flags
+
+
+_TRS_COMPONENTS = [
+    154, '154', '154n', '154s', '154N', 0, '0', '007', 1234, '1234',
+    -5, '-5', '-5n', 'asdf', 'asdfn', '154nn', '15x4n', '', None,
+    '97w', '97e', 97, '97', '1e',
+]
+_SEC_COMPONENTS = [5, '5', '05', 0, '0', 36, '36', 123, '123', -1,
+                   '-1', 'xx', '', None, '5a']
+
+
+def test_construct_trs_matches_reference(spark):
+    """Native compose_trs == reference TRS.construct_trs over the
+    component edge cases (error sentinels, embedded directions,
+    int-normalization quirks)."""
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.parse import compose_trs
+
+    cases = []
+    for i, twp in enumerate(_TRS_COMPONENTS):
+        for j, sec in enumerate(_SEC_COMPONENTS):
+            rge = _TRS_COMPONENTS[(i * 7 + j) % len(_TRS_COMPONENTS)]
+            cases.append((len(cases), twp, rge, sec))
+    expected = [pytrs.TRS.construct_trs(t, r, s) for _, t, r, s in cases]
+
+    df = spark.createDataFrame(
+        [(i, str(t) if t is not None else None,
+          str(r) if r is not None else None,
+          str(s) if s is not None else None)
+         for i, t, r, s in cases],
+        'id long, twp string, rge string, sec string')
+    got = {r['id']: r['trs'] for r in df.select(
+        'id', compose_trs('twp', 'rge', 'sec').alias('trs')).collect()}
+
+    diffs = []
+    for (i, t, r, s), exp in zip(cases, expected):
+        # Our column test casts everything through strings; the
+        # reference treats int and its str form identically except for
+        # negative ints (int path skips direction-strip), which agree
+        # anyway.
+        if got[i] != exp:
+            diffs.append((t, r, s, exp, got[i]))
+    assert not diffs, diffs[:10]
