@@ -45,9 +45,12 @@ def _ensure_parallelism(df: DataFrame, parallelism='auto') -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism if parallelism == 'auto' else parallelism
+    # Partition count via the JVM Dataset's lazy RDD, not Python
+    # df.rdd (which additionally builds an Arrow-serde conversion plan
+    # per call at build time).
     try:
-        current = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 - planning quirk; skip the hint
+        current = df._jdf.rdd().getNumPartitions()  # noqa: SLF001
+    except Exception:  # noqa: BLE001 - Connect / planning quirk
         return df
     if current < target:
         return df.repartition(target)

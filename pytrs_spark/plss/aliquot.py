@@ -11,6 +11,8 @@ pandas Series inside Arrow-batched UDFs (no per-row Python at the
 Spark layer; the batch loop lives here).
 """
 
+from functools import lru_cache
+
 from .patterns import aq_component_re
 
 HALVES = ('N', 'S', 'E', 'W')
@@ -138,7 +140,17 @@ def parse_aliquot(text, qq_depth_min=2, qq_depth_max=None, qq_depth=None,
     (aliquot_parse.py:40-150).
 
     'N½SW¼NE¼' -> ['N2SWNE'];  'N½SW¼' -> ['NESW', 'NWSW'].
+
+    Memoized (pure function of (text, depth config); aliquot blocks
+    repeat across tracts); the list is copied out.
     """
+    return list(_parse_aliquot_cached(
+        text, qq_depth_min, qq_depth_max, qq_depth, break_halves))
+
+
+@lru_cache(maxsize=32768)
+def _parse_aliquot_cached(text, qq_depth_min, qq_depth_max, qq_depth,
+                          break_halves):
     if qq_depth is not None:
         qq_depth_min = qq_depth_max = qq_depth
 

@@ -13,6 +13,7 @@ Arrow batch of description strings.
 """
 
 import re
+from functools import lru_cache
 
 from . import patterns as P
 from .aliquot import parse_aliquot
@@ -208,7 +209,14 @@ def _rightmost_acreage(mo):
 
 def unpack_secs(txt):
     """Unpack a section text block into (sec_list, flags, flag_lines);
-    sections are zero-padded 2-char strings (unpackers.py:218-298)."""
+    sections are zero-padded 2-char strings (unpackers.py:218-298).
+    Memoized (pure; section blocks repeat heavily); lists copied out."""
+    secs, flags, flag_lines = _unpack_secs_cached(txt)
+    return list(secs), list(flags), list(flag_lines)
+
+
+@lru_cache(maxsize=65536)
+def _unpack_secs_cached(txt):
     secs_reversed = []
     flags = []
     flag_lines = []
@@ -265,7 +273,30 @@ def parse_tract(text, clean_qq=False, suppress_lot_divs=False,
 
     Returns a dict with keys: ``lots``, ``qqs``, ``lot_acres``,
     ``aliquots_whole``, ``w_flags``, ``w_flag_lines``, ``pp_desc``.
+
+    Memoized: tract descriptions repeat enormously in real corpora
+    ('NE/4', 'S/2', ...), and the parse is a pure function of
+    (text, config), so identical inputs are parsed once per worker.
+    Mutable members are copied out so callers can't corrupt the cache.
     """
+    r = _parse_tract_cached(text, clean_qq, suppress_lot_divs,
+                            qq_depth_min, qq_depth_max, qq_depth,
+                            break_halves)
+    return {
+        'lots': list(r['lots']),
+        'qqs': list(r['qqs']),
+        'lot_acres': dict(r['lot_acres']),
+        'aliquots_whole': list(r['aliquots_whole']),
+        'w_flags': list(r['w_flags']),
+        'w_flag_lines': list(r['w_flag_lines']),
+        'pp_desc': r['pp_desc'],
+    }
+
+
+@lru_cache(maxsize=65536)
+def _parse_tract_cached(text, clean_qq, suppress_lot_divs,
+                        qq_depth_min, qq_depth_max, qq_depth,
+                        break_halves):
     pp_text = scrub_aliquots(text, clean_qq)
     w_flags = []
     w_flag_lines = []

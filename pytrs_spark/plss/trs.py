@@ -11,6 +11,7 @@ surface as ``None`` numerics; the ``*_undef`` booleans disambiguate.
 """
 
 import re
+from functools import lru_cache
 
 # Sentinels (master_config.py:50-62).
 ERR_SEC = 'XX'
@@ -127,7 +128,13 @@ def trs_compose(twp, rge, sec, default_ns=None, default_ew=None,
 
 
 def trs_decompose(trs) -> dict:
-    """Break the standardized key into its 12 fields (trs.py:544-636)."""
+    """Break the standardized key into its 12 fields (trs.py:544-636).
+    Memoized (pure; TRS keys repeat); the dict is copied out."""
+    return dict(_trs_decompose_cached(trs))
+
+
+@lru_cache(maxsize=65536)
+def _trs_decompose_cached(trs) -> dict:
     out = {
         'trs': ERR_TRS,
         'twp': ERR_TWP, 'twp_num': None, 'twp_ns': None, 'twp_undef': False,

@@ -97,15 +97,18 @@ def materialize_tiles(assignments: DataFrame, images: DataFrame,
         y1 = float(pdf['ymax'].iloc[0])
         sx = tile_px / (x1 - x0)
         sy = tile_px / (y1 - y0)
-        for _, row in pdf.iterrows():
-            if row['bytes'] is None:
+        # zip over plain arrays: per-image decode is inherent, but
+        # iterrows adds a pandas Series construction per row.
+        for buf, x, y in zip(pdf['bytes'].to_numpy(),
+                             pdf['x'].to_numpy(), pdf['y'].to_numpy()):
+            if buf is None:
                 continue
             patch = imagecodec.regrid(
-                imagecodec.decode(bytes(row['bytes'])), patch_px, patch_px)
+                imagecodec.decode(bytes(buf)), patch_px, patch_px)
             # Anchor -> pixel position (y axis flips: raster row 0 is
             # the north edge).
-            px = int((row['x'] - x0) * sx)
-            py = int((y1 - row['y']) * sy)
+            px = int((x - x0) * sx)
+            py = int((y1 - y) * sy)
             r0 = max(0, min(py - patch_px // 2, tile_px - patch_px))
             c0 = max(0, min(px - patch_px // 2, tile_px - patch_px))
             raster[r0:r0 + patch_px, c0:c0 + patch_px] = patch

@@ -277,3 +277,32 @@ def test_construct_trs_matches_reference(spark):
         if got[i] != exp:
             diffs.append((t, r, s, exp, got[i]))
     assert not diffs, diffs[:10]
+
+
+def test_sinks_match_reference(spark):
+    """S5 driver-side sinks: tracts_to_dict/list/str and pretty_desc
+    byte-identical to the reference on a multi-twprge corpus."""
+    from pytrs_spark.operators import query as Q
+    from pytrs_spark.operators.parse import parse_documents
+
+    text = ('T154N-R97W Sec 14: NE/4, Sec 1: S2N2, '
+            'T153N-R98W Sec 36: ALL, Sec 22: W/2')
+    ref = pytrs.PLSSDesc(text, config='parse_qq')
+    tl = pytrs.TractList(ref)
+
+    docs = spark.createDataFrame([(0, text)],
+                                 'doc_id long, raw_desc string')
+    tracts = parse_documents(docs, text_col='raw_desc', decompose=True)
+    from pytrs_spark.operators.parse import parse_tract_details
+    full = parse_tract_details(tracts)
+
+    attrs = ['trs', 'desc', 'qqs']
+    assert Q.tracts_to_dict(full, attrs) \
+        == tl.tracts_to_dict('trs', 'desc', 'qqs')
+    assert Q.tracts_to_list(full, attrs) \
+        == tl.tracts_to_list('trs', 'desc', 'qqs')
+    assert Q.tracts_to_str(full, attrs) \
+        == tl.tracts_to_str('trs', 'desc', 'qqs')
+    assert Q.pretty_desc(tracts) == tl.pretty_desc()
+    assert Q.pretty_desc(tracts, word_sec='Section ') \
+        == tl.pretty_desc(word_sec='Section ')
