@@ -815,6 +815,8 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         'doc_id', 'n_chars_calc', 'n_tokens',
         F.round('alpha_ratio', 6).alias('alpha_ratio'),
         F.round('digit_ratio', 6).alias('digit_ratio'),
+        F.round('punct_ratio', 6).alias('punct_ratio'),
+        F.round('mean_token_len', 6).alias('mean_token_len'),
         F.round('stopword_ratio', 6).alias('stopword_ratio'))
 
 
@@ -833,6 +835,10 @@ SELECT doc_id,
         / greatest(n, 1.0), 6) AS alpha_ratio,
   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
         / greatest(n, 1.0), 6) AS digit_ratio,
+  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        / greatest(n, 1.0), 6) AS punct_ratio,
+  round(length(regexp_replace(lower(text), '[^a-z0-9'']+', '', 'g'))
+        / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mean_token_len,
   round(len(list_filter(toks, x -> list_contains(
           ['the','a','an','and','or','of','to','in','is','it',
            'that','for','on','with','as'], x)))

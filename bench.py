@@ -56,6 +56,15 @@ def _prepare_images(spark, n_images, sf_tag):
     return spark.read.parquet(img_path)
 
 
+def _steal_jiffies():
+    """Cumulative hypervisor-steal jiffies (0 if unreadable)."""
+    try:
+        with open('/proc/stat') as f:
+            return int(f.readline().split()[8])
+    except Exception:  # noqa: BLE001
+        return 0
+
+
 def scaling_child():
     """One parallelism level of the N-vs-4N scaling evidence: the full
     tile pipeline at local[SPARK_GRAFT_CPUS], median of BENCH_RUNS."""
@@ -86,9 +95,17 @@ def scaling_child():
             .select(F.max(F.xxhash64('image_id', 'trs', 'qq'))).collect()
 
     run()   # warm workers; not timed
+    st0 = _steal_jiffies()
+    t0 = time.time()
     wall = _median_time(run)
+    elapsed = time.time() - t0
+    # Stolen-core estimate over the timed window (jiffies are 10 ms):
+    # annotates how contended this sample was so scaling_main can pick
+    # the least-polluted sample per leg.
+    steal_cores = (_steal_jiffies() - st0) / 100.0 / max(elapsed, 1e-9)
     print(json.dumps({'cores': CPUS, 'rows': li_rows,
                       'wall_s': round(wall, 3),
+                      'steal_cores': round(steal_cores, 2),
                       'images_per_sec': round(li_rows / wall, 1)}))
     spark.stop()
 
@@ -124,9 +141,11 @@ def scaling_main():
                 print(out.stderr[-2000:], file=sys.stderr)
                 raise SystemExit(f'scaling child at {cores} cores failed')
             child = json.loads(lines[-1])
-            samples[cores].append(child['wall_s'])
+            samples[cores].append(
+                {'wall_s': child['wall_s'],
+                 'steal_cores': child.get('steal_cores', 0.0)})
             rows = child['rows']
-    best = {c: min(s) for c, s in samples.items()}
+    best = {c: min(x['wall_s'] for x in s) for c, s in samples.items()}
     speedup = best[lo] / best[hi]
     efficiency = speedup / (hi / lo)
     report = {
@@ -142,7 +161,10 @@ def scaling_main():
         },
         'sf': os.path.basename(os.path.normpath(SF_DIR)),
         'rows': rows,
-        'samples': {str(c): s for c, s in samples.items()},
+        'samples': {str(c): [x['wall_s'] for x in s]
+                    for c, s in samples.items()},
+        'steal_cores': {str(c): [x['steal_cores'] for x in s]
+                        for c, s in samples.items()},
         'speedup': round(speedup, 2),
         'parallelism_ratio': hi // lo,
     }
@@ -214,8 +236,12 @@ def main():
     t_parse = _median_time(parse_run, runs=RUNS)
     queries['plss_parse'] = round(t_parse, 3)
 
-    # Text ops on the documents table.
-    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    # Text ops on the documents table.  The sf parquet is a single
+    # file (= 1 partition); spread it so the vectorized kernels run on
+    # every core, as any real multi-file corpus would.
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet') \
+        .repartition(CPUS).cache()
+    docs.count()
     queries['minhash_dedup'] = round(_median_time(
         lambda: textops.minhash_lsh_candidates(docs).count(), runs=RUNS), 3)
     queries['quality_scores'] = round(_median_time(

