@@ -48,6 +48,19 @@ def bucket_of(id_col, n_buckets: int):
     return F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast('int')
 
 
+def _clear_partitions(spark: SparkSession, output_path: str,
+                      buckets) -> None:
+    """Delete ``<output_path>/bucket=<b>/`` for each bucket, via the
+    Hadoop FileSystem API (works on local/HDFS/S3A alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(output_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for b in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f'{output_path}/bucket={b}')
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def finished_buckets(spark: SparkSession, lineage_path: str) -> set:
     """Bucket ids with a committed lineage row.
 
@@ -94,6 +107,17 @@ def run_checkpointed(spark: SparkSession, source: DataFrame,
             .agg(F.count('*').alias('n')).collect()}
     out = process(part.drop('_bucket')) \
         .withColumn('bucket', bucket_of(F.col(id_col), n_buckets))
+    # Clear the pending buckets' partition dirs up front: dynamic
+    # partition overwrite only rewrites partitions PRESENT in the new
+    # output, so a rerun whose process() legitimately emits zero rows
+    # for a bucket that a crashed prior attempt partially wrote would
+    # otherwise leave the stale partition in place (and the read-back
+    # agg below would commit those stale rows as this run's output).
+    # Deleting before the write keeps the crash contract: lineage is
+    # still the commit point -- a crash after delete just reruns the
+    # bucket.  Hadoop FS API, so the same code clears HDFS/S3A paths
+    # on a real cluster.
+    _clear_partitions(spark, output_path, batch)
     conf_key = 'spark.sql.sources.partitionOverwriteMode'
     prev = spark.conf.get(conf_key, 'static')
     spark.conf.set(conf_key, 'dynamic')
@@ -104,14 +128,20 @@ def run_checkpointed(spark: SparkSession, source: DataFrame,
         spark.conf.set(conf_key, prev)
     # Read-back verification of what actually landed (one job for all
     # buckets).  bit_xor: order-independent and overflow-free under
-    # ANSI mode (sum of hashes overflows long).
-    written = spark.read.format(LINEAGE_FORMAT).load(output_path) \
-        .filter(F.col('bucket').isin(batch))
-    agg = {r['bucket']: (r['n'], r['ck'])
-           for r in written.groupBy('bucket').agg(
-               F.count('*').alias('n'),
-               F.coalesce(F.bit_xor(F.xxhash64(id_col)), F.lit(0))
-               .alias('ck')).collect()}
+    # ANSI mode (sum of hashes overflows long).  A run whose output is
+    # entirely empty may leave nothing loadable at output_path (no
+    # parquet footers to infer a schema from) -- that is a valid
+    # all-buckets-empty outcome, not an error.
+    try:
+        written = spark.read.format(LINEAGE_FORMAT).load(output_path) \
+            .filter(F.col('bucket').isin(batch))
+        agg = {r['bucket']: (r['n'], r['ck'])
+               for r in written.groupBy('bucket').agg(
+                   F.count('*').alias('n'),
+                   F.coalesce(F.bit_xor(F.xxhash64(id_col)), F.lit(0))
+                   .alias('ck')).collect()}
+    except AnalysisException:
+        agg = {}
     wall = round(time.time() - t0, 3)
     now = time.time()
     rows = [(b, n_in.get(b, 0), agg.get(b, (0, 0))[0], wall,

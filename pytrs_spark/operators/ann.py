@@ -27,14 +27,41 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _valid_mask(vals: np.ndarray, dim: int = None):
+    """(mask, dim) over an object array of embedding rows: a row is
+    valid iff non-null and its length matches ``dim`` (default: the
+    batch's modal length).  One malformed row in a 100 TB corpus must
+    yield a null output row, never a stage failure."""
+    lens = np.fromiter(
+        ((-1 if v is None else len(v)) for v in vals), dtype=np.int64,
+        count=len(vals))
+    if dim is None:
+        pos = lens[lens > 0]
+        if len(pos) == 0:
+            return np.zeros(len(vals), dtype=bool), 0
+        dim = int(np.bincount(pos).argmax())
+    return lens == dim, dim
+
+
 @F.pandas_udf(T.DoubleType())
 def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    A = np.stack(a.to_numpy()).astype(np.float64)
-    B = np.stack(b.to_numpy()).astype(np.float64)
-    num = np.einsum('ij,ij->i', A, B)
-    den = (np.sqrt(np.einsum('ij,ij->i', A, A))
-           * np.sqrt(np.einsum('ij,ij->i', B, B)))
-    return pd.Series(num / den)
+    av, bv = a.to_numpy(), b.to_numpy()
+    ma, dim = _valid_mask(av)
+    mb, _ = _valid_mask(bv, dim)
+    ok = ma & mb
+    out = np.full(len(av), None, dtype=object)
+    if ok.any():
+        A = np.stack(av[ok]).astype(np.float64)
+        B = np.stack(bv[ok]).astype(np.float64)
+        num = np.einsum('ij,ij->i', A, B)
+        den = (np.sqrt(np.einsum('ij,ij->i', A, A))
+               * np.sqrt(np.einsum('ij,ij->i', B, B)))
+        with np.errstate(divide='ignore', invalid='ignore'):
+            cs = num / den
+        # Zero-norm vectors -> null, not NaN (Spark sorts NaN as the
+        # LARGEST double, which would rank garbage rows first).
+        out[ok] = [None if not np.isfinite(c) else float(c) for c in cs]
+    return pd.Series(out, dtype=object)
 
 
 def cosine(a, b) -> F.Column:
@@ -92,16 +119,27 @@ def _sketch_udf(planes: int, tables: int):
     """
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def udf(vecs: pd.Series) -> pd.Series:
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
-        P = _plane_matrix(X.shape[1], tables * planes)
-        bits = (X @ P) >= 0            # (n, tables*planes)
-        weights = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
-        out = np.empty((len(X), tables), dtype=np.int64)
-        for t in range(tables):
-            seg = bits[:, t * planes:(t + 1) * planes].astype(np.uint64)
-            out[:, t] = (seg * weights).sum(axis=1,
-                                            dtype=np.uint64).astype(np.int64)
-        return pd.Series(list(out))
+        vals = vecs.to_numpy()
+        ok, _ = _valid_mask(vals)
+        res = [None] * len(vals)
+        if ok.any():
+            X = np.stack(vals[ok]).astype(np.float64)
+            P = _plane_matrix(X.shape[1], tables * planes)
+            bits = (X @ P) >= 0            # (n, tables*planes)
+            weights = (np.uint64(1)
+                       << np.arange(planes, dtype=np.uint64))
+            out = np.empty((len(X), tables), dtype=np.int64)
+            for t in range(tables):
+                seg = bits[:, t * planes:(t + 1) * planes] \
+                    .astype(np.uint64)
+                out[:, t] = (seg * weights).sum(
+                    axis=1, dtype=np.uint64).astype(np.int64)
+            rows = out.tolist()
+            for i, j in enumerate(np.flatnonzero(ok)):
+                res[j] = rows[i]
+        # Null arrays: posexplode drops them, so malformed rows simply
+        # never enter the index (vs failing the whole stage).
+        return pd.Series(res, dtype=object)
     return udf
 
 
@@ -117,12 +155,18 @@ def sign_sketch(vec_col, dim: int, planes: int = 16,
     """
     @F.pandas_udf(T.LongType())
     def udf(vecs: pd.Series) -> pd.Series:
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
-        P = _plane_matrix(X.shape[1], planes, offset)
-        bits = ((X @ P) >= 0).astype(np.uint64)
-        weights = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
-        return pd.Series((bits * weights).sum(
-            axis=1, dtype=np.uint64).astype(np.int64))
+        vals = vecs.to_numpy()
+        ok, _ = _valid_mask(vals, dim)
+        res = np.full(len(vals), None, dtype=object)
+        if ok.any():
+            X = np.stack(vals[ok]).astype(np.float64)
+            P = _plane_matrix(X.shape[1], planes, offset)
+            bits = ((X @ P) >= 0).astype(np.uint64)
+            weights = (np.uint64(1)
+                       << np.arange(planes, dtype=np.uint64))
+            res[ok] = (bits * weights).sum(
+                axis=1, dtype=np.uint64).astype(np.int64).tolist()
+        return pd.Series(res, dtype=object)
     return udf(vec_col)
 
 

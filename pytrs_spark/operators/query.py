@@ -230,7 +230,12 @@ def list_trs(df: DataFrame, remove_duplicates=False,
     """All TRS keys in creation order; optional order-preserving
     distinct (containers.py:1672-1701).  ``with_rank=True`` adds an
     explicit 1-based ``rank`` column carrying the creation order (row
-    order alone is not stable through a shuffle-ful consumer)."""
+    order alone is not stable through a shuffle-ful consumer).  NOTE:
+    the rank window is a global ``Window.orderBy`` -- a single task by
+    construction (a dense global 1..N numbering is sequential).  Like
+    the reference's ``list_trs`` it is a presentation sink for an
+    already-reduced result; the dedup path above (partitioned by trs)
+    stays distributed."""
     base = df.select('trs', F.col(order_col).alias('_ord'))
     if remove_duplicates:
         w = Window.partitionBy('trs').orderBy('_ord')
@@ -382,8 +387,14 @@ def pretty_desc_lines(df: DataFrame, word_sec: str = 'Sec ',
     the current sort order'), one 'T154N-R97W' header line per run and
     one '<word_sec><sec>: <desc>' line per tract.
 
-    Output: (line_no, line) -- a DataFrame so the formatting stays
-    distributed; :func:`pretty_desc` joins it into the final string.
+    Output: (line_no, line).  NOTE: this is a driver-side
+    *presentation sink*, not a distributed operator -- the global
+    run-detection windows (``Window.orderBy`` with no partition key)
+    collapse to a single task by construction, because line numbering
+    over an arbitrary user-chosen sort order is inherently sequential.
+    Use it the way the reference uses ``pretty_desc`` (final
+    human-readable output of an already-reduced result), never inside
+    a pipeline over the full corpus.
     Run detection is a lag + running count over the creation order.
     """
     from .parse import pretty_twprge_col

@@ -245,10 +245,9 @@ def minhash_lsh_candidates(df: DataFrame, text_col='text',
         # Signature-estimate prefilter: the minhash signature itself
         # estimates Jaccard (fraction of equal slots), so candidates
         # far below the target similarity skip the expensive exact
-        # verify.  With num_perm=32 slots, a true-0.8 pair fails a
-        # 16-match cut with probability ~1e-4 (binomial tail) -- and
-        # the gate corpus is verified exhaustively against the
-        # brute-force oracle.
+        # verify.  False-negative bound = P[Binom(num_perm, J) <
+        # min_sig_matches]; see near_duplicate_pairs' docstring for
+        # worked numbers per num_perm/threshold and the exact bypass.
         sa = with_sig.select(F.col('id').alias('id_a'),
                              F.col('sig').alias('_sig_a'))
         sb = with_sig.select(F.col('id').alias('id_b'),
@@ -288,7 +287,8 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
                          id_col='doc_id', k: int = 5, num_perm: int = 32,
                          bands: int = 8, threshold=(4, 5),
                          max_bucket: int = None,
-                         drop_stats: dict = None) -> DataFrame:
+                         drop_stats: dict = None,
+                         min_sig_matches: int = 'auto') -> DataFrame:
     """All near-duplicate pairs (Jaccard >= threshold p/q) -- the
     production dedup path.
 
@@ -310,6 +310,25 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
 
     ``threshold`` is an integer fraction (p, q): a pair qualifies iff
     ``n_inter * q >= n_union * p`` -- exact at the boundary.
+
+    ``min_sig_matches`` controls the signature-estimate prefilter
+    between LSH and the exact verify: a candidate pair is verified
+    only if at least this many of its ``num_perm`` signature slots
+    agree.  ``'auto'`` (default) uses half the target threshold,
+    ``min_sig = floor(p*num_perm / (2*q))``; pass an int to tune, or
+    ``None``/``0`` for an **exact bypass** (every LSH candidate is
+    Jaccard-verified -- recall is then limited only by LSH banding).
+
+    *False-negative bound of the prefilter*: each signature slot
+    matches independently with probability J (the true Jaccard), so a
+    pair at exactly J = p/q fails the cut with binomial-tail
+    probability ``P[Binom(num_perm, p/q) < min_sig]``.  At the 'auto'
+    cut (half the threshold in expectation) and threshold 0.8 this is
+    ~2.6e-8 for num_perm=32, ~1.5e-13 for num_perm=64, ~5.7e-24 for
+    num_perm=128 -- the bound tightens exponentially in num_perm but
+    loosens as the threshold falls (~2.8e-3 at threshold 0.4,
+    num_perm=32; Chernoff exponent ~ num_perm * (p/q) / 8).  For low
+    thresholds or small num_perm, pass ``min_sig_matches=None``.
     """
     p, q = threshold
     base = docs.select(
@@ -325,8 +344,13 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
         .select('id', F.col('_text').alias('text'))
 
     # Prefilter candidates whose signature-estimated similarity is far
-    # below the target (half the threshold) before the exact verify.
-    min_sig = int((p * num_perm) // (2 * q))
+    # below the target (half the threshold) before the exact verify;
+    # see the docstring for the false-negative bound and the
+    # min_sig_matches=None exact bypass.
+    if min_sig_matches == 'auto':
+        min_sig = int((p * num_perm) // (2 * q))
+    else:
+        min_sig = min_sig_matches
     cand = minhash_lsh_candidates(
         rep_docs, text_col='text', id_col='id', k=k, num_perm=num_perm,
         bands=bands, max_bucket=max_bucket, drop_stats=drop_stats,

@@ -38,6 +38,13 @@ def stream_tiles(spark: SparkSession, source_dir: str,
     parquet write and the checkpoint commit overwrites its own rows
     instead of appending duplicates.  (A blind ``mode('append')``
     here would only be at-least-once.)
+
+    **Output layout** (since round 2): ``out_dir`` is partitioned by
+    ``batch_id`` -- readers see one extra int column alongside the
+    tile-assignment schema.  This is additive: ``spark.read.parquet
+    (out_dir)`` keeps working and existing column references are
+    unchanged; drop ``batch_id`` after read if the ingestion batch is
+    irrelevant downstream.
     """
     from .pipeline import assign_images_to_tiles
 

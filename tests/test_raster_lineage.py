@@ -96,3 +96,48 @@ def test_lineage_resume(spark, tmp_path):
     # Fully-caught-up rerun is a no-op.
     assert run_checkpointed(spark, images, process, out, lin,
                             n_buckets=6, run_id='r3') == 0
+
+
+def test_lineage_stale_partition_cleared_on_rerun(spark, tmp_path):
+    """A rerun whose process() emits zero rows for a bucket must clear
+    that bucket's stale partition from the crashed prior attempt
+    (dynamic partition overwrite alone would leave it: it only
+    rewrites partitions present in the new output)."""
+    out = str(tmp_path / 'out')
+    lin = str(tmp_path / 'lineage')
+    images = datagen.gen_images(spark, 120, with_bytes=False,
+                                partitions=4)
+
+    # Crashed attempt: bucket 0 wrote output but its lineage row was
+    # never appended (simulated by writing the partition by hand).
+    stale = images.limit(7).withColumn('bucket', F.lit(0))
+    stale.write.mode('overwrite').partitionBy('bucket').parquet(out)
+    assert spark.read.parquet(out).count() == 7
+
+    # Rerun: process drops every row -> bucket 0's output is
+    # legitimately empty this time.
+    n = run_checkpointed(spark, images, lambda df: df.filter(F.lit(False)),
+                         out, lin, n_buckets=3, run_id='rerun')
+    assert n == 3
+    metrics = {m['bucket']: m for m in lineage_metrics(spark, lin).collect()}
+    assert all(metrics[b]['n_out'] == 0 for b in range(3))
+    # The stale partition is gone and the committed counts are honest.
+    try:
+        n_left = spark.read.parquet(out).count()
+    except Exception:
+        n_left = 0
+    assert n_left == 0
+
+
+def test_lineage_all_empty_first_run(spark, tmp_path):
+    """A first run whose entire output is empty must commit cleanly
+    (no schema-inference failure on the read-back)."""
+    out = str(tmp_path / 'out2')
+    lin = str(tmp_path / 'lineage2')
+    images = datagen.gen_images(spark, 50, with_bytes=False, partitions=2)
+    n = run_checkpointed(spark, images, lambda df: df.filter(F.lit(False)),
+                         out, lin, n_buckets=4, run_id='empty')
+    assert n == 4
+    metrics = lineage_metrics(spark, lin).collect()
+    assert len(metrics) == 4
+    assert all(m['n_out'] == 0 and m['checksum'] == 0 for m in metrics)
