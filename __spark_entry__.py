@@ -860,7 +860,7 @@ _ORACLE_ANN = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id < 5
-), scored AS (
+), scored AS MATERIALIZED (
   SELECT q.query_id, e.vec_id,
          list_dot_product(e.embedding, q.qv)
            / (sqrt(list_dot_product(e.embedding, e.embedding))
@@ -891,6 +891,144 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = lsh_bucket_topk(emb, queries, dim=dim, k=10,
                            planes=2, tables=16)
     return topk.select('query_id', 'rank', 'vec_id')
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k at REAL partial-probe params (n_cells=16,
+    nprobe=4 -- each query scans ~1/4 of the corpus).  The oracle is
+    not the exact top-k (IVF is approximate by design); it is a full
+    independent SQL re-implementation of the IVF algorithm itself
+    (sample -> unrolled spherical k-means -> assign -> probe ->
+    re-rank), see :func:`_ivf_oracle`."""
+    from pytrs_spark.operators.ann import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col('vec_id') < 5) \
+        .select(F.col('vec_id').alias('query_id'), 'embedding')
+    topk = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+    return topk.select('query_id', 'rank', 'vec_id')
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at threshold 0.4 (59
+    pairs at sf0.01, min |cos - 0.4| margin 1.3e-4 -- far above any
+    float-order noise between the engine's float64 einsum and the
+    oracle's evaluation).  Pair membership only is projected; the raw
+    cosine stays engine-internal (same convention as ann_topk)."""
+    from pytrs_spark.operators.ann import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.4,
+                                    planes=2, tables=16) \
+        .select('id_a', 'id_b')
+
+
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10,
+                iters: int = 10, sample: int = 8192,
+                dim: int = 64) -> str:
+    """Independent SQL re-implementation of the ENTIRE IVF algorithm
+    (pytrs_spark/operators/ann.py): stable-keyed sample, seeds = first
+    n_cells sample rows, ``iters`` unrolled spherical-k-means Lloyd
+    iterations (argmax dot, ties -> lowest cell; empty cells keep the
+    previous centroid; centroids re-normalized every iteration), then
+    corpus assignment to 1 cell, query probing of ``nprobe`` cells,
+    and exact-cosine re-rank of probed candidates only.  Every stage
+    is plain SQL over the same parquet -- the oracle shares no code
+    and no constants with the engine (the sample key
+    ``(vec_id*40503) % 65536`` is part of the documented spec, like
+    the FNV-1a constants in the simhash oracle).  float64 throughout,
+    matching the engine's numpy kernels; the deterministic tie-breaks
+    (cell asc, vec_id asc) make the integer output (query_id, rank,
+    vec_id) insensitive to sub-ulp float noise."""
+    q = [f"""
+WITH nv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+samp AS MATERIALIZED (
+  SELECT vec_id, v,
+         row_number() OVER (
+           ORDER BY (vec_id * 40503) % 65536, vec_id) AS rn
+  FROM nv QUALIFY rn <= {sample}
+),
+snorm AS MATERIALIZED (
+  SELECT vec_id, rn,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nvv
+  FROM samp
+),
+cent0 AS MATERIALIZED (
+  SELECT rn - 1 AS cell,
+         list_transform(nvv, x -> x / sqrt(list_dot_product(nvv, nvv)))
+           AS c
+  FROM snorm WHERE rn <= {n_cells}
+)"""]
+    prev = 'cent0'
+    for i in range(1, iters + 1):
+        q.append(f""",
+assign{i} AS MATERIALIZED (
+  SELECT vec_id, nvv, cell FROM (
+    SELECT s.vec_id, s.nvv, c.cell,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_dot_product(s.nvv, c.c) DESC, c.cell) AS r
+    FROM snorm s CROSS JOIN {prev} c) WHERE r = 1
+),
+cmean{i} AS MATERIALIZED (
+  SELECT a.cell, t.i AS idx, avg(a.nvv[t.i]) AS m
+  FROM assign{i} a CROSS JOIN range(1, {dim + 1}) t(i)
+  GROUP BY a.cell, t.i
+),
+craw{i} AS MATERIALIZED (
+  SELECT cell, list(m ORDER BY idx) AS mr FROM cmean{i} GROUP BY cell
+),
+cent{i} AS MATERIALIZED (
+  SELECT p.cell,
+         list_transform(COALESCE(n.mr, p.c),
+                        x -> x / sqrt(list_dot_product(
+                            COALESCE(n.mr, p.c), COALESCE(n.mr, p.c))))
+           AS c
+  FROM {prev} p LEFT JOIN craw{i} n ON p.cell = n.cell
+)""")
+        prev = f'cent{i}'
+    q.append(f""",
+corpus_cells AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT n.vec_id, n.v, c.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.c) DESC, c.cell) AS r
+    FROM nv n CROSS JOIN {prev} c) WHERE r = 1
+),
+probes AS MATERIALIZED (
+  SELECT query_id, qv, cell FROM (
+    SELECT n.vec_id AS query_id, n.v AS qv, c.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_dot_product(n.v, c.c) DESC, c.cell) AS pr
+    FROM nv n CROSS JOIN {prev} c WHERE n.vec_id < 5)
+  WHERE pr <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(a.v, p.qv)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(p.qv, p.qv))) AS cs
+  FROM probes p JOIN corpus_cells a USING (cell)
+)
+SELECT query_id, rank, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {k}""")
+    return ''.join(q)
+
+
+_ORACLE_DEDUP_EMB = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+"""
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,6 +1297,8 @@ _RAW_QUERIES = {
         'quality': q_quality,
         'ann_topk': q_ann_topk,
         'ann_lsh': q_ann_lsh,
+        'ann_ivf': q_ann_ivf,
+        'dedup_embedding': q_dedup_embedding,
         'events_hourly': q_events_hourly,
         'minhash_pairs': q_minhash_pairs,
         'simhash': q_simhash,
@@ -1235,6 +1375,11 @@ def oracle_sql() -> dict[str, str]:
         # this corpus, so the approximate path is held to the exact
         # oracle (recall@10 = 1.0 verified).
         'ann_lsh': _ORACLE_ANN,
+        # ann_ivf: full-algorithm SQL re-implementation (k-means
+        # unrolled as chained CTEs) -- gates the real partial-probe
+        # path, not a degenerate exhaustive configuration.
+        'ann_ivf': _ivf_oracle(n_cells=16, nprobe=4, k=10),
+        'dedup_embedding': _ORACLE_DEDUP_EMB,
         'events_hourly': _ORACLE_EVENTS,
         'minhash_pairs': _ORACLE_MINHASH,
         'simhash': _ORACLE_SIMHASH,

@@ -25,6 +25,15 @@ classpath.)
 ``tests/test_iceberg.py`` exercises the real write/read/append path
 whenever the runtime is detected and skips cleanly otherwise, so CI
 with the jar present proves the path.
+
+Vendoring the jar into this sandbox was attempted and is impossible
+(verified 2026-08-17): the Spark distributions at /opt/spark and the
+PyPI pyspark wheel ship no Iceberg/Delta/Hudi jars, there is no local
+ivy/maven cache, and the sandbox has no network egress (DNS resolution
+for repo1.maven.org fails; HTTPS connect returns no route).  The
+parquet fallback plus this runtime gate is therefore the maximum
+provable surface here; the gated branch is the exact documented
+config above.
 """
 
 from pyspark.sql import DataFrame, SparkSession

@@ -93,7 +93,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def _hyperplane(dim: int, plane_idx: int) -> list:
     """Deterministic pseudo-random hyperplane components in [-1, 1]
-    (splitmix64-style finalizer on (plane, coord))."""
+    (splitmix64-style finalizer on (plane, coord)).  Scalar spec kept
+    as the readable definition; :func:`_plane_matrix` is the
+    vectorized (bit-identical, unit-tested) production path."""
     out = []
     for j in range(dim):
         z = (plane_idx * 1_000_003 + j + 1) * 0x9E3779B97F4A7C15
@@ -105,10 +107,33 @@ def _hyperplane(dim: int, plane_idx: int) -> list:
     return out
 
 
+_PLANE_CACHE: dict = {}
+
+
 def _plane_matrix(dim: int, n_planes: int, offset: int = 0) -> np.ndarray:
-    """(dim, n_planes) hyperplane matrix for planes offset..offset+n-1."""
-    return np.array([_hyperplane(dim, offset + i)
-                     for i in range(n_planes)], dtype=np.float64).T
+    """(dim, n_planes) hyperplane matrix for planes offset..offset+n-1.
+
+    Vectorized uint64 splitmix (wrapping multiply == mod-2^64 of the
+    scalar spec) and memoized per worker process: at dim=768 x 64
+    planes the matrix is built once per executor lifetime, not once
+    per Arrow batch (the Python double loop here used to run ~50k
+    hash steps inside every UDF call)."""
+    key = (dim, n_planes, offset)
+    got = _PLANE_CACHE.get(key)
+    if got is not None:
+        return got
+    with np.errstate(over='ignore'):
+        p = (np.arange(offset, offset + n_planes, dtype=np.uint64)
+             * np.uint64(1_000_003))[:, None]
+        j = np.arange(1, dim + 1, dtype=np.uint64)[None, :]
+        z = (p + j) * np.uint64(0x9E3779B97F4A7C15)
+        z ^= z >> np.uint64(31)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(29)
+    M = ((z % np.uint64(2_000_001)).astype(np.float64)
+         / 1_000_000.0 - 1.0).T.copy()
+    _PLANE_CACHE[key] = M
+    return M
 
 
 def _sketch_udf(planes: int, tables: int):
@@ -143,6 +168,56 @@ def _sketch_udf(planes: int, tables: int):
     return udf
 
 
+def _probe_sketch_udf(planes: int, tables: int, probes: int):
+    """Query-side multi-probe sketch: per table, the primary bucket
+    plus ``probes`` single-bit flips of the LEAST-certain bits (the
+    sign bits whose hyperplane dot product has the smallest |margin|
+    -- the standard multi-probe ordering).  A near neighbor that fell
+    just across one hyperplane is recovered without doubling
+    ``tables``: candidate lookups grow tables x (1+probes) on the tiny
+    query side while the corpus index stays one row per table.
+
+    Returns array<struct<table int, bucket long>> of length
+    tables*(1+probes); null for malformed rows.
+    """
+    out_t = T.ArrayType(T.StructType([
+        T.StructField('table', T.IntegerType()),
+        T.StructField('bucket', T.LongType())]))
+
+    @F.pandas_udf(out_t)
+    def udf(vecs: pd.Series) -> pd.Series:
+        vals = vecs.to_numpy()
+        ok, _ = _valid_mask(vals)
+        res = [None] * len(vals)
+        if not ok.any():
+            return pd.Series(res, dtype=object)
+        X = np.stack(vals[ok]).astype(np.float64)
+        P = _plane_matrix(X.shape[1], tables * planes)
+        M = X @ P                       # margins, (n, tables*planes)
+        bits = (M >= 0)
+        weights = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
+        n = len(X)
+        n_flips = min(probes, planes)
+        rows = [[] for _ in range(n)]
+        for t in range(tables):
+            sl = slice(t * planes, (t + 1) * planes)
+            seg = bits[:, sl].astype(np.uint64)
+            base = (seg * weights).sum(axis=1, dtype=np.uint64)
+            flip_order = np.argsort(np.abs(M[:, sl]), axis=1,
+                                    kind='stable')[:, :n_flips]
+            alts = base[:, None] ^ weights[flip_order]  # (n, n_flips)
+            b64 = base.astype(np.int64)
+            a64 = alts.astype(np.int64)
+            for i in range(n):
+                rows[i].append((t, int(b64[i])))
+                rows[i].extend((t, int(a64[i, f]))
+                               for f in range(n_flips))
+        for i, j in enumerate(np.flatnonzero(ok)):
+            res[j] = rows[i]
+        return pd.Series(res, dtype=object)
+    return udf
+
+
 def sign_sketch(vec_col, dim: int, planes: int = 16,
                 offset: int = 0) -> F.Column:
     """Single-table random-hyperplane sign sketch as a long (bit i =
@@ -172,6 +247,7 @@ def sign_sketch(vec_col, dim: int, planes: int = 16,
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                     k: int = 10, planes: int = 16, tables: int = 4,
+                    probes: int = 0,
                     id_col='vec_id', vec_col='embedding',
                     qid_col='query_id', qvec_col='embedding') -> DataFrame:
     """Approximate top-k: multi-table sign-sketch buckets -> equi-join
@@ -179,6 +255,10 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
 
     Each table uses a disjoint slice of hyperplanes; a corpus row is a
     candidate for a query if they share any table's bucket.
+    ``probes`` > 0 turns on query-side multi-probe (per table, also
+    look in the buckets reached by flipping that many least-certain
+    sign bits) -- recall rises without touching the corpus index;
+    candidate volume scales ~x(1+probes) in the worst case.
     """
     sketch = _sketch_udf(planes, tables)
 
@@ -191,13 +271,186 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
             .alias('table', 'bucket'))
 
     cb = bucketize(corpus, id_col, vec_col, 'vec_id')
-    qb = bucketize(queries, qid_col, qvec_col, 'query_id')
+    if probes > 0:
+        psketch = _probe_sketch_udf(planes, tables, probes)
+        qb = (queries.select(F.col(qid_col).alias('query_id'),
+                             F.col(qvec_col).alias('_query_id_v'))
+              .select('query_id', '_query_id_v',
+                      F.explode(psketch(F.col('_query_id_v')))
+                      .alias('tb'))
+              .select('query_id', '_query_id_v',
+                      F.col('tb.table').alias('table'),
+                      F.col('tb.bucket').alias('bucket')))
+    else:
+        qb = bucketize(queries, qid_col, qvec_col, 'query_id')
     cand = (cb.join(F.broadcast(qb), ['table', 'bucket'])
             .select('query_id', 'vec_id', '_vec_id_v', '_query_id_v')
             .distinct())
     scored = cand.select(
         'query_id', 'vec_id',
         cosine(F.col('_vec_id_v'), F.col('_query_id_v')).alias('cos_sim'))
+    w = Window.partitionBy('query_id').orderBy(
+        F.col('cos_sim').desc(), F.col('vec_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k))
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.4,
+                             planes: int = 2, tables: int = 16,
+                             id_col='vec_id',
+                             vec_col='embedding') -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a, id_b) with
+    cosine similarity >= threshold -- the embedding leg of a
+    training-data dedup pipeline (text legs: exact hash, MinHash LSH,
+    SimHash in textops).
+
+    Same LSH shape as :func:`lsh_bucket_topk`: multi-table sign-sketch
+    buckets -> per-bucket self-join -> exact cosine verify on
+    candidates only.  Never all-pairs: at corpus scale the self-join
+    is per (table, bucket) key; planes controls bucket granularity
+    (2^planes buckets per table), tables controls recall.  Recall for
+    a pair at angle theta misses all tables with probability
+    ``(1 - (1 - theta/pi)^planes)^tables`` -- at the defaults and
+    cos=0.4 (theta ~ 66deg) that is ~6e-4 per pair; raise tables (or
+    lower planes) for stricter recall, and verify against
+    :func:`brute_force_topk`-style exact scans on a gate corpus.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, exact cosines.
+    """
+    sketch = _sketch_udf(planes, tables)
+    b = corpus.select(F.col(id_col).alias('id'),
+                      F.col(vec_col).alias('_v')) \
+        .select('id', '_v',
+                F.posexplode(sketch(F.col('_v')))
+                .alias('table', 'bucket'))
+    left = b.alias('l')
+    right = b.alias('r')
+    cand = (left.join(right, ['table', 'bucket'])
+            .filter(F.col('l.id') < F.col('r.id'))
+            .select(F.col('l.id').alias('id_a'),
+                    F.col('r.id').alias('id_b'),
+                    F.col('l._v').alias('_va'),
+                    F.col('r._v').alias('_vb'))
+            .distinct())
+    return (cand
+            .select('id_a', 'id_b',
+                    cosine(F.col('_va'), F.col('_vb')).alias('cos_sim'))
+            .filter(F.col('cos_sim') >= threshold))
+
+
+def _centroid_matrix(corpus: DataFrame, n_cells: int, id_col: str,
+                     vec_col: str, train_iters: int = 10,
+                     train_sample: int = 8192) -> np.ndarray:
+    """Deterministic spherical-k-means coarse quantizer (the standard
+    IVF training recipe): a stable uniform sample (the ``train_sample``
+    corpus vectors with the smallest ``xxhash64(id)`` -- same rows on
+    any cluster size) collects to the driver, seeds = the first
+    ``n_cells`` sample rows, then ``train_iters`` Lloyd iterations
+    under cosine (argmax dot with normalized centroids, ties -> lowest
+    cell id; empty cells keep their previous centroid).  Everything is
+    numpy on an (<=8192, dim) matrix -- microseconds next to one Spark
+    job -- and fully deterministic, so a resumed or re-run job builds
+    the identical quantizer.  Returns (n_cells, dim) L2-normalized
+    float64."""
+    base = corpus.select(F.col(id_col).alias('id'),
+                         F.col(vec_col).alias('v'))
+    id_type = dict(base.dtypes)['id']
+    if id_type in ('int', 'bigint', 'smallint', 'tinyint'):
+        # SQL-expressible stable pseudo-shuffle (the DuckDB oracle
+        # re-implements the whole quantizer; xxhash64 has no DuckDB
+        # twin).  Decorrelation from insertion order is all the
+        # sample needs -- k-means washes the seeds out.
+        key = F.pmod(F.col('id').cast('long') * F.lit(40503),
+                     F.lit(65536))
+    else:
+        key = F.xxhash64(F.col('id').cast('string'))
+    rows = (base.withColumn('_h', key)
+            .orderBy('_h', 'id').limit(train_sample).collect())
+    vals = np.empty(len(rows), dtype=object)
+    vals[:] = [r['v'] for r in rows]
+    ok, _ = _valid_mask(vals)
+    if not ok.any():
+        raise ValueError('ivf: no well-formed embeddings to train on')
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in vals[ok]])
+    nx = np.sqrt(np.einsum('ij,ij->i', X, X))
+    nx[nx == 0] = 1.0
+    X = X / nx[:, None]
+
+    def normalize(C):
+        n = np.sqrt(np.einsum('ij,ij->i', C, C))
+        n[n == 0] = 1.0
+        return C / n[:, None]
+
+    n_cells = min(n_cells, len(X))
+    C = normalize(X[:n_cells].copy())
+    for _ in range(train_iters):
+        assign = np.argmax(X @ C.T, axis=1)     # first-max tie-break
+        newC = C.copy()
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+        newC = normalize(newC)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
+def _cell_udf(C: np.ndarray, nprobe: int):
+    """embedding -> array of the ``nprobe`` nearest cell ids by cosine
+    against the normalized centroid matrix (one matmul per batch)."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        vals = vecs.to_numpy()
+        ok, _ = _valid_mask(vals, C.shape[1])
+        res = [None] * len(vals)
+        if ok.any():
+            X = np.stack(vals[ok]).astype(np.float64)
+            nx = np.sqrt(np.einsum('ij,ij->i', X, X))
+            nx[nx == 0] = 1.0
+            sims = (X / nx[:, None]) @ C.T       # (n, n_cells)
+            # top-nprobe cells, deterministic tie-break on cell id:
+            # sort by (-sim, cell) via lexsort
+            cells = np.lexsort(
+                (np.broadcast_to(np.arange(C.shape[0]), sims.shape),
+                 -sims), axis=1)[:, :nprobe].astype(np.int32)
+            rows = cells.tolist()
+            for i, j in enumerate(np.flatnonzero(ok)):
+                res[j] = rows[i]
+        return pd.Series(res, dtype=object)
+    return udf
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col='vec_id', vec_col='embedding',
+             qid_col='query_id', qvec_col='embedding') -> DataFrame:
+    """IVF approximate top-k: a deterministic coarse quantizer
+    partitions the corpus into ``n_cells`` inverted lists; each query
+    probes its ``nprobe`` nearest cells and exact-cosine re-ranks only
+    those lists.
+
+    The scan fraction is ~nprobe/n_cells of the corpus per query (vs
+    1.0 for brute force); the corpus-side assignment is one map pass
+    (no shuffle -- the join shuffles on the small cell key).  nprobe =
+    n_cells degenerates to exact search.
+    """
+    C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
+    assign = _cell_udf(C, 1)
+    probe = _cell_udf(C, min(nprobe, len(C)))
+    cb = (corpus.select(F.col(id_col).alias('vec_id'),
+                        F.col(vec_col).alias('_cv'))
+          .select('vec_id', '_cv',
+                  F.element_at(assign(F.col('_cv')), 1).alias('cell')))
+    qb = (queries.select(F.col(qid_col).alias('query_id'),
+                         F.col(qvec_col).alias('_qv'))
+          .select('query_id', '_qv',
+                  F.explode(probe(F.col('_qv'))).alias('cell')))
+    scored = (cb.join(F.broadcast(qb), 'cell')
+              .select('query_id', 'vec_id',
+                      cosine(F.col('_cv'), F.col('_qv'))
+                      .alias('cos_sim')))
     w = Window.partitionBy('query_id').orderBy(
         F.col('cos_sim').desc(), F.col('vec_id'))
     return (scored.withColumn('rank', F.row_number().over(w))

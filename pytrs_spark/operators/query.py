@@ -169,15 +169,25 @@ def custom_sort(df: DataFrame, key: str = 'i,s,r,t', reverse=False,
     return df.orderBy(*exprs)
 
 
-def group_by(df: DataFrame, attributes) -> DataFrame:
+def group_by(df: DataFrame, attributes,
+             tract_fields=('orig_index', 'trs', 'desc')) -> DataFrame:
     """Group rows, collecting each group's tracts in creation order
     (containers.py:792-948).  Nested grouping (Q6) is the same
-    groupBy -- nesting is a presentation artifact."""
+    groupBy -- nesting is a presentation artifact.
+
+    ``tract_fields`` selects which tract attributes each group's
+    structs carry (the reference's grouped lists hold full Tract
+    objects; carry only what downstream needs -- the arrays are
+    materialized per group).  ``orig_index`` is always included first
+    (it defines creation order inside the array).
+    """
     if isinstance(attributes, str):
         attributes = [attributes]
+    fields = ['orig_index'] + [
+        f for f in tract_fields if f != 'orig_index']
     return (df.groupBy(*attributes)
             .agg(F.sort_array(F.collect_list(F.struct(
-                'orig_index', 'trs', 'desc'))).alias('tracts'),
+                *fields))).alias('tracts'),
                 F.count('*').alias('n_tracts')))
 
 
@@ -271,11 +281,17 @@ def quick_desc(df: DataFrame, delim: str = ': ') -> DataFrame:
 
 def sort_grouped(df: DataFrame, attributes, sort_key: str = 'i,s,r,t',
                  reverse: bool = False,
-                 order_col: str = 'orig_index') -> DataFrame:
+                 order_col: str = 'orig_index',
+                 tract_fields=('orig_index', 'trs', 'desc')) -> DataFrame:
     """Group rows and custom-sort each group's tract list by the sort
     DSL (containers.py:950-981 ``sort_grouped``).  Same output shape
     as :func:`group_by`, but the per-group arrays are in DSL order
     instead of creation order.
+
+    ``tract_fields``: which tract attributes the per-group structs
+    carry (e.g. add ``'lots'``/``'qqs'`` -- the reference's grouped
+    lists hold full Tract objects, so any parsed column is legal
+    here).
 
     The per-group rank comes from a ``row_number`` window partitioned
     by the group key (sorting happens within each group's partition,
@@ -286,12 +302,13 @@ def sort_grouped(df: DataFrame, attributes, sort_key: str = 'i,s,r,t',
     exprs = compile_sort_key(sort_key, order_col, reverse)
     if reverse:
         exprs.append(F.col(order_col).desc())
+    fields = [f for f in tract_fields if f != '_rank']
     w = Window.partitionBy(*attributes).orderBy(*exprs)
     ranked = df.withColumn('_rank', F.row_number().over(w))
     return (ranked.groupBy(*attributes)
             .agg(F.transform(
                 F.sort_array(F.collect_list(F.struct(
-                    '_rank', 'orig_index', 'trs', 'desc'))),
+                    '_rank', *fields))),
                 lambda s: s.dropFields('_rank')).alias('tracts'),
                 F.count('*').alias('n_tracts')))
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .operators.parse import parse_documents_full
 from .spatial.grid import build_polygon_layer, with_anchor
-from .spatial.join import JOIN_RES, assign_tiles, spatial_join
+from .spatial.join import JOIN_RES, assign_tiles_local, spatial_join
 
 
 def polygon_layer_from_descs(descs: DataFrame,
@@ -40,7 +40,10 @@ def assign_images_to_tiles(images: DataFrame, polygons: DataFrame,
     """
     points = with_anchor(images)
     matches = spatial_join(points, polygons, res=res, salt=salt)
-    tiles = assign_tiles(matches)
+    # Candidates per image are contiguous in one partition (one
+    # probe row per image through the cell join), so the reduction
+    # is partition-local: ZERO shuffle end to end.
+    tiles = assign_tiles_local(matches)
     return tiles.select('image_id', 'caption', 'x', 'y', 'trs', 'qq')
 
 
@@ -57,6 +60,6 @@ def run_raster(images: DataFrame, polygons: DataFrame,
     (trs, qq) aliquot."""
     from .raster import materialize_tiles
     points = with_anchor(images)
-    assigned = assign_tiles(spatial_join(points, polygons))
+    assigned = assign_tiles_local(spatial_join(points, polygons))
     return materialize_tiles(assigned, images,
                              tile_px=tile_px, patch_px=patch_px)

@@ -137,6 +137,62 @@ def assign_tiles(matches: DataFrame) -> DataFrame:
         *[F.col('_best')[c].alias(c) for c in payload])
 
 
+def assign_tiles_local(matches: DataFrame) -> DataFrame:
+    """Zero-shuffle tile assignment for candidate streams where each
+    image's candidates are CONTIGUOUS WITHIN ONE PARTITION -- which is
+    exactly what :func:`spatial_join` produces: one probe row per
+    image, and both the broadcast hash join and the salted shuffle
+    join emit all matches of a probe row consecutively (the salted
+    path also co-locates them, since an image has a single
+    (cell, salt) key).
+
+    Same output and tie-break as :func:`assign_tiles` (lexicographic
+    min over (trs, qq); (trs, qq) is unique per image's candidate set,
+    so the payload never participates) -- but implemented as a
+    partition-local streaming reduction with an O(1) carry row across
+    Arrow batches, so NOTHING shuffles.  At 96M images the struct-min
+    groupBy exchanged ~the whole candidate set (~11 GB serialized
+    through one node's shuffle machinery) and flattened the core-
+    scaling curve; this path removes that exchange entirely.  Measured
+    (BENCH.md): the global-agg form ran local[32] == local[8] at 96M
+    rows (shuffle-bound); this form restores compute-bound scaling.
+
+    Falls back conceptually to :func:`assign_tiles` for inputs with
+    arbitrary provenance -- keep using that one when candidates may
+    span partitions.
+    """
+    work = matches.drop('ring_xs', 'ring_ys')
+    schema = work.schema
+
+    def reduce_partition(batches):
+        carry = None            # one-row pdf: best-so-far of last id
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                if pdf['image_id'].iat[0] == carry['image_id'].iat[0]:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                else:
+                    yield carry
+                carry = None
+            ids = pdf['image_id']
+            key = pdf['trs'] + '\x00' + pdf['qq']
+            kmin = key.groupby(ids.to_numpy(), sort=False) \
+                .transform('min')
+            best = pdf.loc[(key == kmin).to_numpy()] \
+                .drop_duplicates('image_id', keep='first')
+            last_id = ids.iat[len(ids) - 1]
+            tail_mask = best['image_id'] == last_id
+            carry = best.loc[tail_mask.to_numpy()]
+            head = best.loc[(~tail_mask).to_numpy()]
+            if len(head):
+                yield head
+        if carry is not None and len(carry):
+            yield carry
+
+    return work.mapInPandas(reduce_partition, schema=schema)
+
+
 def cell_histogram(points: DataFrame, res: int = JOIN_RES) -> DataFrame:
     """Pre-pass skew histogram: images per cell (used to pick the salt
     factor; map-side combined by Catalyst)."""

@@ -82,3 +82,88 @@ def test_sign_sketch_null_for_malformed(spark):
     by_id = {r['vec_id']: r['s'] for r in rows}
     assert by_id['v002'] is None
     assert all(by_id[f'v{i:03d}'] is not None for i in (0, 1, 3))
+
+
+def test_multiprobe_recall_monotone_and_valid(spark):
+    """Multi-probe only ADDS candidate buckets: results stay a subset
+    of the exact ranking universe and recall is monotone in probes."""
+    corpus = _corpus(spark, 120)
+    q = corpus.filter(F.col('vec_id').isin('v000', 'v050')) \
+        .select(F.col('vec_id').alias('query_id'), 'embedding')
+    truth = {(r['query_id'], r['vec_id'])
+             for r in brute_force_topk(corpus, q, k=5).collect()}
+    last = -1.0
+    for probes in (0, 1, 2):
+        out = lsh_bucket_topk(corpus, q, dim=DIM, k=5, planes=4,
+                              tables=4, probes=probes).collect()
+        got = {(r['query_id'], r['vec_id']) for r in out}
+        recall = len(truth & got) / len(truth)
+        assert recall >= last - 1e-9
+        last = recall
+        # rank/cos_sim of returned rows must match the exact scorer
+        exact = {(r['query_id'], r['vec_id']): r['cos_sim']
+                 for r in brute_force_topk(corpus, q, k=120).collect()}
+        for r in out:
+            assert abs(r['cos_sim']
+                       - exact[(r['query_id'], r['vec_id'])]) < 1e-12
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    from pytrs_spark.operators.ann import ivf_topk
+    corpus = _corpus(spark, 100)
+    q = corpus.filter(F.col('vec_id').isin('v000', 'v033')) \
+        .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact = brute_force_topk(corpus, q, k=7).orderBy('query_id', 'rank')
+    ivf = ivf_topk(corpus, q, k=7, n_cells=8, nprobe=8) \
+        .orderBy('query_id', 'rank')
+    assert [(r['query_id'], r['rank'], r['vec_id'])
+            for r in ivf.collect()] == \
+           [(r['query_id'], r['rank'], r['vec_id'])
+            for r in exact.collect()]
+
+
+def test_ivf_partial_probe_subset_and_malformed(spark):
+    from pytrs_spark.operators.ann import ivf_topk
+    corpus = _corpus(spark, 100, bad={9: None, 10: _vec(10, 3)})
+    q = corpus.filter(F.col('vec_id') == 'v000') \
+        .select(F.col('vec_id').alias('query_id'), 'embedding')
+    out = ivf_topk(corpus, q, k=10, n_cells=8, nprobe=2).collect()
+    got = {r['vec_id'] for r in out}
+    assert got and not {'v009', 'v010'} & got
+    # scores of returned rows are exact
+    exact = {(r['query_id'], r['vec_id']): r['cos_sim']
+             for r in brute_force_topk(corpus, q, k=100).collect()}
+    for r in out:
+        assert abs(r['cos_sim'] - exact[(r['query_id'], r['vec_id'])]) \
+            < 1e-12
+
+
+def test_embedding_near_dup_pairs_recall_on_planted_dups(spark):
+    """Plant exact and near duplicates; the LSH path must find every
+    pair above threshold (verified against an all-pairs scan)."""
+    import itertools
+    from pytrs_spark.operators.ann import embedding_near_dup_pairs
+    base = [(f'v{i:03d}', _vec(i)) for i in range(60)]
+    # planted: v900 == v000; v901 = v000 + tiny noise
+    planted = [('v900', _vec(0)),
+               ('v901', [x + 0.01 * ((i % 3) - 1)
+                         for i, x in enumerate(_vec(0))])]
+    rows = base + planted
+    schema = T.StructType([
+        T.StructField('vec_id', T.StringType()),
+        T.StructField('embedding', T.ArrayType(T.DoubleType()))])
+    df = spark.createDataFrame(rows, schema)
+    got = {(r['id_a'], r['id_b'])
+           for r in embedding_near_dup_pairs(
+               df, threshold=0.95, planes=2, tables=16).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * \
+              (sum(y * y for y in b) ** 0.5)
+        return num / den
+    truth = {(a, b) for (a, va), (b, vb)
+             in itertools.combinations(rows, 2)
+             if cos(va, vb) >= 0.95}
+    assert ('v000', 'v900') in truth and ('v000', 'v901') in truth
+    assert got == truth

@@ -43,6 +43,21 @@ CORPUS = [
     "W/2 of Sec 30, T154N-R97W",
     "T154N-R97W Sec 14: N/2 less and except the E/2NE/4",
     "T15oN-R97W Sec 14: NE/4",                       # OCR 'o' for 0
+    # round-3 additions: lot/aliquot interleavings, wordy sections,
+    # conjunction ranges, stacked PM noise, deep nesting
+    "T154N-R97W Sec 14: Lots 1, 2, E/2 of Lot 3",
+    "T154N-R97W Sec 14: NE/4 of Lot 5",
+    "T154N-R97W Sections 3 and 4: ALL",
+    "T154N-R97W Secs 1, 3, 5: S/2",
+    "Section 14, Township 154 North, Range 97 West: NE/4",
+    "T154N-R97W Sec 14: SE/4NE/4NW/4",               # depth-3 aliquot
+    "T154N-R97W Sec 14: N/2 of the S/2 of the NE/4",
+    "T2N-R3W, Fifth Principal Meridian, Sec 20: W/2",
+    "T154N-R97W Sec 14: Lot 1(40.00), Lot 2 (39.5), SW NE",
+    "That part of the NE/4 of Sec 14, T154N-R97W lying north of the "
+    "railroad",
+    "T154N-R97W Sec 14: NE/4; Sec 22: SW/4",         # semicolon split
+    "T7S-R12E Sec 31: Lots 1 - 4, E/2W/2",           # fractional sec
 ]
 
 CONFIGS = [
@@ -137,7 +152,7 @@ def test_flags_match_reference():
             assert mine['layout'] == ref.layout, text
 
 
-def _random_corpus(n=150, seed=42):
+def _random_corpus(n=250, seed=42):
     """Seeded generator of structurally varied descriptions built from
     the grammar's building blocks (layouts x aliquots x lots x ranges)."""
     import random
