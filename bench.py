@@ -295,6 +295,36 @@ def main():
     t_parse = _median_time(parse_run, runs=RUNS)
     queries['plss_parse'] = round(t_parse, 3)
 
+    # Honest unique-doc kernel rate: single core, no Spark, every
+    # memo cache cleared before each timed run so repeats can't reuse
+    # prior runs' work (within-corpus token repetition is a real
+    # corpus property and stays).  This is the per-byte number the
+    # replicated plss_parse stage can't show.
+    texts = [r['raw_desc'] for r in descs.select('raw_desc').collect()]
+    from pytrs_spark.plss import document as _dock
+    from pytrs_spark.plss import tract as _trk
+    from pytrs_spark.plss import trs as _trsk
+
+    def _clear_kernel_caches():
+        for fn in (_dock._unpack_twprge_cached, _trk._unpack_secs_cached,
+                   _trk._parse_tract_cached, _trsk._trs_decompose_cached):
+            fn.cache_clear()
+
+    def kernel_run():
+        _clear_kernel_caches()
+        pres = _dock.preprocess_plss_batch(texts)
+        for text, pre in zip(texts, pres):
+            r = _dock.parse_document(text, _pre=pre)
+            for t in r['tracts']:
+                _trk.parse_tract(t['desc'])
+
+    kt = []
+    for _ in range(3):
+        t0 = time.time()
+        kernel_run()
+        kt.append(time.time() - t0)
+    kernel_unique_rate = round(len(texts) / min(kt), 1)
+
     # Text ops on the documents table.  The sf parquet is a single
     # file (= 1 partition); spread it so the vectorized kernels run on
     # every core, as any real multi-file corpus would.
@@ -382,6 +412,7 @@ def main():
         'cpus': CPUS,
         'images_per_sec': round(n_images / headline, 1),
         'parse_docs_per_sec': round(n_docs / t_parse, 1),
+        'parse_kernel_unique_docs_per_sec': kernel_unique_rate,
         'ann_lsh_recall_at_10': ann_lsh_recall,
         'ann_lsh_recall_at_10_noprobe': ann_lsh_recall_noprobe,
         'ann_ivf_recall_at_10': ann_ivf_recall,

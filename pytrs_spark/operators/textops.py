@@ -558,48 +558,100 @@ _FP_KINV1 = pow(_FP_K1, _M31 - 2, _M31)
 _FP_KINV2 = pow(_FP_K2, _M31 - 2, _M31)
 
 
+_POW_CACHE: dict = {}
+
+
 def _pow_mod(k: int, n: int) -> np.ndarray:
-    """[k^0, k^1, ..., k^(n-1)] mod M31 (geometric doubling)."""
-    p = np.ones(1, dtype=np.uint64)
+    """[k^0, k^1, ..., k^(n-1)] mod M31 (geometric doubling); grown
+    geometrically and memoized per base so repeated batches never
+    recompute."""
+    p = _POW_CACHE.get(k)
+    if p is None:
+        p = np.ones(1, dtype=np.uint64)
     while len(p) < n:
         step = (int(p[-1]) * k) % _M31
         p = np.concatenate([p, (p * np.uint64(step)) % np.uint64(_M31)])
+    _POW_CACHE[k] = p
     return p[:n]
 
 
+# Cap on flattened codepoints per vectorized sub-batch: bounds the
+# power-table / cumsum working set (~9 arrays x 8 B x chunk = ~290 MB
+# peak) while amortizing all per-doc Python overhead across the chunk.
+_FP_CHUNK_CHARS = 4_000_000
+
+
 def _fp_kernel(texts: pd.Series, window: int):
-    import re
-    ws_re = re.compile(r'\s+')
-    norm = [ws_re.sub(' ', (t or '').lower()).strip() for t in texts]
-    maxn = max(window, max((len(t) for t in norm), default=1))
-    kp1 = _pow_mod(_FP_K1, maxn)
-    kp2 = _pow_mod(_FP_K2, maxn)
-    ki1 = _pow_mod(_FP_KINV1, maxn)
-    ki2 = _pow_mod(_FP_KINV2, maxn)
+    """Batched across documents: all docs' codepoints of a chunk are
+    flattened into ONE array; the window hash stays shift-invariant
+    because W_doc(i) = diff(prefix) * K^-(i_glob) * K^(start_doc), so
+    a per-doc scalar multiply re-bases the global exponents.  No
+    per-character or per-document Python work remains beyond the
+    string join (one C pass via ''.join + a single utf-32 encode)."""
+    norm = texts.fillna('').astype(str).str.lower() \
+        .str.replace(r'\s+', ' ', regex=True).str.strip() \
+        .str.pad(window, side='right', fillchar=' ')
+    lens_all = norm.str.len().to_numpy(dtype=np.int64)
     m = np.uint64(_M31)
     shift = np.uint64(31)
     content = np.empty(len(norm), dtype=np.int64)
     minwin = np.empty(len(norm), dtype=np.int64)
-    for i, t in enumerate(norm):
-        codes = np.frombuffer(t.encode('utf-32-le'), dtype=np.uint32) \
-            .astype(np.uint64)
-        if len(codes) < window:
-            codes = np.pad(codes, (0, window - len(codes)),
-                           constant_values=32)
-        n = len(codes)
+    # Split doc list into chunks of bounded total codepoints.
+    bounds = [0]
+    acc = 0
+    for i, ln in enumerate(lens_all):
+        acc += int(ln)
+        if acc >= _FP_CHUNK_CHARS:
+            bounds.append(i + 1)
+            acc = 0
+    if bounds[-1] != len(norm):
+        bounds.append(len(norm))
+    vals = norm.to_numpy(dtype=object)
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        lens = lens_all[b0:b1]
+        joined = ''.join(vals[b0:b1])
+        codes = np.frombuffer(joined.encode('utf-32-le'),
+                              dtype=np.uint32).astype(np.uint64)
+        total = len(codes)
+        starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                                 lens.cumsum()])[:-1]
+        n_win = lens - window + 1          # >= 1 (padded to window)
 
-        def channel(kp, ki):
-            terms = (codes * kp[:n]) % m    # < 2^31 each
-            s = np.concatenate([np.zeros(1, dtype=np.uint64),
-                                terms.cumsum(dtype=np.uint64)])
-            d = (s[window:] - s[:-window]) % m
-            w_hash = (d * ki[:n - window + 1]) % m
-            return w_hash, s[-1] % m
-
-        w1, f1 = channel(kp1, ki1)
-        w2, f2 = channel(kp2, ki2)
-        content[i] = np.int64((f1 << shift) + f2)
-        minwin[i] = np.int64(((w1 << shift) + w2).min())
+        # Two channels.  Window hashes are computed CONTIGUOUSLY over
+        # the whole chunk (plain slices, no index gathers); K^-(i)
+        # undoes the global exponent so a doc's hashes come out
+        # identical to a doc-local computation.  Positions whose
+        # window straddles a doc boundary are computed but discarded
+        # by the interleaved reduceat below (window-1 wasted slots
+        # per doc -- noise next to the O(total) modmuls).
+        kp1 = _pow_mod(_FP_K1, total)
+        ki1 = _pow_mod(_FP_KINV1, total)
+        kp2 = _pow_mod(_FP_K2, total)
+        ki2 = _pow_mod(_FP_KINV2, total)
+        terms1 = (codes * kp1) % m
+        s1 = np.concatenate([np.zeros(1, dtype=np.uint64),
+                             terms1.cumsum(dtype=np.uint64)])
+        terms2 = (codes * kp2) % m
+        s2 = np.concatenate([np.zeros(1, dtype=np.uint64),
+                             terms2.cumsum(dtype=np.uint64)])
+        f1 = ((s1[starts + lens] - s1[starts]) % m) * ki1[starts] % m
+        f2 = ((s2[starts + lens] - s2[starts]) % m) * ki2[starts] % m
+        nw_all = total - window + 1
+        d1 = (s1[window:] - s1[:-window]) % m
+        d2 = (s2[window:] - s2[:-window]) % m
+        w1 = (d1 * ki1[:nw_all]) % m
+        w2 = (d2 * ki2[:nw_all]) % m
+        combined = (w1 << shift) + w2
+        # Interleaved segment boundaries [doc0 windows][gap][doc1
+        # windows][gap]... ; every even segment is one doc's valid
+        # window range, odd segments (straddling windows) are dropped.
+        ndocs = b1 - b0
+        bnd = np.empty(2 * ndocs - 1, dtype=np.int64)
+        bnd[0::2] = starts
+        bnd[1::2] = (starts + n_win)[:-1]
+        content[b0:b1] = ((f1 << shift) + f2).astype(np.int64)
+        minwin[b0:b1] = np.minimum.reduceat(
+            combined, bnd)[0::2].astype(np.int64)
     return content, minwin
 
 

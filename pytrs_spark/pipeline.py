@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from .operators.parse import parse_documents_full
 from .spatial.grid import build_polygon_layer, with_anchor
-from .spatial.join import JOIN_RES, assign_tiles_local, spatial_join
+from .spatial.join import (
+    JOIN_RES,
+    assign_tiles_fused,
+    assign_tiles_local,
+    spatial_join,
+)
 
 
 def polygon_layer_from_descs(descs: DataFrame,
@@ -39,12 +44,13 @@ def assign_images_to_tiles(images: DataFrame, polygons: DataFrame,
     Output: image_id, caption, x, y, trs, qq (sorted-set comparable).
     """
     points = with_anchor(images)
-    matches = spatial_join(points, polygons, res=res, salt=salt)
-    # Candidates per image are contiguous in one partition (one
-    # probe row per image through the cell join), so the reduction
-    # is partition-local: ZERO shuffle end to end.
-    tiles = assign_tiles_local(matches)
-    return tiles.select('image_id', 'caption', 'x', 'y', 'trs', 'qq')
+    # One fused mapInPandas does cell-join refinement + PIP + winner
+    # reduction: the candidate stream through Arrow carries an int32
+    # pid instead of ring arrays, and NOTHING shuffles end to end
+    # (see assign_tiles_fused; row-identical to the unfused
+    # spatial_join -> assign_tiles_local composition, which remains
+    # for stage-level tests).
+    return assign_tiles_fused(points, polygons, res=res, salt=salt)
 
 
 def run_flagship(spark, images: DataFrame, descs: DataFrame,

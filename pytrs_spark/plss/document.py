@@ -12,6 +12,7 @@ arrays natively.
 """
 
 import re
+from functools import lru_cache
 
 from . import patterns as P
 from .trs import (
@@ -37,6 +38,9 @@ LAYOUTS = (TRS_DESC, DESC_STR, S_DESC_TR, TR_DESC_S, COPY_ALL)
 # (plss_parse.py:285).
 MIN_REPORTABLE_UNUSED_LEN = 4
 
+_WS_RUN_RE = re.compile(r'[ \t]+')
+_NL_RUN_RE = re.compile(r'\n{2,}')
+
 _PP_SCRUBBERS = (
     P.twprge_re,
     P.pp_twprge_no_nswe,
@@ -48,7 +52,24 @@ _PP_SCRUBBERS = (
 
 
 def unpack_twprge(mo, default_ns=None, default_ew=None, ocr_scrub=False):
-    """Twp/Rge match -> 'T154N-R97W' (unpackers.py:431-493)."""
+    """Twp/Rge match -> 'T154N-R97W' (unpackers.py:431-493).
+
+    Memoized on the five captured groups + config: Twp/Rge tokens
+    repeat heavily across (and within) real corpora, and the unpack is
+    a pure function of the captures -- so the per-match Python cost
+    amortizes away even on all-unique documents."""
+    try:
+        rge2 = mo.group('rgenum_edgecase_rge2')
+    except IndexError:          # regex has no such group
+        rge2 = None
+    return _unpack_twprge_cached(
+        mo.group('twpnum'), mo.group('ns'), mo.group('rgenum'), rge2,
+        mo.group('ew'), default_ns, default_ew, ocr_scrub)
+
+
+@lru_cache(maxsize=65536)
+def _unpack_twprge_cached(twp_num, ns_g, rge_num, rge2, ew_g,
+                          default_ns, default_ew, ocr_scrub):
     if default_ns is None:
         default_ns = DEFAULT_NS
     if default_ns not in ('n', 's', 'N', 'S'):
@@ -57,8 +78,6 @@ def unpack_twprge(mo, default_ns=None, default_ew=None, ocr_scrub=False):
         default_ew = DEFAULT_EW
     if default_ew not in ('e', 'w', 'E', 'W'):
         raise ValueError(f"bad default_ew {default_ew!r}")
-    groups = mo.groupdict()
-    twp_num = groups['twpnum']
     if ocr_scrub:
         twp_num = ocr_digits(twp_num)
     try:
@@ -66,12 +85,11 @@ def unpack_twprge(mo, default_ns=None, default_ew=None, ocr_scrub=False):
     except ValueError:
         pass
     ns = default_ns
-    if groups['ns'] is not None:
-        ns = groups['ns'][0]
-    rge_num = groups['rgenum']
+    if ns_g is not None:
+        ns = ns_g[0]
     if rge_num is None:
         # "Range 2" edge case: bare '2' needs the word "Range" first.
-        rge_num = groups.get('rgenum_edgecase_rge2')
+        rge_num = rge2
     if ocr_scrub:
         rge_num = ocr_digits(rge_num)
     try:
@@ -79,8 +97,8 @@ def unpack_twprge(mo, default_ns=None, default_ew=None, ocr_scrub=False):
     except ValueError:
         pass
     ew = default_ew
-    if groups['ew'] is not None:
-        ew = groups['ew'][0]
+    if ew_g is not None:
+        ew = ew_g[0]
     return f"T{twp_num}{ns.upper()}-R{rge_num}{ew.upper()}"
 
 
@@ -124,16 +142,17 @@ def _scrub_twprge_matches(rgx, text, default_ns, default_ew):
 def reduce_whitespace(text):
     """Collapse space/tab runs, CR->LF, >=2 blank lines -> 1, to fixed
     point (plss_preprocess.py:194-209)."""
-    text = text.strip()
-    prev = None
-    while text != prev:
-        prev = text
-        text = re.sub(r' +', ' ', text)
-        text = re.sub(r'\t+', ' ', text)
-        text = re.sub(r'\r', '\n', text)
-        text = re.sub(r'\n{2,}', '\n\n', text)
-        text = re.sub(r'^[ \t]', '', text)
-    return text
+    # Closed form of the reference's fixed-point loop (space runs ->
+    # ' ', tab runs -> ' ', \r -> \n, 3+ newlines -> 2, strip one
+    # leading blank): after the leading strip no rule can re-create
+    # leading whitespace, collapsing [ \t]+ post \r->\n subsumes the
+    # two run rules in every interleaving, and neither collapse can
+    # manufacture a new \n adjacency -- so one ordered pass IS the
+    # fixed point (property-checked against the loop in
+    # tests/test_plss_kernels.py).
+    text = text.strip().replace('\r', '\n')
+    text = _WS_RUN_RE.sub(' ', text)
+    return _NL_RUN_RE.sub('\n\n', text)
 
 
 def preprocess_plss(text, default_ns=None, default_ew=None,
@@ -166,6 +185,112 @@ def preprocess_plss(text, default_ns=None, default_ew=None,
         if twprge in fixed:
             fixed.remove(twprge)
     return text, fixed
+
+
+_DOC_SEP = '\x00\n\x00'
+
+
+def _batch_finditer(rgx, texts):
+    """Yield ``(doc_idx, match)`` from ONE regex scan over the
+    separator-joined batch instead of one ``finditer`` setup per
+    document.
+
+    Sound because no scrubber/finder pattern can consume the
+    ``\\x00\\n\\x00`` separator: every consuming class is an explicit
+    whitelist (``[\\.\\-–—,\\s]``, letter runs, digits) that excludes
+    NUL, the one dot-run (``.{0,25}`` in ``pp_twprge_pm``, no DOTALL)
+    cannot cross the embedded newline, and the only boundary
+    constructs are lookbehinds -- so no match crosses a document edge
+    and the per-document match sets are exactly the scalar ones
+    (property-fuzzed in tests/test_plss_kernels.py).
+    """
+    from bisect import bisect_right
+    bounds = []
+    pos = 0
+    for t in texts:
+        bounds.append(pos)
+        pos += len(t) + len(_DOC_SEP)
+    for mo in rgx.finditer(_DOC_SEP.join(texts)):
+        yield bisect_right(bounds, mo.start()) - 1, mo
+
+
+def _batch_find_twprge(texts, default_ns, default_ew):
+    """Per-doc ``find_twprge`` lists via one combined scan."""
+    out = [[] for _ in texts]
+    for i, mo in _batch_finditer(P.twprge_re, texts):
+        out[i].append(unpack_twprge(mo, default_ns, default_ew))
+    return out
+
+
+def preprocess_plss_batch(texts, default_ns=None, default_ew=None,
+                          ocr_scrub=False, no_pm=False):
+    """Batched :func:`preprocess_plss` over a list of documents --
+    identical per-document results (the scalar path is the oracle in
+    the property tests), but each scrubber regex scans the whole
+    Arrow batch in ONE pass instead of once per document.
+
+    The PM scrubber keeps its hazard guard at batch granularity: one
+    cheap ``pm_re`` scan picks out the documents that contain a PM
+    token at all, and the super-linear ``pp_twprge_pm`` pattern runs
+    only over that (usually empty) subset.
+    """
+    if default_ns is None:
+        default_ns = DEFAULT_NS
+    if default_ew is None:
+        default_ew = DEFAULT_EW
+    if any(t is None or '\x00' in t for t in texts):
+        # NUL in input defeats the join trick -- scalar fallback.
+        return [preprocess_plss(t, default_ns, default_ew,
+                                ocr_scrub, no_pm) for t in texts]
+    cur = list(texts)
+    originals = _batch_find_twprge(cur, default_ns, default_ew)
+    scrubbers = list(_PP_SCRUBBERS)
+    if no_pm:
+        scrubbers.remove(P.pp_twprge_pm)
+    if ocr_scrub:
+        scrubbers.insert(0, P.pp_twprge_ocr_scrub)
+    for rgx in scrubbers:
+        ocr = rgx is P.pp_twprge_ocr_scrub
+        if rgx is P.pp_twprge_pm:
+            pm_docs = sorted({i for i, _ in
+                              _batch_finditer(P.pm_re, cur)})
+            if not pm_docs:
+                continue
+            sub = [cur[i] for i in pm_docs]
+            for si, mo in _batch_finditer(rgx, sub):
+                i = pm_docs[si]
+                clean = unpack_twprge(mo, default_ns=default_ns,
+                                      default_ew=default_ew)
+                cur[i] = cur[i].replace(mo.group(0), clean + ' ')
+            continue
+        per_doc = {}
+        for i, mo in _batch_finditer(rgx, cur):
+            per_doc.setdefault(i, []).append(mo)
+        for i, mos in per_doc.items():
+            t = cur[i]
+            for mo in mos:
+                clean = unpack_twprge(mo, default_ns=default_ns,
+                                      default_ew=default_ew,
+                                      ocr_scrub=ocr)
+                t = t.replace(mo.group(0), clean + ' ')
+            cur[i] = t
+    # reduce_whitespace, batched: per-doc strip, then the three
+    # closed-form passes over the joined batch (neither run class can
+    # cross the NUL separator).
+    cur = [t.strip().replace('\r', '\n') for t in cur]
+    combined = _DOC_SEP.join(cur)
+    combined = _WS_RUN_RE.sub(' ', combined)
+    combined = _NL_RUN_RE.sub('\n\n', combined)
+    cur = combined.split(_DOC_SEP) if cur else []
+    fixed_all = _batch_find_twprge(cur, default_ns, default_ew)
+    out = []
+    for i, text in enumerate(cur):
+        fixed = fixed_all[i]
+        for twprge in originals[i]:
+            if twprge in fixed:
+                fixed.remove(twprge)
+        out.append((text, fixed))
+    return out
 
 
 def find_sec(text):
@@ -214,6 +339,12 @@ def cleanup_desc(text):
         prev = text
         text = text.lstrip('.')
         text = text.strip(',;:-–—\t\n ')
+        # One tuple-endswith guard replaces six lower()+endswith per
+        # iteration in the (overwhelmingly common, and always final)
+        # no-trailing-word case; a hit falls through to the exact
+        # reference word-by-word loop.
+        if not text.lower().endswith(trailing_words):
+            continue
         for word in trailing_words:
             if text.lower().endswith(word):
                 text = text[:-len(word)]
@@ -585,7 +716,8 @@ def _segment_chunks(text, layout):
 
 def parse_document(text, layout=None, default_ns=None, default_ew=None,
                    ocr_scrub=False, clean_up=None, require_colon=False,
-                   segment=False, sec_within=False, no_pm=False):
+                   segment=False, sec_within=False, no_pm=False,
+                   _pre=None):
     """Parse one raw PLSS description into tract components.
 
     Returns a dict with:
@@ -600,7 +732,9 @@ def parse_document(text, layout=None, default_ns=None, default_ew=None,
     lot/QQ parsing, which is a separate stage (:mod:`.tract`).
     """
     mandate_layout = not segment and layout is not None
-    pp_text, fixed = preprocess_plss(
+    # _pre: (pp_text, fixed) already computed by the batch
+    # preprocessor (preprocess_plss_batch) -- the Spark UDF path.
+    pp_text, fixed = _pre if _pre is not None else preprocess_plss(
         text, default_ns, default_ew, ocr_scrub, no_pm)
     if layout is None:
         layout = deduce_layout(pp_text)

@@ -165,6 +165,10 @@ def assign_tiles_local(matches: DataFrame) -> DataFrame:
     schema = work.schema
 
     def reduce_partition(batches):
+        # Kernel: consecutive-run boundaries in numpy, then a Python
+        # loop over MULTI-candidate runs only (most images have 1-3
+        # candidates; a pandas groupby-transform here measured ~80x
+        # slower -- 13.7 s vs 0.17 s per 420k rows).
         carry = None            # one-row pdf: best-so-far of last id
         for pdf in batches:
             if len(pdf) == 0:
@@ -175,22 +179,245 @@ def assign_tiles_local(matches: DataFrame) -> DataFrame:
                 else:
                     yield carry
                 carry = None
-            ids = pdf['image_id']
-            key = pdf['trs'] + '\x00' + pdf['qq']
-            kmin = key.groupby(ids.to_numpy(), sort=False) \
-                .transform('min')
-            best = pdf.loc[(key == kmin).to_numpy()] \
-                .drop_duplicates('image_id', keep='first')
-            last_id = ids.iat[len(ids) - 1]
-            tail_mask = best['image_id'] == last_id
-            carry = best.loc[tail_mask.to_numpy()]
-            head = best.loc[(~tail_mask).to_numpy()]
-            if len(head):
-                yield head
+            idv = pdf['image_id'].to_numpy()
+            n = len(idv)
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = idv[1:] != idv[:-1]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.append(starts, n))
+            sel = starts.copy()
+            multi = np.flatnonzero(lens > 1)
+            if len(multi):
+                trs_v = pdf['trs'].to_numpy()
+                qq_v = pdf['qq'].to_numpy()
+                for mi in multi:
+                    s = starts[mi]
+                    best = s
+                    for j in range(s + 1, s + lens[mi]):
+                        if ((trs_v[j], qq_v[j])
+                                < (trs_v[best], qq_v[best])):
+                            best = j
+                    sel[mi] = best
+            best_rows = pdf.iloc[sel]
+            if idv[0] == idv[-1] and len(sel) == 1:
+                carry = best_rows      # whole batch is one image
+                continue
+            carry = best_rows.iloc[[-1]]
+            yield best_rows.iloc[:-1]
         if carry is not None and len(carry):
             yield carry
 
     return work.mapInPandas(reduce_partition, schema=schema)
+
+
+def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
+                       res: int = JOIN_RES, salt: int = 0) -> DataFrame:
+    """cell join + exact PIP + deterministic tile assignment in ONE
+    Python crossing, with the polygon dimension broadcast into the UDF
+    closure instead of shipped per candidate row.
+
+    Row-identical to ``assign_tiles_local(spatial_join(...))`` (the
+    tile_assign oracle gate runs against this path), but engineered
+    for the 10^11-row regime where the previous shape was
+    serialization-bound, not compute-bound:
+
+    - The join output carries ``pid`` (int32 into the broadcast
+      polygon table) instead of the two ring vertex arrays -- ~4 B/row
+      through Arrow where the ring arrays cost ~80+ B/row.  At 96M
+      images that is the difference between ~0.5 GB and ~9 GB of
+      serialized candidate stream per pass.
+    - PIP refinement and the consecutive-run winner reduction run in
+      the SAME ``mapInPandas`` batch loop -- one worker stage, one
+      Arrow round trip (the filter-then-map shape paid two).
+    - ``pid`` doubles as the tie-break: polygons are sorted by
+      ``(trs, qq)`` when collected, so the winner per image is
+      ``min(pid)`` -- an integer ``minimum.reduceat`` per batch, no
+      string tuple comparisons anywhere.
+
+    The polygon table is bounded (O(sections x aliquots) rows; ~37k at
+    bench scale, a few MB as numpy) -- small-dim broadcast is the
+    same contract the broadcast hash join relied on.  ``salt > 0``
+    spreads hot cells exactly as in :func:`spatial_join`.
+    """
+    import numpy as np
+
+    spark = points.sparkSession
+    pdf = (polygons.select('trs', 'qq', 'xmin', 'ymin', 'xmax', 'ymax',
+                           'ring_xs', 'ring_ys')
+           .toPandas().sort_values(['trs', 'qq']).reset_index(drop=True))
+    dt = dict(points.dtypes)
+    out_schema = (f"image_id {dt['image_id']}, caption {dt['caption']}, "
+                  'x double, y double, trs string, qq string')
+    if not len(pdf):
+        return spark.createDataFrame([], out_schema)
+
+    trs_arr = pdf['trs'].to_numpy(dtype=object)
+    qq_arr = pdf['qq'].to_numpy(dtype=object)
+    ring_lens = pdf['ring_xs'].map(len).to_numpy()
+    max_m = int(ring_lens.max())
+    n_poly = len(pdf)
+    # Pad each ring with its first vertex: edge k runs (v[k],
+    # v[(k+1) % M]), so padded edges are degenerate (v0, v0) no-ops
+    # and edge (m-1 -> v0) is the true closing edge.  The kernel stays
+    # exact for ANY simple polygon, not just 4-boxes.
+    rxs = np.empty((n_poly, max_m), dtype=np.float64)
+    rys = np.empty((n_poly, max_m), dtype=np.float64)
+    for i, (vx, vy) in enumerate(zip(pdf['ring_xs'], pdf['ring_ys'])):
+        m = len(vx)
+        rxs[i, :m] = vx
+        rys[i, :m] = vy
+        rxs[i, m:] = vx[0]
+        rys[i, m:] = vy[0]
+
+    # (cell, pid) index from the SAME collected table (no re-parse of
+    # the polygon lineage), exploded Spark-side with native sequence
+    # math and broadcast.
+    bbox = spark.createDataFrame(
+        pdf[['xmin', 'ymin', 'xmax', 'ymax']].assign(
+            pid=np.arange(n_poly, dtype=np.int64)),
+        'xmin double, ymin double, xmax double, ymax double, pid long')
+    index = bbox.select(
+        F.col('pid').cast('int').alias('pid'),
+        F.explode(cover_cells(
+            F.col('xmin'), F.col('ymin'), F.col('xmax'), F.col('ymax'),
+            res)).alias('cell'))
+
+    cell_col = f'cell{res}'
+    pts = points.select('image_id', 'caption', 'x', 'y',
+                        F.col(cell_col).alias('cell'))
+    if salt > 0:
+        pts = pts.withColumn(
+            'salt', F.pmod(F.xxhash64('image_id'), F.lit(salt)))
+        index = index.withColumn(
+            'salt', F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))) \
+            .withColumn('salt', F.col('salt').cast('long'))
+        cand = pts.join(F.broadcast(index), ['cell', 'salt'])
+    else:
+        cand = pts.join(F.broadcast(index), 'cell')
+    cand = cand.select('image_id', 'caption', 'x', 'y', 'pid')
+
+    def pip_assign(batches):
+        # carry: best-so-far for the image whose candidate run may
+        # continue into the next Arrow batch.
+        carry_id = None             # last raw image_id seen
+        carry_pid = None            # best surviving pid (None = none yet)
+        carry_pay = None            # (caption, x, y) of that best row
+
+        def emit_carry():
+            return pd.DataFrame({
+                'image_id': [carry_id],
+                'caption': [carry_pay[0]],
+                'x': np.asarray([carry_pay[1]], dtype=np.float64),
+                'y': np.asarray([carry_pay[2]], dtype=np.float64),
+                'trs': trs_arr[[carry_pid]],
+                'qq': qq_arr[[carry_pid]]})
+
+        for pdf_b in batches:
+            n = len(pdf_b)
+            if n == 0:
+                continue
+            idv = pdf_b['image_id'].to_numpy()
+            first_raw = idv[0]
+            last_raw = idv[-1]
+            if carry_id is not None and first_raw != carry_id:
+                if carry_pid is not None:
+                    yield emit_carry()
+                carry_id = carry_pid = carry_pay = None
+
+            pidv = pdf_b['pid'].to_numpy()
+            px = pdf_b['x'].to_numpy(dtype=np.float64)
+            py = pdf_b['y'].to_numpy(dtype=np.float64)
+            # Exact even-odd ray cast against the closure rings; the
+            # (n, M) gathers replace per-row ring arrays through Arrow.
+            X = rxs[pidv]
+            Y = rys[pidv]
+            hit = np.zeros(n, dtype=bool)
+            for k in range(max_m):
+                x1, y1 = X[:, k], Y[:, k]
+                x2, y2 = X[:, (k + 1) % max_m], Y[:, (k + 1) % max_m]
+                crosses = (y1 > py) != (y2 > py)
+                with np.errstate(divide='ignore', invalid='ignore'):
+                    xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                hit ^= crosses & (px < xint)
+
+            keep = np.flatnonzero(hit)
+            if len(keep):
+                id_f = idv[keep]
+                pid_f = pidv[keep]
+                new = np.empty(len(keep), dtype=bool)
+                new[0] = True
+                new[1:] = id_f[1:] != id_f[:-1]
+                run_ix = np.cumsum(new) - 1
+                # winner per run = row with min pid: lexsort by
+                # (run, pid), take the first row of each run group.
+                order = np.lexsort((pid_f, run_ix))
+                run_sorted = run_ix[order]
+                lead = np.empty(len(order), dtype=bool)
+                lead[0] = True
+                lead[1:] = run_sorted[1:] != run_sorted[:-1]
+                w_pos = order[lead]                 # index into keep[]
+                w_ids = id_f[w_pos]
+                w_pids = pid_f[w_pos]
+                w_ri = keep[w_pos]                  # raw row index
+                caps = pdf_b['caption'].to_numpy(dtype=object)[w_ri]
+                w_x = px[w_ri]
+                w_y = py[w_ri]
+
+                lo = 0
+                hi = len(w_ids)
+                # merge batch-head run into carry
+                if carry_id is not None and w_ids[0] == carry_id:
+                    if carry_pid is None or w_pids[0] < carry_pid:
+                        carry_pid = int(w_pids[0])
+                        carry_pay = (caps[0], float(w_x[0]),
+                                     float(w_y[0]))
+                    lo = 1
+                # tail run becomes (or merges into) the new carry
+                tail_is_open = hi > lo and w_ids[hi - 1] == last_raw
+                if tail_is_open:
+                    hi -= 1
+                    t_pid = int(w_pids[hi])
+                    t_pay = (caps[hi], float(w_x[hi]), float(w_y[hi]))
+                    if carry_id == last_raw:
+                        if carry_pid is None or t_pid < carry_pid:
+                            carry_pid = t_pid
+                            carry_pay = t_pay
+                    else:
+                        if carry_id is not None and carry_pid is not None:
+                            yield emit_carry()
+                        carry_id = last_raw
+                        carry_pid = t_pid
+                        carry_pay = t_pay
+                elif carry_id != last_raw:
+                    if carry_id is not None and carry_pid is not None:
+                        yield emit_carry()
+                    carry_id = last_raw
+                    carry_pid = None
+                    carry_pay = None
+
+                if hi > lo:
+                    sl = slice(lo, hi)
+                    pid_idx = w_pids[sl].astype(np.int64)
+                    yield pd.DataFrame({
+                        'image_id': w_ids[sl],
+                        'caption': caps[sl],
+                        'x': w_x[sl],
+                        'y': w_y[sl],
+                        'trs': trs_arr[pid_idx],
+                        'qq': qq_arr[pid_idx]})
+            else:
+                # no survivors in this batch at all
+                if carry_id != last_raw:
+                    if carry_id is not None and carry_pid is not None:
+                        yield emit_carry()
+                    carry_id = last_raw
+                    carry_pid = None
+                    carry_pay = None
+        if carry_id is not None and carry_pid is not None:
+            yield emit_carry()
+
+    return cand.mapInPandas(pip_assign, schema=out_schema)
 
 
 def cell_histogram(points: DataFrame, res: int = JOIN_RES) -> DataFrame:

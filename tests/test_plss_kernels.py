@@ -293,6 +293,81 @@ class TestPLSSPreprocess:
                 'T154N-R97W 5th PM, Sec 14: NE/4'
 
 
+class TestBatchPreprocess:
+    """The batched preprocessor must be indistinguishable from the
+    scalar one (which the reference-differential suite gates), and the
+    closed-form whitespace/cleanup rewrites must equal the reference's
+    fixed-point loops."""
+
+    FRAGS = ('T154N-R97W', 'Township 12 North, Range 8 West',
+             '154n-97w', 'T7S R2E', 'Sec 14: NE/4', 'Sections 3 - 9: W/2',
+             'of the 5th P.M.', 'T1N-R2', 'Twp 9 S, Rge 14 E',
+             '...N½SW¼...', '\r\n', '  \t ', 'Lot 4(38.29)', 'T10½ junk',
+             'R 60 W', 'Secion 7 - 9', 'principal meridian', 'T154-R97',
+             '1 54N 97W', '')
+
+    def test_batch_equals_scalar(self):
+        import random
+        from pytrs_spark.plss.document import (preprocess_plss,
+                                               preprocess_plss_batch)
+        rng = random.Random(11)
+        mk = lambda: ' '.join(rng.choice(self.FRAGS)  # noqa: E731
+                              for _ in range(rng.randint(0, 8)))
+        for _ in range(12):
+            batch = [mk() for _ in range(rng.randint(1, 30))]
+            for ocr in (False, True):
+                for nopm in (False, True):
+                    got = preprocess_plss_batch(batch, 'n', 'w', ocr, nopm)
+                    want = [preprocess_plss(t, 'n', 'w', ocr, nopm)
+                            for t in batch]
+                    assert got == want
+
+    def test_batch_nul_fallback(self):
+        from pytrs_spark.plss.document import (preprocess_plss,
+                                               preprocess_plss_batch)
+        batch = ['T154N-R97W Sec 14: NE/4', 'bad\x00doc T1S-R9E']
+        got = preprocess_plss_batch(batch)
+        assert got == [preprocess_plss(t) for t in batch]
+
+    def test_reduce_whitespace_closed_form(self):
+        import random
+        import re
+        from pytrs_spark.plss.document import cleanup_desc, \
+            reduce_whitespace
+
+        def rw_ref(text):
+            text = text.strip()
+            prev = None
+            while text != prev:
+                prev = text
+                text = re.sub(r' +', ' ', text)
+                text = re.sub(r'\t+', ' ', text)
+                text = re.sub(r'\r', '\n', text)
+                text = re.sub(r'\n{2,}', '\n\n', text)
+                text = re.sub(r'^[ \t]', '', text)
+            return text
+
+        def cd_ref(text):
+            words = (' the', ' all in', ' all of', ' of', ' in', ' and')
+            prev = None
+            while text != prev:
+                prev = text
+                text = text.lstrip('.')
+                text = text.strip(',;:-–—\t\n ')
+                for word in words:
+                    if text.lower().endswith(word):
+                        text = text[:-len(word)]
+            return text
+
+        rng = random.Random(3)
+        chars = ' \t\r\n.,;:-–—abcOF IN THE ALL AND ofinandthe½¼'
+        for _ in range(4000):
+            s = ''.join(rng.choice(chars)
+                        for _ in range(rng.randint(0, 40)))
+            assert reduce_whitespace(s) == rw_ref(s), repr(s)
+            assert cleanup_desc(s) == cd_ref(s), repr(s)
+
+
 MULTI_LAYOUT_DESCS = (
     "T155N-R97W Sec 1: SW/4, T154N-R97W Sec 20: W/2, "
     "Sec 24 - 27: S/2, Sec 28: N/2",
