@@ -312,9 +312,7 @@ def main():
 
     def kernel_run():
         _clear_kernel_caches()
-        pres = _dock.preprocess_plss_batch(texts)
-        for text, pre in zip(texts, pres):
-            r = _dock.parse_document(text, _pre=pre)
+        for r in _dock.parse_documents_kernel(texts):
             for t in r['tracts']:
                 _trk.parse_tract(t['desc'])
 

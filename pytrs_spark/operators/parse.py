@@ -112,17 +112,14 @@ def _doc_parse_udf(layout=None, default_ns=None, default_ew=None,
                    sec_within=False, no_pm=False):
     @F.pandas_udf(_DOC_RESULT)
     def udf(texts: pd.Series) -> pd.DataFrame:
-        txts = ['' if t is None else t for t in texts]
-        # One regex scan per scrubber per Arrow batch (vs per doc).
-        pres = doc_kernel.preprocess_plss_batch(
-            txts, default_ns, default_ew, ocr_scrub, no_pm)
+        # One regex scan per pattern per Arrow batch (vs per doc).
+        results = doc_kernel.parse_documents_kernel(
+            list(texts), layout=layout, default_ns=default_ns,
+            default_ew=default_ew, ocr_scrub=ocr_scrub,
+            require_colon=require_colon, segment=segment,
+            sec_within=sec_within, no_pm=no_pm)
         rows = []
-        for text, pre in zip(txts, pres):
-            r = doc_kernel.parse_document(
-                text, layout=layout, default_ns=default_ns,
-                default_ew=default_ew, ocr_scrub=ocr_scrub,
-                require_colon=require_colon, segment=segment,
-                sec_within=sec_within, no_pm=no_pm, _pre=pre)
+        for r in results:
             tracts = []
             for t in r['tracts']:
                 d = trs_kernel.trs_decompose(t['trs'])
@@ -231,17 +228,14 @@ def _full_parse_udf(layout=None, default_ns=None, default_ew=None,
                     qq_depth_max=None, qq_depth=None, break_halves=False):
     @F.pandas_udf(_FULL_RESULT)
     def udf(texts: pd.Series) -> pd.DataFrame:
-        txts = ['' if t is None else t for t in texts]
-        # One regex scan per scrubber per Arrow batch (vs per doc).
-        pres = doc_kernel.preprocess_plss_batch(
-            txts, default_ns, default_ew, ocr_scrub, no_pm)
+        # One regex scan per pattern per Arrow batch (vs per doc).
+        results = doc_kernel.parse_documents_kernel(
+            list(texts), layout=layout, default_ns=default_ns,
+            default_ew=default_ew, ocr_scrub=ocr_scrub,
+            require_colon=require_colon, segment=segment,
+            sec_within=sec_within, no_pm=no_pm)
         rows = []
-        for text, pre in zip(txts, pres):
-            r = doc_kernel.parse_document(
-                text, layout=layout, default_ns=default_ns,
-                default_ew=default_ew, ocr_scrub=ocr_scrub,
-                require_colon=require_colon, segment=segment,
-                sec_within=sec_within, no_pm=no_pm, _pre=pre)
+        for r in results:
             tracts = []
             for t in r['tracts']:
                 d = trs_kernel.trs_decompose(t['trs'])

@@ -23,6 +23,7 @@ from .trs import (
     is_error,
     ocr_digits,
     trs_decompose,
+    trs_normalize,
     twprge_natural_to_short,
 )
 
@@ -211,13 +212,14 @@ def _batch_finditer(rgx, texts):
         bounds.append(pos)
         pos += len(t) + len(_DOC_SEP)
     for mo in rgx.finditer(_DOC_SEP.join(texts)):
-        yield bisect_right(bounds, mo.start()) - 1, mo
+        i = bisect_right(bounds, mo.start()) - 1
+        yield i, mo, bounds[i]
 
 
 def _batch_find_twprge(texts, default_ns, default_ew):
     """Per-doc ``find_twprge`` lists via one combined scan."""
     out = [[] for _ in texts]
-    for i, mo in _batch_finditer(P.twprge_re, texts):
+    for i, mo, _ in _batch_finditer(P.twprge_re, texts):
         out[i].append(unpack_twprge(mo, default_ns, default_ew))
     return out
 
@@ -252,19 +254,19 @@ def preprocess_plss_batch(texts, default_ns=None, default_ew=None,
     for rgx in scrubbers:
         ocr = rgx is P.pp_twprge_ocr_scrub
         if rgx is P.pp_twprge_pm:
-            pm_docs = sorted({i for i, _ in
+            pm_docs = sorted({i for i, _, _ in
                               _batch_finditer(P.pm_re, cur)})
             if not pm_docs:
                 continue
             sub = [cur[i] for i in pm_docs]
-            for si, mo in _batch_finditer(rgx, sub):
+            for si, mo, _ in _batch_finditer(rgx, sub):
                 i = pm_docs[si]
                 clean = unpack_twprge(mo, default_ns=default_ns,
                                       default_ew=default_ew)
                 cur[i] = cur[i].replace(mo.group(0), clean + ' ')
             continue
         per_doc = {}
-        for i, mo in _batch_finditer(rgx, cur):
+        for i, mo, _ in _batch_finditer(rgx, cur):
             per_doc.setdefault(i, []).append(mo)
         for i, mos in per_doc.items():
             t = cur[i]
@@ -291,6 +293,33 @@ def preprocess_plss_batch(texts, default_ns=None, default_ew=None,
                 fixed.remove(twprge)
         out.append((text, fixed))
     return out
+
+
+def parse_documents_kernel(texts, layout=None, default_ns=None,
+                           default_ew=None, ocr_scrub=False,
+                           clean_up=None, require_colon=False,
+                           segment=False, sec_within=False,
+                           no_pm=False):
+    """Batched :func:`parse_document` over a document list -- the
+    Spark UDF entry.  Result-identical to the scalar path (property
+    test + the reference-differential suite); the preprocess
+    scrubbers run one combined regex scan per Arrow batch.
+
+    (Batching the post-preprocess finder scans was measured and
+    REJECTED: the layout probes are early-exit ``search`` calls that
+    a whole-corpus ``finditer`` can only lose to, and the warning
+    merge re-scans would double work on matching docs.)
+    """
+    texts = ['' if t is None else t for t in texts]
+    pres = preprocess_plss_batch(texts, default_ns, default_ew,
+                                 ocr_scrub, no_pm)
+    return [parse_document(t, layout=layout, default_ns=default_ns,
+                           default_ew=default_ew, ocr_scrub=ocr_scrub,
+                           clean_up=clean_up,
+                           require_colon=require_colon, segment=segment,
+                           sec_within=sec_within, no_pm=no_pm,
+                           _pre=pres[i])
+            for i, t in enumerate(texts)]
 
 
 def find_sec(text):
@@ -386,12 +415,19 @@ SEC_COLON_CAUTIOUS = 'sec_colon_cautious'
 _SECOND_PASS = 'second_pass'
 
 
-def _find_sec_matches(text, layout, require_colon, flags, flag_lines):
+def _find_sec_matches(text, layout, require_colon, flags, flag_lines,
+                      _ms=None):
     """Layout-aware section matches as (sec_list, start, end)
     (plss_parse.py:122-253).
 
     ``require_colon``: False / True / SEC_COLON_CAUTIOUS (two-pass:
     require the colon, rerun without if nothing matched).
+
+    ``_ms``: precomputed multisec match tuples ``(sec_txt, start, end,
+    colon_is_none, rightmost_is_none)`` from the batch scan -- exactly
+    the fields this function reads off each match object (the
+    multisec finditer has no pos/endpos windowing, so the global
+    batch scan finds the identical match set).
     """
     from .tract import unpack_secs
 
@@ -405,18 +441,23 @@ def _find_sec_matches(text, layout, require_colon, flags, flag_lines):
     if layout not in (TRS_DESC, S_DESC_TR):
         need_colon = False
 
+    if _ms is None:
+        # List, not generator: the colon-cautious second pass re-reads
+        # the same match set.
+        _ms = [(mo.group(0), mo.start(0), mo.end(0),
+                mo['colon'] is None, mo['secnum_rightmost'] is None)
+               for mo in P.multisec_re.finditer(text)]
     sec_nums = []
-    for mo in P.multisec_re.finditer(text):
+    for sec_txt, mstart, mend, colon_none, rightmost_none in _ms:
         legit = True
-        sec_txt = mo.group(0)
         sec_nums, _, _ = unpack_secs(sec_txt)
         # In sec-first layouts, a section preceded by 'of'/'said'/'in'/
         # 'within' is a continuation, not a new tract.
         illegal = (' of', ' said', ' in', ' within')
-        prior = text[:mo.start()].rstrip()
+        prior = text[:mstart].rstrip()
         if layout in (TRS_DESC, S_DESC_TR) and prior.endswith(illegal):
             legit = False
-        if need_colon and mo['colon'] is None:
+        if need_colon and colon_none:
             legit = False
         if not legit:
             if len(sec_nums) > 1:
@@ -426,7 +467,7 @@ def _find_sec_matches(text, layout, require_colon, flags, flag_lines):
             flags.append(flag)
             flag_lines.append((flag, sec_txt))
             continue
-        if mo['secnum_rightmost'] is not None:
+        if not rightmost_none:
             flag = f"multisec_found<{','.join(sec_nums)}>"
             flags.append(flag)
             flag_lines.append((flag, sec_txt))
@@ -435,7 +476,7 @@ def _find_sec_matches(text, layout, require_colon, flags, flag_lines):
         secs, unpack_flags, unpack_flag_lines = unpack_secs(sec_txt)
         flags.extend(unpack_flags)
         flag_lines.extend(unpack_flag_lines)
-        matches.append((secs, mo.start(0), mo.end(0)))
+        matches.append((secs, mstart, mend))
 
     if matches and require_colon != _SECOND_PASS:
         return matches
@@ -448,7 +489,7 @@ def _find_sec_matches(text, layout, require_colon, flags, flag_lines):
         flags.clear()
         flag_lines.clear()
         return _find_sec_matches(text, layout, _SECOND_PASS, flags,
-                                 flag_lines)
+                                 flag_lines, _ms=_ms)
     return matches
 
 
@@ -469,11 +510,19 @@ _WARNING_SCANS = (
 )
 
 
-def _scan_warning_flags(chunk, w_flags, w_flag_lines):
+def _scan_warning_flags(chunk, w_flags, w_flag_lines, _active=None):
     """Context-regex warning scan with rightward context merging of
-    adjacent matches (plss_parse.py:1025-1071)."""
+    adjacent matches (plss_parse.py:1025-1071).
+
+    ``_active``: flags whose regex is known (from the batch pre-scan)
+    to match somewhere in this chunk; the others are skipped -- a
+    regex with zero matches contributes nothing here, so the skip is
+    exact.  The windowed merge re-scans stay per-chunk (their
+    pos/endpos truncation semantics are not batchable)."""
     max_end = len(chunk)
     for rgx, flag, left_context, right_context in _WARNING_SCANS:
+        if _active is not None and flag not in _active:
+            continue
         start_pos = 0
         while True:
             start_mo = rgx.search(chunk, pos=start_pos)
@@ -542,16 +591,24 @@ class _ChunkState:
 
 
 def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
-                 sec_within):
+                 sec_within, _scan=None):
     """Parse one chunk into tract components; returns a _ChunkState.
 
     Falls back to a COPY_ALL re-parse if no tract was identified
     (plss_parse.py:790-846).
+
+    ``_scan``: batch-precomputed ``(deduced_layout, ms_tuples,
+    warn_active)`` for the whole-document chunk (only passed when the
+    chunk IS the preprocessed text): the deduced layout of this exact
+    text, the multisec match tuples, and the set of warning flags
+    whose regex matches somewhere in the text.
     """
     state = _ChunkState()
     chunk_layout = layout
+    deduced, ms_tuples, warn_active = _scan or (None, None, None)
     if chunk_layout != COPY_ALL and not mandate_layout:
-        chunk_layout = deduce_layout(text)
+        chunk_layout = deduced if deduced is not None \
+            else deduce_layout(text)
 
     tw_flags, tw_flag_lines = [], []
     twprge_matches = _find_twprge_matches(
@@ -560,7 +617,8 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
     state.w_flag_lines.extend(tw_flag_lines)
     sec_flags, sec_flag_lines = [], []
     sec_matches = _find_sec_matches(
-        text, chunk_layout, require_colon, sec_flags, sec_flag_lines)
+        text, chunk_layout, require_colon, sec_flags, sec_flag_lines,
+        _ms=ms_tuples)
     state.w_flags.extend(sec_flags)
     state.w_flag_lines.extend(sec_flag_lines)
 
@@ -583,7 +641,8 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
             'desc': text, 'sec': [sec[0]], 'twprge': twprge,
             'sec_within': False,
         })
-        _scan_warning_flags(text, state.w_flags, state.w_flag_lines)
+        _scan_warning_flags(text, state.w_flags, state.w_flag_lines,
+                            _active=warn_active)
         return state
 
     def stage_tract(desc):
@@ -657,9 +716,10 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
         # Nothing found: rerun the chunk as COPY_ALL
         # (plss_parse.py:835-846).
         return _parse_chunk(text, COPY_ALL, require_colon, clean_up,
-                            mandate_layout, sec_within)
+                            mandate_layout, sec_within, _scan=_scan)
 
-    _scan_warning_flags(text, state.w_flags, state.w_flag_lines)
+    _scan_warning_flags(text, state.w_flags, state.w_flag_lines,
+                        _active=warn_active)
     return state
 
 
@@ -717,7 +777,7 @@ def _segment_chunks(text, layout):
 def parse_document(text, layout=None, default_ns=None, default_ew=None,
                    ocr_scrub=False, clean_up=None, require_colon=False,
                    segment=False, sec_within=False, no_pm=False,
-                   _pre=None):
+                   _pre=None, _scan=None):
     """Parse one raw PLSS description into tract components.
 
     Returns a dict with:
@@ -737,7 +797,12 @@ def parse_document(text, layout=None, default_ns=None, default_ew=None,
     pp_text, fixed = _pre if _pre is not None else preprocess_plss(
         text, default_ns, default_ew, ocr_scrub, no_pm)
     if layout is None:
-        layout = deduce_layout(pp_text)
+        layout = _scan[0] if _scan is not None \
+            else deduce_layout(pp_text)
+        if _scan is None and not segment:
+            # The single chunk IS pp_text: hand the deduction down so
+            # _parse_chunk doesn't redo the identical pure call.
+            _scan = (layout, None, None)
     if clean_up is None:
         clean_up = layout != COPY_ALL
 
@@ -760,7 +825,8 @@ def parse_document(text, layout=None, default_ns=None, default_ew=None,
         if mandate_layout:
             chunk_layout = layout
         state = _parse_chunk(chunk, chunk_layout, require_colon, clean_up,
-                             mandate_layout, sec_within)
+                             mandate_layout, sec_within,
+                             _scan=_scan if not segment else None)
         w_flags.extend(state.w_flags)
         w_flag_lines.extend(state.w_flag_lines)
         e_flags.extend(state.e_flags)
@@ -787,7 +853,7 @@ def parse_document(text, layout=None, default_ns=None, default_ew=None,
             # full error TRS -- same as the reference, where Tract
             # always normalizes via trs_to_dict (tract.py:479-499).
             tracts.append({
-                'trs': trs_decompose(f"{comp['twprge']}{sec}")['trs'],
+                'trs': trs_normalize(f"{comp['twprge']}{sec}"),
                 'desc': desc,
                 'sec_within': comp['sec_within'],
             })

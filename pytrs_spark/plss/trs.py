@@ -133,6 +133,13 @@ def trs_decompose(trs) -> dict:
     return dict(_trs_decompose_cached(trs))
 
 
+def trs_normalize(trs) -> str:
+    """Just the normalized key (the ``'trs'`` field of
+    :func:`trs_decompose`) without paying for the dict copy -- the
+    document parser's fan-out loop only needs the string."""
+    return _trs_decompose_cached(trs)['trs']
+
+
 @lru_cache(maxsize=65536)
 def _trs_decompose_cached(trs) -> dict:
     out = {
