@@ -98,7 +98,11 @@ def scaling_child():
     polygons.cache().count()
 
     def run():
-        assign_images_to_tiles(images, polygons) \
+        # Pure assignment (no payload columns through the Python
+        # crossing): the production shape for a 10^11-row corpus --
+        # payload re-joins by image_id downstream where needed.  The
+        # checksum covers the full assignment output.
+        assign_images_to_tiles(images, polygons, payload_cols=()) \
             .select(F.max(F.xxhash64('image_id', 'trs', 'qq'))).collect()
 
     run()   # warm workers; not timed
@@ -272,6 +276,15 @@ def main():
 
     headline = _median_time(tile_run)
     queries['tile_assign'] = round(headline, 3)
+
+    # Same pipeline without payload columns through the Python
+    # crossing -- the late-materialization production shape the
+    # scaling probe measures.
+    queries['tile_assign_nopayload'] = round(_median_time(
+        lambda: assign_images_to_tiles(images, polygons,
+                                       payload_cols=())
+        .select(F.max(F.xxhash64('image_id', 'trs', 'qq'))).collect(),
+        runs=RUNS), 3)
 
     # kNN to section corners.
     pts = images.select('image_id', 'phash')

@@ -38,19 +38,27 @@ def polygon_layer_from_descs(descs: DataFrame,
 
 
 def assign_images_to_tiles(images: DataFrame, polygons: DataFrame,
-                           res: int = JOIN_RES, salt: int = 0) -> DataFrame:
+                           res: int = JOIN_RES, salt: int = 0,
+                           payload_cols=('caption',)) -> DataFrame:
     """images (input_hint shape) x polygon layer -> one tile per image.
 
-    Output: image_id, caption, x, y, trs, qq (sorted-set comparable).
+    Output: image_id, *payload_cols, x, y, trs, qq (sorted-set
+    comparable).  ``payload_cols`` default keeps the caption in the
+    output; pass ``()`` for the pure assignment -- at 10^11-row scale
+    payload bytes through the Python crossing are the bottleneck, and
+    the late-materialization policy (re-join payload by image_id only
+    where needed) is the same one that keeps ``bytes`` out of the
+    join path.
     """
     points = with_anchor(images)
-    # One fused mapInPandas does cell-join refinement + PIP + winner
+    # One fused mapInArrow does cell-join refinement + PIP + winner
     # reduction: the candidate stream through Arrow carries an int32
     # pid instead of ring arrays, and NOTHING shuffles end to end
     # (see assign_tiles_fused; row-identical to the unfused
     # spatial_join -> assign_tiles_local composition, which remains
     # for stage-level tests).
-    return assign_tiles_fused(points, polygons, res=res, salt=salt)
+    return assign_tiles_fused(points, polygons, res=res, salt=salt,
+                              payload_cols=payload_cols)
 
 
 def run_flagship(spark, images: DataFrame, descs: DataFrame,

@@ -212,28 +212,38 @@ def assign_tiles_local(matches: DataFrame) -> DataFrame:
 
 
 def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
-                       res: int = JOIN_RES, salt: int = 0) -> DataFrame:
+                       res: int = JOIN_RES, salt: int = 0,
+                       payload_cols=('caption',)) -> DataFrame:
     """cell join + exact PIP + deterministic tile assignment in ONE
-    Python crossing, with the polygon dimension broadcast into the UDF
-    closure instead of shipped per candidate row.
+    Python crossing, engineered so the bytes that cross the
+    JVM<->Python boundary are the minimum the semantics allow.
 
     Row-identical to ``assign_tiles_local(spatial_join(...))`` (the
-    tile_assign oracle gate runs against this path), but engineered
-    for the 10^11-row regime where the previous shape was
-    serialization-bound, not compute-bound:
+    tile_assign oracle gate runs against this path), but shaped for
+    the regime the 96M-row probes exposed, where the pipeline is
+    BANDWIDTH-bound (Arrow serialization through worker sockets),
+    not compute-bound:
 
     - The join output carries ``pid`` (int32 into the broadcast
       polygon table) instead of the two ring vertex arrays -- ~4 B/row
-      through Arrow where the ring arrays cost ~80+ B/row.  At 96M
-      images that is the difference between ~0.5 GB and ~9 GB of
-      serialized candidate stream per pass.
-    - PIP refinement and the consecutive-run winner reduction run in
-      the SAME ``mapInPandas`` batch loop -- one worker stage, one
-      Arrow round trip (the filter-then-map shape paid two).
+      through Arrow where the ring arrays cost ~80+ B/row.
+    - ``mapInArrow``, not ``mapInPandas``: winner rows are
+      ``pc.take``-d straight out of the input buffers; string values
+      (image ids, payload) never materialize as Python objects.
+    - The Python stage RETURNS ``pid``; the winner's ``(trs, qq)``
+      attach JVM-side via a broadcast hash join against the tiny
+      ``(pid, trs, qq)`` dim -- 4 B/row crosses the socket instead of
+      ~14 B of strings.
+    - ``payload_cols`` (default the image caption) ride through the
+      crossing only when the caller wants them in the output --
+      late-materialization, same policy that keeps ``bytes`` out of
+      the join path.  Pass ``()`` for the pure assignment.
     - ``pid`` doubles as the tie-break: polygons are sorted by
       ``(trs, qq)`` when collected, so the winner per image is
-      ``min(pid)`` -- an integer ``minimum.reduceat`` per batch, no
-      string tuple comparisons anywhere.
+      ``min(pid)`` -- an integer reduction, no string compares.
+    - Driver-side prep (polygon collect, ring matrices, exploded cell
+      index) is memoized on the ``polygons`` DataFrame: build the dim
+      index once, stream images against it forever.
 
     The polygon table is bounded (O(sections x aliquots) rows; ~37k at
     bench scale, a few MB as numpy) -- small-dim broadcast is the
@@ -243,93 +253,139 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
     import numpy as np
 
     spark = points.sparkSession
-    pdf = (polygons.select('trs', 'qq', 'xmin', 'ymin', 'xmax', 'ymax',
-                           'ring_xs', 'ring_ys')
-           .toPandas().sort_values(['trs', 'qq']).reset_index(drop=True))
     dt = dict(points.dtypes)
-    out_schema = (f"image_id {dt['image_id']}, caption {dt['caption']}, "
-                  'x double, y double, trs string, qq string')
-    if not len(pdf):
-        return spark.createDataFrame([], out_schema)
+    payload_cols = tuple(payload_cols)
+    out_cols = ['image_id', *payload_cols, 'x', 'y', 'trs', 'qq']
+    py_schema = ', '.join(
+        [f"image_id {dt['image_id']}"]
+        + [f'{c} {dt[c]}' for c in payload_cols]
+        + ['x double', 'y double', 'pid int'])
+    empty_schema = ', '.join(
+        [f"image_id {dt['image_id']}"]
+        + [f'{c} {dt[c]}' for c in payload_cols]
+        + ['x double', 'y double', 'trs string', 'qq string'])
 
-    trs_arr = pdf['trs'].to_numpy(dtype=object)
-    qq_arr = pdf['qq'].to_numpy(dtype=object)
-    ring_lens = pdf['ring_xs'].map(len).to_numpy()
-    max_m = int(ring_lens.max())
-    n_poly = len(pdf)
-    # Pad each ring with its first vertex: edge k runs (v[k],
-    # v[(k+1) % M]), so padded edges are degenerate (v0, v0) no-ops
-    # and edge (m-1 -> v0) is the true closing edge.  The kernel stays
-    # exact for ANY simple polygon, not just 4-boxes.
-    rxs = np.empty((n_poly, max_m), dtype=np.float64)
-    rys = np.empty((n_poly, max_m), dtype=np.float64)
-    for i, (vx, vy) in enumerate(zip(pdf['ring_xs'], pdf['ring_ys'])):
-        m = len(vx)
-        rxs[i, :m] = vx
-        rys[i, :m] = vy
-        rxs[i, m:] = vx[0]
-        rys[i, m:] = vy[0]
-
-    # (cell, pid) index from the SAME collected table (no re-parse of
-    # the polygon lineage), exploded Spark-side with native sequence
-    # math and broadcast.
-    bbox = spark.createDataFrame(
-        pdf[['xmin', 'ymin', 'xmax', 'ymax']].assign(
-            pid=np.arange(n_poly, dtype=np.int64)),
-        'xmin double, ymin double, xmax double, ymax double, pid long')
-    index = bbox.select(
-        F.col('pid').cast('int').alias('pid'),
-        F.explode(cover_cells(
-            F.col('xmin'), F.col('ymin'), F.col('xmax'), F.col('ymax'),
-            res)).alias('cell'))
+    prep_cache = getattr(polygons, '_fused_prep', None)
+    if prep_cache is None:
+        prep_cache = {}
+        polygons._fused_prep = prep_cache
+    prep = prep_cache.get(res)
+    if prep is None:
+        pdf = (polygons.select('trs', 'qq', 'xmin', 'ymin',
+                               'xmax', 'ymax', 'ring_xs', 'ring_ys')
+               .toPandas().sort_values(['trs', 'qq'])
+               .reset_index(drop=True))
+        if not len(pdf):
+            prep_cache[res] = ()
+            return spark.createDataFrame([], empty_schema)
+        ring_lens = pdf['ring_xs'].map(len).to_numpy()
+        max_m = int(ring_lens.max())
+        n_poly = len(pdf)
+        # Pad each ring with its first vertex: edge k runs (v[k],
+        # v[(k+1) % M]), so padded edges are degenerate (v0, v0)
+        # no-ops and edge (m-1 -> v0) is the true closing edge.  The
+        # kernel stays exact for ANY simple polygon, not just 4-boxes.
+        rxs = np.empty((n_poly, max_m), dtype=np.float64)
+        rys = np.empty((n_poly, max_m), dtype=np.float64)
+        for i, (vx, vy) in enumerate(zip(pdf['ring_xs'],
+                                         pdf['ring_ys'])):
+            m = len(vx)
+            rxs[i, :m] = vx
+            rys[i, :m] = vy
+            rxs[i, m:] = vx[0]
+            rys[i, m:] = vy[0]
+        # (cell, pid) index and the (pid, trs, qq) dim from the SAME
+        # collected table (no re-parse of the polygon lineage); both
+        # cached so every reuse starts from materialized rows.
+        bbox = spark.createDataFrame(
+            pdf[['xmin', 'ymin', 'xmax', 'ymax']].assign(
+                pid=np.arange(n_poly, dtype=np.int64)),
+            'xmin double, ymin double, xmax double, ymax double, '
+            'pid long')
+        index = bbox.select(
+            F.col('pid').cast('int').alias('pid'),
+            F.explode(cover_cells(
+                F.col('xmin'), F.col('ymin'), F.col('xmax'),
+                F.col('ymax'), res)).alias('cell')).cache()
+        index.count()
+        dim = spark.createDataFrame(
+            pdf[['trs', 'qq']].assign(
+                pid=np.arange(n_poly, dtype=np.int64)),
+            'trs string, qq string, pid long') \
+            .select(F.col('pid').cast('int').alias('pid'),
+                    'trs', 'qq').cache()
+        dim.count()
+        prep = (rxs, rys, max_m, index, dim)
+        prep_cache[res] = prep
+    elif prep == ():
+        return spark.createDataFrame([], empty_schema)
+    rxs, rys, max_m, index, dim = prep
 
     cell_col = f'cell{res}'
-    pts = points.select('image_id', 'caption', 'x', 'y',
+    pts = points.select('image_id', *payload_cols, 'x', 'y',
                         F.col(cell_col).alias('cell'))
     if salt > 0:
         pts = pts.withColumn(
             'salt', F.pmod(F.xxhash64('image_id'), F.lit(salt)))
-        index = index.withColumn(
+        sindex = index.withColumn(
             'salt', F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))) \
             .withColumn('salt', F.col('salt').cast('long'))
-        cand = pts.join(F.broadcast(index), ['cell', 'salt'])
+        cand = pts.join(F.broadcast(sindex), ['cell', 'salt'])
     else:
         cand = pts.join(F.broadcast(index), 'cell')
-    cand = cand.select('image_id', 'caption', 'x', 'y', 'pid')
+    cand = cand.select('image_id', *payload_cols, 'x', 'y', 'pid')
+    n_pay = len(payload_cols)
+    ix_x, ix_y, ix_pid = 1 + n_pay, 2 + n_pay, 3 + n_pay
 
     def pip_assign(batches):
-        # carry: best-so-far for the image whose candidate run may
-        # continue into the next Arrow batch.
-        carry_id = None             # last raw image_id seen
-        carry_pid = None            # best surviving pid (None = none yet)
-        carry_pay = None            # (caption, x, y) of that best row
+        # Arrow-native kernel: value buffers are sliced/taken, never
+        # converted to Python objects.
+        #
+        # DEADLOCK-PROOF SHAPE: consume every input batch BEFORE
+        # yielding any output.  With output interleaved per-batch,
+        # both directions of the worker socket can fill at once
+        # (python blocked in sendmsg on ~4 MB of unread output while
+        # the JVM task thread blocks pushing input) -- observed as a
+        # hard deadlock at 96M rows.  Winners are ~1 row per image,
+        # so the accumulator is bounded by the task's input slice
+        # (maxPartitionBytes), not by the corpus.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        def emit_carry():
-            return pd.DataFrame({
-                'image_id': [carry_id],
-                'caption': [carry_pay[0]],
-                'x': np.asarray([carry_pay[1]], dtype=np.float64),
-                'y': np.asarray([carry_pay[2]], dtype=np.float64),
-                'trs': trs_arr[[carry_pid]],
-                'qq': qq_arr[[carry_pid]]})
+        acc = []                    # winner RecordBatches
+        schema_pa = None
+        carry_id = None             # last raw image_id (python value)
+        carry_pid = None            # best surviving pid (None = none)
+        carry_vals = None           # python values of the winner row
 
-        for pdf_b in batches:
-            n = len(pdf_b)
+        def acc_carry():
+            # carry_vals covers every column except pid (the winner's
+            # own row values); pid is the reduced minimum.
+            arrs = [pa.array([v], type=schema_pa.field(i).type)
+                    for i, v in enumerate(carry_vals)]
+            arrs.append(pa.array([carry_pid], type=pa.int32()))
+            acc.append(pa.record_batch(arrs, schema=schema_pa))
+
+        for b in batches:
+            n = b.num_rows
             if n == 0:
                 continue
-            idv = pdf_b['image_id'].to_numpy()
-            first_raw = idv[0]
-            last_raw = idv[-1]
+            if schema_pa is None:
+                schema_pa = b.schema
+            ids = b.column(0)
+            px = b.column(ix_x).to_numpy(zero_copy_only=False)
+            py = b.column(ix_y).to_numpy(zero_copy_only=False)
+            pidv = b.column(ix_pid).to_numpy(zero_copy_only=False)
+            first_raw = ids[0].as_py()
+            last_raw = ids[n - 1].as_py()
             if carry_id is not None and first_raw != carry_id:
                 if carry_pid is not None:
-                    yield emit_carry()
-                carry_id = carry_pid = carry_pay = None
+                    acc_carry()
+                carry_id = carry_pid = carry_vals = None
 
-            pidv = pdf_b['pid'].to_numpy()
-            px = pdf_b['x'].to_numpy(dtype=np.float64)
-            py = pdf_b['y'].to_numpy(dtype=np.float64)
             # Exact even-odd ray cast against the closure rings; the
-            # (n, M) gathers replace per-row ring arrays through Arrow.
+            # (n, M) gathers replace per-row ring arrays through
+            # Arrow.
             X = rxs[pidv]
             Y = rys[pidv]
             hit = np.zeros(n, dtype=bool)
@@ -343,12 +399,19 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
 
             keep = np.flatnonzero(hit)
             if len(keep):
-                id_f = idv[keep]
-                pid_f = pidv[keep]
-                new = np.empty(len(keep), dtype=bool)
+                keep_pa = pa.array(keep)
+                ids_f = pc.take(ids, keep_pa)
+                m = len(keep)
+                new = np.empty(m, dtype=bool)
                 new[0] = True
-                new[1:] = id_f[1:] != id_f[:-1]
+                if m > 1:
+                    # consecutive-id run boundaries, computed on the
+                    # Arrow buffers (C-level compare, no objects)
+                    neq = pc.not_equal(ids_f.slice(1),
+                                       ids_f.slice(0, m - 1))
+                    new[1:] = neq.to_numpy(zero_copy_only=False)
                 run_ix = np.cumsum(new) - 1
+                pid_f = pidv[keep]
                 # winner per run = row with min pid: lexsort by
                 # (run, pid), take the first row of each run group.
                 order = np.lexsort((pid_f, run_ix))
@@ -356,68 +419,77 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                 lead = np.empty(len(order), dtype=bool)
                 lead[0] = True
                 lead[1:] = run_sorted[1:] != run_sorted[:-1]
-                w_pos = order[lead]                 # index into keep[]
-                w_ids = id_f[w_pos]
+                w_pos = order[lead]             # index into keep[]
+                w_keep = keep[w_pos]            # raw row index
                 w_pids = pid_f[w_pos]
-                w_ri = keep[w_pos]                  # raw row index
-                caps = pdf_b['caption'].to_numpy(dtype=object)[w_ri]
-                w_x = px[w_ri]
-                w_y = py[w_ri]
+
+                def row_vals(ri):
+                    return tuple(b.column(c)[ri].as_py()
+                                 for c in range(b.num_columns - 1))
 
                 lo = 0
-                hi = len(w_ids)
+                hi = len(w_pos)
                 # merge batch-head run into carry
-                if carry_id is not None and w_ids[0] == carry_id:
+                if carry_id is not None \
+                        and ids_f[w_pos[0]].as_py() == carry_id:
                     if carry_pid is None or w_pids[0] < carry_pid:
                         carry_pid = int(w_pids[0])
-                        carry_pay = (caps[0], float(w_x[0]),
-                                     float(w_y[0]))
+                        carry_vals = row_vals(int(w_keep[0]))
                     lo = 1
                 # tail run becomes (or merges into) the new carry
-                tail_is_open = hi > lo and w_ids[hi - 1] == last_raw
+                tail_is_open = hi > lo \
+                    and ids_f[w_pos[hi - 1]].as_py() == last_raw
                 if tail_is_open:
                     hi -= 1
                     t_pid = int(w_pids[hi])
-                    t_pay = (caps[hi], float(w_x[hi]), float(w_y[hi]))
+                    t_vals = row_vals(int(w_keep[hi]))
                     if carry_id == last_raw:
                         if carry_pid is None or t_pid < carry_pid:
                             carry_pid = t_pid
-                            carry_pay = t_pay
+                            carry_vals = t_vals
                     else:
-                        if carry_id is not None and carry_pid is not None:
-                            yield emit_carry()
+                        if carry_id is not None \
+                                and carry_pid is not None:
+                            acc_carry()
                         carry_id = last_raw
                         carry_pid = t_pid
-                        carry_pay = t_pay
+                        carry_vals = t_vals
                 elif carry_id != last_raw:
                     if carry_id is not None and carry_pid is not None:
-                        yield emit_carry()
+                        acc_carry()
                     carry_id = last_raw
                     carry_pid = None
-                    carry_pay = None
+                    carry_vals = None
 
                 if hi > lo:
-                    sl = slice(lo, hi)
-                    pid_idx = w_pids[sl].astype(np.int64)
-                    yield pd.DataFrame({
-                        'image_id': w_ids[sl],
-                        'caption': caps[sl],
-                        'x': w_x[sl],
-                        'y': w_y[sl],
-                        'trs': trs_arr[pid_idx],
-                        'qq': qq_arr[pid_idx]})
+                    sel = pa.array(w_keep[lo:hi])
+                    arrs = [pc.take(b.column(c), sel)
+                            for c in range(b.num_columns - 1)]
+                    arrs.append(pa.array(
+                        w_pids[lo:hi].astype(np.int32),
+                        type=pa.int32()))
+                    acc.append(pa.record_batch(arrs, schema=schema_pa))
             else:
                 # no survivors in this batch at all
                 if carry_id != last_raw:
                     if carry_id is not None and carry_pid is not None:
-                        yield emit_carry()
+                        acc_carry()
                     carry_id = last_raw
                     carry_pid = None
-                    carry_pay = None
+                    carry_vals = None
         if carry_id is not None and carry_pid is not None:
-            yield emit_carry()
+            acc_carry()
 
-    return cand.mapInPandas(pip_assign, schema=out_schema)
+        # Input exhausted -- now stream the winners out in bounded
+        # chunks (the JVM is purely reading at this point).
+        if acc:
+            table = pa.Table.from_batches(acc)
+            for ob in table.combine_chunks().to_batches(
+                    max_chunksize=65536):
+                yield ob
+
+    winners = cand.mapInArrow(pip_assign, schema=py_schema)
+    return winners.join(F.broadcast(dim), 'pid').select(*out_cols)
 
 
 def cell_histogram(points: DataFrame, res: int = JOIN_RES) -> DataFrame:
