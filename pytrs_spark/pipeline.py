@@ -39,13 +39,16 @@ def polygon_layer_from_descs(descs: DataFrame,
 
 def assign_images_to_tiles(images: DataFrame, polygons: DataFrame,
                            res: int = JOIN_RES, salt: int = 0,
-                           payload_cols=('caption',)) -> DataFrame:
+                           payload_cols=('caption', 'x', 'y')) \
+        -> DataFrame:
     """images (input_hint shape) x polygon layer -> one tile per image.
 
-    Output: image_id, *payload_cols, x, y, trs, qq (sorted-set
-    comparable).  ``payload_cols`` default keeps the caption in the
-    output; pass ``()`` for the pure assignment -- at 10^11-row scale
-    payload bytes through the Python crossing are the bottleneck, and
+    Output: image_id, *payload_cols, trs, qq (sorted-set comparable;
+    the default payload keeps the caption and anchor x/y, i.e. the
+    full historical output).  Pass ``payload_cols=()`` for the pure
+    assignment (image_id, trs, qq) -- at 10^11-row scale payload
+    bytes through the Python crossing are the bottleneck (x/y still
+    feed the ray cast worker-side; they just don't cross back), and
     the late-materialization policy (re-join payload by image_id only
     where needed) is the same one that keeps ``bytes`` out of the
     join path.

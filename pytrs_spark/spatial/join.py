@@ -213,7 +213,7 @@ def assign_tiles_local(matches: DataFrame) -> DataFrame:
 
 def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                        res: int = JOIN_RES, salt: int = 0,
-                       payload_cols=('caption',)) -> DataFrame:
+                       payload_cols=('caption', 'x', 'y')) -> DataFrame:
     """cell join + exact PIP + deterministic tile assignment in ONE
     Python crossing, engineered so the bytes that cross the
     JVM<->Python boundary are the minimum the semantics allow.
@@ -255,15 +255,21 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
     spark = points.sparkSession
     dt = dict(points.dtypes)
     payload_cols = tuple(payload_cols)
-    out_cols = ['image_id', *payload_cols, 'x', 'y', 'trs', 'qq']
+    # x/y are always KERNEL inputs (the ray cast needs them) but only
+    # cross back to the JVM when the caller asked for them -- the
+    # pure assignment returns (image_id, pid): 19 B/row instead of 35.
+    extra_xy = [c for c in ('x', 'y') if c not in payload_cols]
+    in_cols = ['image_id', *payload_cols, *extra_xy]
+    n_out = 1 + len(payload_cols)       # python-stage output columns
+    out_cols = ['image_id', *payload_cols, 'trs', 'qq']
     py_schema = ', '.join(
         [f"image_id {dt['image_id']}"]
         + [f'{c} {dt[c]}' for c in payload_cols]
-        + ['x double', 'y double', 'pid int'])
+        + ['pid int'])
     empty_schema = ', '.join(
         [f"image_id {dt['image_id']}"]
         + [f'{c} {dt[c]}' for c in payload_cols]
-        + ['x double', 'y double', 'trs string', 'qq string'])
+        + ['trs string', 'qq string'])
 
     prep_cache = getattr(polygons, '_fused_prep', None)
     if prep_cache is None:
@@ -322,8 +328,7 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
     rxs, rys, max_m, index, dim = prep
 
     cell_col = f'cell{res}'
-    pts = points.select('image_id', *payload_cols, 'x', 'y',
-                        F.col(cell_col).alias('cell'))
+    pts = points.select(*in_cols, F.col(cell_col).alias('cell'))
     if salt > 0:
         pts = pts.withColumn(
             'salt', F.pmod(F.xxhash64('image_id'), F.lit(salt)))
@@ -333,9 +338,10 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
         cand = pts.join(F.broadcast(sindex), ['cell', 'salt'])
     else:
         cand = pts.join(F.broadcast(index), 'cell')
-    cand = cand.select('image_id', *payload_cols, 'x', 'y', 'pid')
-    n_pay = len(payload_cols)
-    ix_x, ix_y, ix_pid = 1 + n_pay, 2 + n_pay, 3 + n_pay
+    cand = cand.select(*in_cols, 'pid')
+    ix_x = in_cols.index('x')
+    ix_y = in_cols.index('y')
+    ix_pid = len(in_cols)
 
     def pip_assign(batches):
         # Arrow-native kernel: value buffers are sliced/taken, never
@@ -371,7 +377,9 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
             if n == 0:
                 continue
             if schema_pa is None:
-                schema_pa = b.schema
+                schema_pa = pa.schema(
+                    [b.schema.field(i) for i in range(n_out)]
+                    + [pa.field('pid', pa.int32())])
             ids = b.column(0)
             px = b.column(ix_x).to_numpy(zero_copy_only=False)
             py = b.column(ix_y).to_numpy(zero_copy_only=False)
@@ -425,7 +433,7 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
 
                 def row_vals(ri):
                     return tuple(b.column(c)[ri].as_py()
-                                 for c in range(b.num_columns - 1))
+                                 for c in range(n_out))
 
                 lo = 0
                 hi = len(w_pos)
@@ -464,7 +472,7 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                 if hi > lo:
                     sel = pa.array(w_keep[lo:hi])
                     arrs = [pc.take(b.column(c), sel)
-                            for c in range(b.num_columns - 1)]
+                            for c in range(n_out)]
                     arrs.append(pa.array(
                         w_pids[lo:hi].astype(np.int32),
                         type=pa.int32()))
