@@ -43,6 +43,12 @@ def _valid_mask(vals: np.ndarray, dim: int = None):
     return lens == dim, dim
 
 
+# Cap the float64 working set of a stacked sub-batch (rows x dim):
+# with 64k-row Arrow batches a dim-768 corpus would otherwise stack
+# ~400 MB per matrix per worker.
+_STACK_ELEMS = 8_000_000
+
+
 @F.pandas_udf(T.DoubleType())
 def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     av, bv = a.to_numpy(), b.to_numpy()
@@ -50,9 +56,12 @@ def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     mb, _ = _valid_mask(bv, dim)
     ok = ma & mb
     out = np.full(len(av), None, dtype=object)
-    if ok.any():
-        A = np.stack(av[ok]).astype(np.float64)
-        B = np.stack(bv[ok]).astype(np.float64)
+    idx = np.flatnonzero(ok)
+    step = max(1, _STACK_ELEMS // max(dim, 1))
+    for s in range(0, len(idx), step):
+        ii = idx[s:s + step]
+        A = np.stack(av[ii]).astype(np.float64)
+        B = np.stack(bv[ii]).astype(np.float64)
         num = np.einsum('ij,ij->i', A, B)
         den = (np.sqrt(np.einsum('ij,ij->i', A, A))
                * np.sqrt(np.einsum('ij,ij->i', B, B)))
@@ -60,7 +69,7 @@ def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             cs = num / den
         # Zero-norm vectors -> null, not NaN (Spark sorts NaN as the
         # LARGEST double, which would rank garbage rows first).
-        out[ok] = [None if not np.isfinite(c) else float(c) for c in cs]
+        out[ii] = [None if not np.isfinite(c) else float(c) for c in cs]
     return pd.Series(out, dtype=object)
 
 
@@ -145,14 +154,17 @@ def _sketch_udf(planes: int, tables: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def udf(vecs: pd.Series) -> pd.Series:
         vals = vecs.to_numpy()
-        ok, _ = _valid_mask(vals)
+        ok, dim = _valid_mask(vals)
         res = [None] * len(vals)
-        if ok.any():
-            X = np.stack(vals[ok]).astype(np.float64)
+        idx = np.flatnonzero(ok)
+        step = max(1, _STACK_ELEMS // max(dim, 1))
+        weights = (np.uint64(1)
+                   << np.arange(planes, dtype=np.uint64))
+        for s in range(0, len(idx), step):
+            ii = idx[s:s + step]
+            X = np.stack(vals[ii]).astype(np.float64)
             P = _plane_matrix(X.shape[1], tables * planes)
             bits = (X @ P) >= 0            # (n, tables*planes)
-            weights = (np.uint64(1)
-                       << np.arange(planes, dtype=np.uint64))
             out = np.empty((len(X), tables), dtype=np.int64)
             for t in range(tables):
                 seg = bits[:, t * planes:(t + 1) * planes] \
@@ -160,7 +172,7 @@ def _sketch_udf(planes: int, tables: int):
                 out[:, t] = (seg * weights).sum(
                     axis=1, dtype=np.uint64).astype(np.int64)
             rows = out.tolist()
-            for i, j in enumerate(np.flatnonzero(ok)):
+            for i, j in enumerate(ii):
                 res[j] = rows[i]
         # Null arrays: posexplode drops them, so malformed rows simply
         # never enter the index (vs failing the whole stage).
@@ -233,13 +245,16 @@ def sign_sketch(vec_col, dim: int, planes: int = 16,
         vals = vecs.to_numpy()
         ok, _ = _valid_mask(vals, dim)
         res = np.full(len(vals), None, dtype=object)
-        if ok.any():
-            X = np.stack(vals[ok]).astype(np.float64)
+        idx = np.flatnonzero(ok)
+        step = max(1, _STACK_ELEMS // max(dim, 1))
+        weights = (np.uint64(1)
+                   << np.arange(planes, dtype=np.uint64))
+        for s in range(0, len(idx), step):
+            ii = idx[s:s + step]
+            X = np.stack(vals[ii]).astype(np.float64)
             P = _plane_matrix(X.shape[1], planes, offset)
             bits = ((X @ P) >= 0).astype(np.uint64)
-            weights = (np.uint64(1)
-                       << np.arange(planes, dtype=np.uint64))
-            res[ok] = (bits * weights).sum(
+            res[ii] = (bits * weights).sum(
                 axis=1, dtype=np.uint64).astype(np.int64).tolist()
         return pd.Series(res, dtype=object)
     return udf(vec_col)
@@ -405,8 +420,11 @@ def _cell_udf(C: np.ndarray, nprobe: int):
         vals = vecs.to_numpy()
         ok, _ = _valid_mask(vals, C.shape[1])
         res = [None] * len(vals)
-        if ok.any():
-            X = np.stack(vals[ok]).astype(np.float64)
+        idx = np.flatnonzero(ok)
+        step = max(1, _STACK_ELEMS // max(C.shape[1], 1))
+        for s in range(0, len(idx), step):
+            ii = idx[s:s + step]
+            X = np.stack(vals[ii]).astype(np.float64)
             nx = np.sqrt(np.einsum('ij,ij->i', X, X))
             nx[nx == 0] = 1.0
             sims = (X / nx[:, None]) @ C.T       # (n, n_cells)
@@ -416,7 +434,7 @@ def _cell_udf(C: np.ndarray, nprobe: int):
                 (np.broadcast_to(np.arange(C.shape[0]), sims.shape),
                  -sims), axis=1)[:, :nprobe].astype(np.int32)
             rows = cells.tolist()
-            for i, j in enumerate(np.flatnonzero(ok)):
+            for i, j in enumerate(ii):
                 res[j] = rows[i]
         return pd.Series(res, dtype=object)
     return udf

@@ -58,6 +58,12 @@ def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches: the default 10k pays per-batch Python
+        # dispatch + IPC framing ~6x more often for the same bytes;
+        # measured 9.4 s -> 7.2 s on the 24M-row tile stage.  ~2-10 MB
+        # per batch per worker -- well inside worker memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
