@@ -34,6 +34,60 @@ from .grid import RES_SIZE, cover_cells
 JOIN_RES = 9   # 0.25 mi cells == depth-2 QQ size: ~1 candidate/point
 
 
+def _bboxes_disjoint(xmin, ymin, xmax, ymax) -> bool:
+    """True iff no two half-open boxes ``[xmin, xmax) x [ymin, ymax)``
+    intersect.  Sweep over x-sorted boxes: a later box can only
+    intersect box *i* while its xmin < xmax[i] (and sortedness already
+    gives xmin[i] < xmax[j]), so only the y-interval test remains.
+
+    O(n log n + candidates) for grid-like layers (the PLSS case);
+    degenerate fully-x-nested layers cost O(n^2) comparisons -- still
+    driver-side, one-time, and memoized with the rest of the polygon
+    prep.  bbox disjointness is a *conservative* witness for PIP
+    disjointness: the even-odd region of a ring is contained in its
+    closed bbox, and the strict-inequality crossing rule (``px <
+    xint``) never claims a point for a polygon whose bbox lies
+    entirely at or left of it, so bbox-disjoint layers assign every
+    point to at most one polygon.
+    """
+    order = np.argsort(xmin, kind='stable')
+    xs = xmin[order]
+    n = len(xs)
+    for idx in range(n):
+        i = order[idx]
+        hi = np.searchsorted(xs, xmax[i], side='left')
+        js = order[idx + 1:hi]
+        if len(js) and ((ymin[js] < ymax[i])
+                        & (ymin[i] < ymax[js])).any():
+            return False
+    return True
+
+
+def _ray_cast_expr(m: int, xc, yc):
+    """The exact even-odd ray cast, unrolled into NATIVE whole-stage-
+    codegen expressions over per-vertex scalar columns ``_rx{k}`` /
+    ``_ry{k}`` -- arithmetic-identical to the numpy kernel (same
+    divide form, same strict comparisons), so borderline points land
+    the same way on every execution tier.
+
+    The division is guarded by ``when(y2 != y1, ...)`` because Spark
+    4 runs ANSI by default (division by zero raises); a crossing edge
+    always has ``y2 != y1``, and ``crosses & (xc < NULL)`` is false
+    when ``crosses`` is false, so the guard never changes the
+    predicate's value.
+    """
+    inside = F.lit(False)
+    for k in range(m):
+        x1, y1 = F.col(f'_rx{k}'), F.col(f'_ry{k}')
+        x2 = F.col(f'_rx{(k + 1) % m}')
+        y2 = F.col(f'_ry{(k + 1) % m}')
+        crosses = (y1 > yc) != (y2 > yc)
+        xint = F.when(
+            y2 != y1, (x2 - x1) * (yc - y1) / (y2 - y1) + x1)
+        inside = inside != (crosses & (xc < xint))
+    return inside
+
+
 def polygon_cell_index(polygons: DataFrame, res: int = JOIN_RES) -> DataFrame:
     """Explode each polygon to its covering cells at ``res`` (native)."""
     return polygons.select(
@@ -214,15 +268,29 @@ def assign_tiles_local(matches: DataFrame) -> DataFrame:
 def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                        res: int = JOIN_RES, salt: int = 0,
                        payload_cols=('caption', 'x', 'y')) -> DataFrame:
-    """cell join + exact PIP + deterministic tile assignment in ONE
-    Python crossing, engineered so the bytes that cross the
-    JVM<->Python boundary are the minimum the semantics allow.
+    """cell join + exact PIP + deterministic tile assignment, with
+    the Python crossing reduced to the minimum the layer's geometry
+    requires -- row-identical to ``assign_tiles_local(
+    spatial_join(...))`` on every tier (the tile_assign oracle gate
+    runs against this path).
 
-    Row-identical to ``assign_tiles_local(spatial_join(...))`` (the
-    tile_assign oracle gate runs against this path), but shaped for
-    the regime the 96M-row probes exposed, where the pipeline is
-    BANDWIDTH-bound (Arrow serialization through worker sockets),
-    not compute-bound:
+    Execution tiers, picked from *verified* properties of the
+    collected polygon layer at prep time (never assumed):
+
+    1. **Uniform ring arity + pairwise-disjoint bboxes** (the common
+       case -- a tiling, e.g. PLSS aliquot tiles): the ray cast
+       unrolls into native codegen expressions and the winner
+       reduction is provably the identity, so the whole assignment is
+       JVM-native -- NO Python stage, hence none of the worker-socket
+       bandwidth ceiling the 96M probes measured (BENCH.md).
+    2. **Uniform arity, overlapping polygons**: native codegen ray
+       cast, then a ``mapInArrow`` kernel that only reduces min-pid
+       per image over the ~1 surviving candidate row per image.
+    3. **Variable arity**: the general Arrow kernel does both the ray
+       cast and the reduction (the original shape below).
+
+    For tiers 2-3, the crossing is engineered so the bytes through
+    the JVM<->Python boundary are the minimum the semantics allow:
 
     - The join output carries ``pid`` (int32 into the broadcast
       polygon table) instead of the two ring vertex arrays -- ~4 B/row
@@ -286,6 +354,12 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
             return spark.createDataFrame([], empty_schema)
         ring_lens = pdf['ring_xs'].map(len).to_numpy()
         max_m = int(ring_lens.max())
+        # Constant ring arity lets the exact even-odd ray cast unroll
+        # into NATIVE whole-stage-codegen expressions (no Python at
+        # all for the PIP); variable arity falls back to the Arrow
+        # kernel.
+        uniform_m = int(ring_lens[0]) \
+            if (ring_lens == ring_lens[0]).all() else 0
         n_poly = len(pdf)
         # Pad each ring with its first vertex: edge k runs (v[k],
         # v[(k+1) % M]), so padded edges are degenerate (v0, v0)
@@ -300,16 +374,38 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
             rys[i, :m] = vy
             rxs[i, m:] = vx[0]
             rys[i, m:] = vy[0]
+        # A layer whose bboxes are pairwise disjoint (the common case:
+        # a tiling -- PLSS aliquot tiles partition the plane) assigns
+        # every point to AT MOST ONE polygon, so the min-pid winner
+        # reduction is the identity and the whole assignment can run
+        # without any Python stage at all.  Verified, never assumed.
+        disjoint = bool(uniform_m) and _bboxes_disjoint(
+            pdf['xmin'].to_numpy(), pdf['ymin'].to_numpy(),
+            pdf['xmax'].to_numpy(), pdf['ymax'].to_numpy())
         # (cell, pid) index and the (pid, trs, qq) dim from the SAME
         # collected table (no re-parse of the polygon lineage); both
-        # cached so every reuse starts from materialized rows.
+        # cached so every reuse starts from materialized rows.  Under
+        # uniform arity the index also carries the ring vertices as
+        # per-vertex SCALAR columns so the native ray cast reads plain
+        # doubles (no array allocation per candidate row); the index
+        # stays bounded -- O(polygons x cover cells) rows.
+        ring_cols = {}
+        ring_schema = ''
+        if uniform_m:
+            for k in range(uniform_m):
+                ring_cols[f'_rx{k}'] = rxs[:, k]
+                ring_cols[f'_ry{k}'] = rys[:, k]
+            ring_schema = ''.join(
+                f', _rx{k} double, _ry{k} double'
+                for k in range(uniform_m))
         bbox = spark.createDataFrame(
             pdf[['xmin', 'ymin', 'xmax', 'ymax']].assign(
-                pid=np.arange(n_poly, dtype=np.int64)),
+                pid=np.arange(n_poly, dtype=np.int64), **ring_cols),
             'xmin double, ymin double, xmax double, ymax double, '
-            'pid long')
+            'pid long' + ring_schema)
         index = bbox.select(
             F.col('pid').cast('int').alias('pid'),
+            *ring_cols,
             F.explode(cover_cells(
                 F.col('xmin'), F.col('ymin'), F.col('xmax'),
                 F.col('ymax'), res)).alias('cell')).cache()
@@ -321,11 +417,11 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
             .select(F.col('pid').cast('int').alias('pid'),
                     'trs', 'qq').cache()
         dim.count()
-        prep = (rxs, rys, max_m, index, dim)
+        prep = (rxs, rys, max_m, uniform_m, disjoint, index, dim)
         prep_cache[res] = prep
     elif prep == ():
         return spark.createDataFrame([], empty_schema)
-    rxs, rys, max_m, index, dim = prep
+    rxs, rys, max_m, uniform_m, disjoint, index, dim = prep
 
     cell_col = f'cell{res}'
     pts = points.select(*in_cols, F.col(cell_col).alias('cell'))
@@ -338,10 +434,35 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
         cand = pts.join(F.broadcast(sindex), ['cell', 'salt'])
     else:
         cand = pts.join(F.broadcast(index), 'cell')
-    cand = cand.select(*in_cols, 'pid')
-    ix_x = in_cols.index('x')
-    ix_y = in_cols.index('y')
-    ix_pid = len(in_cols)
+    do_pip_in_kernel = uniform_m == 0
+    if do_pip_in_kernel:
+        reduce_in = in_cols
+        cand = cand.select(*in_cols, 'pid')
+        ix_x = in_cols.index('x')
+        ix_y = in_cols.index('y')
+    else:
+        # Exact even-odd ray cast UNROLLED into native expressions
+        # over the broadcast-side per-vertex columns: whole-stage
+        # codegen, zero Python for the PIP, zero extra bytes through
+        # any socket.
+        matched = cand.filter(_ray_cast_expr(uniform_m,
+                                             F.col('x'), F.col('y')))
+        reduce_in = ['image_id', *payload_cols]
+        if disjoint:
+            # Verified-disjoint layer: each image matches at most one
+            # polygon, the winner reduction is the identity, and the
+            # ENTIRE assignment is native -- scan -> anchor/cell exprs
+            # -> broadcast cell join -> codegen ray cast -> broadcast
+            # dim join.  No Python stage means no worker sockets: the
+            # single-host Arrow-bandwidth ceiling the 96M probes hit
+            # (BENCH.md) does not exist on this path.
+            return matched.select(*reduce_in, 'pid') \
+                .join(F.broadcast(dim), 'pid').select(*out_cols)
+        # Overlapping layer: x/y cross into the reduce kernel only as
+        # requested payload; the kernel just reduces min-pid per image.
+        cand = matched.select(*reduce_in, 'pid')
+        ix_x = ix_y = None
+    ix_pid = len(reduce_in)
 
     def pip_assign(batches):
         # Arrow-native kernel: value buffers are sliced/taken, never
@@ -381,8 +502,6 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                     [b.schema.field(i) for i in range(n_out)]
                     + [pa.field('pid', pa.int32())])
             ids = b.column(0)
-            px = b.column(ix_x).to_numpy(zero_copy_only=False)
-            py = b.column(ix_y).to_numpy(zero_copy_only=False)
             pidv = b.column(ix_pid).to_numpy(zero_copy_only=False)
             first_raw = ids[0].as_py()
             last_raw = ids[n - 1].as_py()
@@ -391,24 +510,34 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                     acc_carry()
                 carry_id = carry_pid = carry_vals = None
 
-            # Exact even-odd ray cast against the closure rings; the
-            # (n, M) gathers replace per-row ring arrays through
-            # Arrow.
-            X = rxs[pidv]
-            Y = rys[pidv]
-            hit = np.zeros(n, dtype=bool)
-            for k in range(max_m):
-                x1, y1 = X[:, k], Y[:, k]
-                x2, y2 = X[:, (k + 1) % max_m], Y[:, (k + 1) % max_m]
-                crosses = (y1 > py) != (y2 > py)
-                with np.errstate(divide='ignore', invalid='ignore'):
-                    xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
-                hit ^= crosses & (px < xint)
-
-            keep = np.flatnonzero(hit)
+            if do_pip_in_kernel:
+                # Exact even-odd ray cast against the closure rings;
+                # the (n, M) gathers replace per-row ring arrays
+                # through Arrow.
+                px = b.column(ix_x).to_numpy(zero_copy_only=False)
+                py = b.column(ix_y).to_numpy(zero_copy_only=False)
+                X = rxs[pidv]
+                Y = rys[pidv]
+                hit = np.zeros(n, dtype=bool)
+                for k in range(max_m):
+                    x1, y1 = X[:, k], Y[:, k]
+                    x2 = X[:, (k + 1) % max_m]
+                    y2 = Y[:, (k + 1) % max_m]
+                    crosses = (y1 > py) != (y2 > py)
+                    with np.errstate(divide='ignore',
+                                     invalid='ignore'):
+                        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                    hit ^= crosses & (px < xint)
+                keep = np.flatnonzero(hit)
+            else:
+                keep = np.arange(n)
             if len(keep):
-                keep_pa = pa.array(keep)
-                ids_f = pc.take(ids, keep_pa)
+                if len(keep) == n:
+                    keep_pa = None
+                    ids_f = ids
+                else:
+                    keep_pa = pa.array(keep)
+                    ids_f = pc.take(ids, keep_pa)
                 m = len(keep)
                 new = np.empty(m, dtype=bool)
                 new[0] = True

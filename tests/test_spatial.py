@@ -95,6 +95,118 @@ def test_salted_join_same_result(spark, polygons, images):
     assert a == b
 
 
+def _assignment_set(df):
+    return {tuple(r) for r in
+            df.select('image_id', 'trs', 'qq').collect()}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fused_tier1_disjoint_layer_is_all_native(spark, polygons,
+                                                  images, tmp_path):
+    """The descs-corpus QQ lattice is a verified-disjoint uniform-
+    arity tiling, so the fused assignment must take the zero-Python
+    tier: no MapInArrow/Arrow-eval stage anywhere in the plan, and
+    output identical to the unfused kernel composition.
+
+    Images are read back from parquet so the plan under test is the
+    production shape (the in-memory test generator is itself a
+    MapInPandas stage and would trip the no-Python assertion)."""
+    from pytrs_spark.spatial.join import (
+        assign_tiles_local,
+        spatial_join,
+    )
+    from pytrs_spark.spatial.grid import with_anchor
+    path = str(tmp_path / 'imgs')
+    images.write.mode('overwrite').parquet(path)
+    images = spark.read.parquet(path)
+    fused = assign_images_to_tiles(images, polygons, payload_cols=())
+    plan = _plan(fused)
+    assert 'MapInArrow' not in plan and 'MapInPandas' not in plan \
+        and 'ArrowEvalPython' not in plan, plan
+    unfused = assign_tiles_local(
+        spatial_join(with_anchor(images), polygons))
+    assert _assignment_set(fused) == _assignment_set(unfused)
+
+
+def test_fused_tier2_overlapping_layer_reduces_in_kernel(
+        spark, polygons, images):
+    """Adding a whole-section 'ALL' box on top of its 16 QQs makes the
+    layer overlap: the fused path must fall back to the kernel winner
+    reduction (tier 2) and still match the unfused composition --
+    including the lexicographic-min tie-break ('ALL' < 'NENE', so the
+    section box wins every point inside it)."""
+    from pyspark.sql import functions as F
+
+    from pytrs_spark.spatial.grid import with_anchor
+    from pytrs_spark.spatial.join import (
+        assign_tiles_local,
+        spatial_join,
+    )
+    # The dense skew section is guaranteed ~10% of the images, so the
+    # ALL-wins assertion below has rows to check.
+    some = (f"{datagen.DENSE_TWP}n{datagen.DENSE_RGE}w"
+            f"{datagen.DENSE_SEC}")
+    extra = polygons.filter(F.col('trs') == some).groupBy('trs').agg(
+        F.lit('ALL').alias('qq'), F.lit(0).alias('depth'),
+        F.min('xmin').alias('xmin'), F.min('ymin').alias('ymin'),
+        F.max('xmax').alias('xmax'), F.max('ymax').alias('ymax'))
+    extra = extra.select(
+        'trs', 'qq', 'depth', 'xmin', 'ymin', 'xmax', 'ymax',
+        F.array('xmin', 'xmax', 'xmax', 'xmin').alias('ring_xs'),
+        F.array('ymin', 'ymin', 'ymax', 'ymax').alias('ring_ys'))
+    overlapping = polygons.unionByName(extra)
+    fused = assign_images_to_tiles(images, overlapping,
+                                   payload_cols=())
+    assert 'MapInArrow' in _plan(fused)
+    unfused = assign_tiles_local(
+        spatial_join(with_anchor(images), overlapping))
+    got = _assignment_set(fused)
+    assert got == _assignment_set(unfused)
+    # Every image inside `some` must be assigned its ALL box.
+    in_sec = {(i, t, q) for (i, t, q) in got if t == some}
+    assert in_sec and all(q == 'ALL' for (_, _, q) in in_sec)
+
+
+def test_fused_tier3_variable_arity_uses_kernel_pip(spark, polygons,
+                                                    images):
+    """Splitting one box's top edge with a collinear midpoint vertex
+    (same geometry, 5-vertex ring) breaks arity uniformity: the fused
+    path must run the general Arrow PIP kernel and the assignment must
+    be unchanged (the extra vertex is geometrically a no-op)."""
+    from pyspark.sql import functions as F
+    base = assign_images_to_tiles(images, polygons, payload_cols=())
+    first = polygons.orderBy('trs', 'qq').limit(1) \
+        .withColumn('ring_xs', F.array(
+            'xmin', 'xmax', 'xmax', (F.col('xmin') + F.col('xmax')) / 2,
+            'xmin')) \
+        .withColumn('ring_ys', F.array(
+            'ymin', 'ymin', 'ymax', 'ymax', 'ymax'))
+    rest = polygons.exceptAll(polygons.orderBy('trs', 'qq').limit(1))
+    mixed = rest.unionByName(first)
+    fused = assign_images_to_tiles(images, mixed, payload_cols=())
+    assert 'MapInArrow' in _plan(fused)
+    assert _assignment_set(fused) == _assignment_set(base)
+
+
+def test_bbox_disjoint_sweep():
+    """Half-open boxes sharing an edge are disjoint; interior overlap
+    is detected."""
+    from pytrs_spark.spatial.join import _bboxes_disjoint
+    xmin = np.array([0.0, 1.0, 0.0])
+    ymin = np.array([0.0, 0.0, 1.0])
+    xmax = np.array([1.0, 2.0, 1.0])
+    ymax = np.array([1.0, 1.0, 2.0])
+    assert _bboxes_disjoint(xmin, ymin, xmax, ymax)
+    xmin2 = np.append(xmin, 0.5)
+    ymin2 = np.append(ymin, 0.5)
+    xmax2 = np.append(xmax, 1.5)
+    ymax2 = np.append(ymax, 1.5)
+    assert not _bboxes_disjoint(xmin2, ymin2, xmax2, ymax2)
+
+
 def test_skew_slice_lands_in_dense_section(spark, images, polygons):
     """~10% of images are aimed at sec 14 of T154N-R97W."""
     result = assign_images_to_tiles(images, polygons)
