@@ -23,6 +23,8 @@ import statistics
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -414,6 +416,34 @@ def main():
                for r in ivf_topk(emb, q, k=10, n_cells=32,
                                  nprobe=4).collect()}
     ann_ivf_recall = round(len(truth & ivf_got) / max(len(truth), 1), 3)
+
+    # The sf embeddings are iid-uniform (measured: mean pairwise cos
+    # 0.0, top-10-neighbor cos 0.35 vs p99-of-all-pairs 0.287), so ANY
+    # partition-and-probe index degenerates to recall ~ scan fraction
+    # on them -- that is a property of structureless data, not of the
+    # quantizer.  To keep the index itself honest round-over-round,
+    # also measure recall on a deterministic *clustered* corpus
+    # (32 unit centers + sigma=0.2 gaussian noise -- noise norm 1.6x
+    # the center norm, i.e. still noise-dominated) where a working
+    # IVF must land >0.9 at the same ~1/8 scan fraction.
+    rng = np.random.default_rng(20260817)
+    _dim, _nc, _n = 64, 32, 2000
+    _centers = rng.standard_normal((_nc, _dim))
+    _centers /= np.linalg.norm(_centers, axis=1)[:, None]
+    _lab = rng.integers(0, _nc, _n)
+    _X = _centers[_lab] + 0.2 * rng.standard_normal((_n, _dim))
+    cemb = spark.createDataFrame(
+        [(int(i), [float(v) for v in _X[i]]) for i in range(_n)],
+        'vec_id long, embedding array<double>')
+    cq = cemb.filter(F.col('vec_id') < 8).select(
+        F.col('vec_id').alias('query_id'), 'embedding')
+    ctruth = {(r['query_id'], r['vec_id'])
+              for r in brute_force_topk(cemb, cq, k=10).collect()}
+    cgot = {(r['query_id'], r['vec_id'])
+            for r in ivf_topk(cemb, cq, k=10, n_cells=32,
+                              nprobe=4).collect()}
+    ann_ivf_recall_clustered = round(
+        len(ctruth & cgot) / max(len(ctruth), 1), 3)
     queries['dedup_embedding'] = round(_median_time(
         lambda: embedding_near_dup_pairs(emb, threshold=0.4).count(),
         runs=RUNS), 3)
@@ -434,6 +464,7 @@ def main():
         'ann_lsh_recall_at_10': ann_lsh_recall,
         'ann_lsh_recall_at_10_noprobe': ann_lsh_recall_noprobe,
         'ann_ivf_recall_at_10': ann_ivf_recall,
+        'ann_ivf_recall_at_10_clustered': ann_ivf_recall_clustered,
     }
     print(json.dumps(result))
     spark.stop()
