@@ -29,9 +29,21 @@ def tune_session(spark: SparkSession) -> SparkSession:
 
 
 def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
-              extra_conf=None) -> SparkSession:
+              extra_conf=None, master=None) -> SparkSession:
+    """Build the tuned session.
+
+    ``master`` (or env ``SPARK_GRAFT_MASTER``) overrides the default
+    ``local[cores]`` -- e.g. ``local-cluster[4,4,8192]`` launches 4
+    REAL executor JVMs (own heap, own Python workers, shuffle over
+    sockets), the closest single-host analog of an N-executor cluster
+    and the master the scaling probe uses for its executor-mode legs.
+    ``cores`` still sizes shuffle partitions in that case (pass total
+    cores across executors).
+    """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cores)
     # Worker processes inherit this env through the JVM: retain big
@@ -50,7 +62,7 @@ def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
             else repo_root
     builder = (
         SparkSession.builder
-        .master(f"local[{cores}]")
+        .master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.python.daemon.module", "pytrs_spark.daemon")
@@ -77,7 +89,20 @@ def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.log.level", "WARN")
+        # Separate-JVM executors (local-cluster / standalone) do not
+        # inherit the driver's environment: ship the import path and
+        # the allocator tuning explicitly.  No-ops under local[N].
+        .config("spark.executorEnv.PYTHONPATH",
+                os.environ["PYTHONPATH"])
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                os.environ["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                os.environ["MALLOC_TRIM_THRESHOLD_"])
     )
+    if master.startswith("local-cluster"):
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

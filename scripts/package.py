@@ -2,18 +2,30 @@
 
 Usage:  python scripts/package.py   ->  dist/pytrs_spark.zip
 
-Cluster submission (the north-rule deployment shape):
+Cluster submission (the north-rule deployment shape; verified
+end-to-end in this sandbox against ``local-cluster[2,2,2048]`` --
+2 real executor JVMs -- with ``scripts/submit_job.py``, checksum
+identical to a ``local[4]`` run):
 
     spark-submit \
+        --master <cluster master> \
         --py-files dist/pytrs_spark.zip \
         --conf spark.python.daemon.module=pytrs_spark.daemon \
+        --conf spark.executorEnv.PYTHONPATH=<path>/pytrs_spark.zip \
         --conf spark.sql.adaptive.enabled=true \
         --conf "spark.sql.optimizer.excludedRules=org.apache.spark.sql.\
 catalyst.optimizer.InferFiltersFromGenerate" \
         your_job.py
 
-The zip contains only the package (no tests/bench); the pre-import
-daemon module rides along so executors can use it.
+The zip contains only the package (no tests/bench).  The
+``executorEnv.PYTHONPATH`` line matters iff you keep the pre-import
+daemon: executors launch the Python worker daemon BEFORE the
+--py-files path injection, so the daemon module must already be on
+the worker interpreter's path (ship the zip to a fixed path via your
+cluster's file distribution, or pip-install the package on
+executors).  Without that conf, drop the daemon line too -- the
+engine runs fine on the stock daemon, just without the worker
+pre-import warm-up.
 """
 
 import os
