@@ -339,3 +339,56 @@ def test_sinks_match_reference(spark):
     assert Q.pretty_desc(tracts) == tl.pretty_desc()
     assert Q.pretty_desc(tracts, word_sec='Section ') \
         == tl.pretty_desc(word_sec='Section ')
+
+
+def test_forced_layout_reference_semantics():
+    """Forced (user-dictated) layout -- where the reference and this
+    engine DELIBERATELY diverge, pinned here so the divergence stays
+    known and bounded.
+
+    Measured reference behavior (v2.2.1):
+
+    1. A layout given at construction -- ``PLSSDesc(txt,
+       layout=...)`` or ``config='<layout>'`` -- is silently
+       DISCARDED: ``plssdesc.py:360-365`` stores it, but the
+       auto-parse calls ``.parse()`` whose ``layout`` parameter
+       defaults to ``None`` and is passed through to ``PLSSParser``
+       without consulting ``self.layout`` (``plssdesc.py:736-741``),
+       so the parser deduces per usual.
+    2. An explicit ``.parse(layout=...)`` call DOES mandate the walk
+       (``plss_parse.py:354,797``), but for the three non-trivial
+       walk layouts the mandated path emits ``twprge_error`` rows on
+       WELL-FORMED text of that very layout (their own tests never
+       exercise it).
+    3. Mandated ``copy_all`` through ``.parse()`` works, and our
+       forced copy_all matches it row-for-row.
+
+    Our engine honors a forced layout coherently in all five cases
+    (the walk runs with the mandated layout; same marker pairing as
+    deduction would use when the deduction agrees).
+    """
+    text = 'T154N-R97W Sec 14: NE/4'
+    deduced = [('154n97w14', 'NE/4')]
+
+    # (1) constructor layout is ignored by the reference.
+    for via in (dict(layout='copy_all'), dict(config='copy_all')):
+        ref = pytrs.PLSSDesc(text, **via)
+        assert [(t.trs, t.desc) for t in ref.tracts] == deduced
+
+    # (2) explicit .parse(layout='TRS_desc') on well-formed TRS_desc
+    # text yields an error row in the reference; ours parses it.
+    ref = pytrs.PLSSDesc(text, config='wait_to_parse')
+    ref.parse(layout='TRS_desc', commit=True)
+    assert any(f.startswith('twprge_error') for f in ref.e_flags)
+    ours, _ = _ours(text, {'layout': 'TRS_desc'})
+    assert [(r[0], r[1]) for r in ours] == deduced
+
+    # (3) mandated copy_all: reference's honored path == ours, on the
+    # whole corpus.
+    for t in CORPUS:
+        ref = pytrs.PLSSDesc(t, config='wait_to_parse')
+        ref.parse(layout='copy_all', commit=True, parse_qq=True)
+        theirs = [(x.trs, x.desc, x.lots, x.qqs, x.lot_acres)
+                  for x in ref.tracts]
+        mine, _ = _ours(t, {'layout': 'copy_all'})
+        assert mine == theirs, t
