@@ -333,21 +333,28 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.4,
     Output: (id_a, id_b, cos_sim) with id_a < id_b, exact cosines.
     """
     sketch = _sketch_udf(planes, tables)
-    b = corpus.select(F.col(id_col).alias('id'),
-                      F.col(vec_col).alias('_v')) \
-        .select('id', '_v',
-                F.posexplode(sketch(F.col('_v')))
-                .alias('table', 'bucket'))
+    base = corpus.select(F.col(id_col).alias('id'),
+                         F.col(vec_col).alias('_v'))
+    # The bucket stream and its self-join carry ONLY (id, table,
+    # bucket): a candidate row is 2 ids, not 2 embedding arrays.  With
+    # d-dim vectors riding through the join + distinct, each of the
+    # ~sum-of-bucket^2 candidate rows weighs ~16*d bytes and the
+    # distinct shuffles all of it; id-only rows are ~20 bytes and the
+    # exact-cosine verify late-materializes vectors by id join over
+    # the deduped (much smaller) pair set -- the same
+    # late-materialization policy as the tile path's payload columns.
+    b = base.select('id', F.posexplode(sketch(F.col('_v')))
+                    .alias('table', 'bucket'))
     left = b.alias('l')
     right = b.alias('r')
     cand = (left.join(right, ['table', 'bucket'])
             .filter(F.col('l.id') < F.col('r.id'))
             .select(F.col('l.id').alias('id_a'),
-                    F.col('r.id').alias('id_b'),
-                    F.col('l._v').alias('_va'),
-                    F.col('r._v').alias('_vb'))
+                    F.col('r.id').alias('id_b'))
             .distinct())
-    return (cand
+    va = base.select(F.col('id').alias('id_a'), F.col('_v').alias('_va'))
+    vb = base.select(F.col('id').alias('id_b'), F.col('_v').alias('_vb'))
+    return (cand.join(va, 'id_a').join(vb, 'id_b')
             .select('id_a', 'id_b',
                     cosine(F.col('_va'), F.col('_vb')).alias('cos_sim'))
             .filter(F.col('cos_sim') >= threshold))
