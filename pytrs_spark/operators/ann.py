@@ -277,33 +277,42 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     """
     sketch = _sketch_udf(planes, tables)
 
+    # Bucket streams and the candidate distinct carry ONLY ids: the
+    # table-explode would otherwise replicate every corpus vector
+    # `tables` (x probes) times through the join, and the distinct
+    # would shuffle two d-dim arrays per candidate.  Vectors attach
+    # after dedup -- corpus side by id equi-join, query side broadcast.
     def bucketize(df, idc, vecc, out_id):
         rows = df.select(F.col(idc).alias(out_id),
-                         F.col(vecc).alias(f'_{out_id}_v'))
+                         F.col(vecc).alias('_v'))
         return rows.select(
-            out_id, f'_{out_id}_v',
-            F.posexplode(sketch(F.col(f'_{out_id}_v')))
-            .alias('table', 'bucket'))
+            out_id,
+            F.posexplode(sketch(F.col('_v'))).alias('table', 'bucket'))
 
     cb = bucketize(corpus, id_col, vec_col, 'vec_id')
     if probes > 0:
         psketch = _probe_sketch_udf(planes, tables, probes)
         qb = (queries.select(F.col(qid_col).alias('query_id'),
-                             F.col(qvec_col).alias('_query_id_v'))
-              .select('query_id', '_query_id_v',
-                      F.explode(psketch(F.col('_query_id_v')))
-                      .alias('tb'))
-              .select('query_id', '_query_id_v',
+                             F.col(qvec_col).alias('_v'))
+              .select('query_id',
+                      F.explode(psketch(F.col('_v'))).alias('tb'))
+              .select('query_id',
                       F.col('tb.table').alias('table'),
                       F.col('tb.bucket').alias('bucket')))
     else:
         qb = bucketize(queries, qid_col, qvec_col, 'query_id')
     cand = (cb.join(F.broadcast(qb), ['table', 'bucket'])
-            .select('query_id', 'vec_id', '_vec_id_v', '_query_id_v')
+            .select('query_id', 'vec_id')
             .distinct())
-    scored = cand.select(
-        'query_id', 'vec_id',
-        cosine(F.col('_vec_id_v'), F.col('_query_id_v')).alias('cos_sim'))
+    cv = corpus.select(F.col(id_col).alias('vec_id'),
+                       F.col(vec_col).alias('_vec_id_v'))
+    qv = queries.select(F.col(qid_col).alias('query_id'),
+                        F.col(qvec_col).alias('_query_id_v'))
+    scored = (cand.join(cv, 'vec_id')
+              .join(F.broadcast(qv), 'query_id')
+              .select('query_id', 'vec_id',
+                      cosine(F.col('_vec_id_v'),
+                             F.col('_query_id_v')).alias('cos_sim')))
     w = Window.partitionBy('query_id').orderBy(
         F.col('cos_sim').desc(), F.col('vec_id'))
     return (scored.withColumn('rank', F.row_number().over(w))
