@@ -66,6 +66,62 @@ def stream_tiles(spark: SparkSession, source_dir: str,
     return writer.start()
 
 
+def stream_dedup_first_seen(stream: DataFrame,
+                            key_cols=('phash',),
+                            id_col: str = 'image_id',
+                            ttl_minutes: int = None) -> DataFrame:
+    """Cross-micro-batch exact dedup: keep only the FIRST row ever
+    seen per key, across the whole lifetime of the stream -- the
+    stateful streaming leg of the dedup family (batch legs: exact
+    hash / MinHash-LSH / SimHash / embedding-cosine in
+    ``operators.textops`` / ``operators.ann``).
+
+    Custom stateful operator via ``applyInPandasWithState``: per-key
+    state is one boolean ("emitted already"), kept in the streaming
+    state store (RocksDB/HDFS-backed on a cluster, checkpointed --
+    survives restarts like any stateful query).  Within a single
+    micro-batch, ties collapse deterministically to the smallest
+    ``id_col`` value.  State is O(distinct keys); for unbounded key
+    spaces pass ``ttl_minutes`` to expire idle keys via a
+    processing-time timeout (a key recurring after expiry is emitted
+    again -- the standard windowed-dedup tradeoff; leave ``None`` for
+    exact lifetime dedup).
+
+    Scale shape: the only shuffle is the hash repartition on
+    ``key_cols`` that any stateful op requires; state lookups are
+    partition-local.  Equivalent batch semantics: ``dedup_exact`` /
+    ``exact_duplicates`` keep-min-id.
+    """
+    out_schema = stream.schema
+    state_schema = 'seen byte'
+    cols = list(out_schema.fieldNames())
+    timeout = 'ProcessingTimeTimeout' if ttl_minutes else 'NoTimeout'
+
+    def first_seen(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists
+        best = None
+        for pdf in pdfs:
+            if already or not len(pdf):
+                continue   # must still drain the iterator
+            cand = pdf.sort_values(id_col, kind='mergesort').iloc[:1]
+            if best is None or (cand[id_col].iloc[0]
+                                < best[id_col].iloc[0]):
+                best = cand
+        if not already:
+            state.update((1,))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if best is not None:
+            yield best[cols]
+
+    return (stream.groupBy(*[F.col(c) for c in key_cols])
+            .applyInPandasWithState(first_seen, out_schema, state_schema,
+                                    'append', timeout))
+
+
 def stream_events_hourly(events: DataFrame,
                          watermark: str = '2 hours') -> DataFrame:
     """Watermarked hourly per-type rollup over a streaming events

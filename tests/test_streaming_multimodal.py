@@ -100,3 +100,52 @@ def test_video_real_decode_is_stubbed(spark):
                                'video_id string, bytes binary')
     with pytest.raises(Exception, match='NotImplementedError|libav'):
         sample_video_frames(df).collect()
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """Stateful cross-batch dedup: duplicate keys arriving in LATER
+    micro-batches are suppressed by the state store; within one batch
+    ties collapse to the smallest id."""
+    from pytrs_spark.streaming import stream_dedup_first_seen
+
+    src = str(tmp_path / 'dsrc')
+    out = str(tmp_path / 'dout')
+    ckpt = str(tmp_path / 'dckpt')
+    schema = 'image_id string, phash long'
+
+    # Batch 1: keys 1..4, key 1 duplicated in-batch (img_a vs img_b).
+    spark.createDataFrame(
+        [('img_b', 1), ('img_a', 1), ('img_c', 2), ('img_d', 3),
+         ('img_e', 4)], schema) \
+        .coalesce(1).write.mode('overwrite').parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 1).parquet(src))
+    deduped = stream_dedup_first_seen(stream, key_cols=('phash',))
+    q = (deduped.writeStream.format('parquet')
+         .option('path', out).option('checkpointLocation', ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r['image_id'], r['phash'])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {('img_a', 1), ('img_c', 2), ('img_d', 3),
+                   ('img_e', 4)}
+
+    # Batch 2 (new file, restarted query from the same checkpoint):
+    # keys 1 and 2 recur -> suppressed by state; key 5 is new.
+    spark.createDataFrame(
+        [('img_z', 1), ('img_y', 2), ('img_x', 5)], schema) \
+        .coalesce(1).write.mode('append').parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 1).parquet(src))
+    deduped = stream_dedup_first_seen(stream, key_cols=('phash',))
+    q = (deduped.writeStream.format('parquet')
+         .option('path', out).option('checkpointLocation', ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r['image_id'], r['phash'])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {('img_a', 1), ('img_c', 2), ('img_d', 3),
+                   ('img_e', 4), ('img_x', 5)}
