@@ -167,3 +167,27 @@ def test_embedding_near_dup_pairs_recall_on_planted_dups(spark):
              if cos(va, vb) >= 0.95}
     assert ('v000', 'v900') in truth and ('v000', 'v901') in truth
     assert got == truth
+
+
+def test_lsh_plans_keep_vectors_out_of_exchanges(spark):
+    """Wide-row regression pin: LSH candidate streams (bucket join +
+    distinct) must carry ids only -- embedding arrays attach AFTER
+    candidate dedup.  A reintroduced vector-carrying distinct shows up
+    as an embedding column in an Exchange's hashpartitioning."""
+    import re
+
+    from pytrs_spark.operators.ann import (
+        embedding_near_dup_pairs,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    q = emb.limit(4).selectExpr('vec_id as query_id', 'embedding')
+
+    for df in (lsh_bucket_topk(emb, q, dim=64, k=5, planes=4,
+                               tables=4, probes=1),
+               embedding_near_dup_pairs(emb, threshold=0.4)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if re.search(r'\b(Deduplicate|Aggregate)\b', line):
+                assert 'embedding' not in line and '_v' not in line, line
