@@ -58,6 +58,26 @@ CORPUS = [
     "railroad",
     "T154N-R97W Sec 14: NE/4; Sec 22: SW/4",         # semicolon split
     "T7S-R12E Sec 31: Lots 1 - 4, E/2W/2",           # fractional sec
+    # round-3 additions II: lot-of-aliquot, stacked PMs, dotted
+    # abbreviations, aliquot-of-lots, interest language, exceptions,
+    # conjunction multi-ranges, leading-aliquot multi-sec, acreage
+    # lists, section sign, hyphenated twprge, out-of-range secs,
+    # depth-4 chains (all verified to agree with the reference under
+    # default/clean_qq/segment/require_colon before inclusion)
+    "T154N-R97W Sec 14: Lot 1 of the NE/4",
+    "T154N-R97W, 5th P.M., T153N-R98W, 6th P.M., Sec 1: ALL",
+    "Twp. 154 N., Rge. 97 W., Sec. 14: N.E.1/4",
+    "T154N-R97W Sec 14: E2 of Lots 1 - 4",
+    "T154N-R97W Sec 14: undivided 1/2 interest in the NE/4",
+    "T154N-R97W Sec 14: NE/4, EXCEPT Lot 7",
+    "T154N-R97W Secs 1 - 3 and 5 - 7: S/2",
+    "S2 of Sec 14 and N2 of Sec 23, T154N-R97W",
+    "T154N-R97W Sec 14: Lots 1 - 3 (39.25, 40.10, 38.00)",
+    "T154N-R97W §14: NE/4",
+    "T-154-N R-97-W Sec 14: SE/4",
+    "T154N-R97W Sec 00: NE/4",
+    "T154N-R97W Sec 37: NE/4",
+    "T7N-R2W Sec 20: W/2 of the E/2 of the NW/4 of the SE/4",
 ]
 
 CONFIGS = [
@@ -392,3 +412,21 @@ def test_forced_layout_reference_semantics():
                   for x in ref.tracts]
         mine, _ = _ours(t, {'layout': 'copy_all'})
         assert mine == theirs, t
+
+
+def test_reference_unused_sec_crash_is_handled():
+    """Reference CRASH pin: under ``sec_colon_required``, text whose
+    section never gets a colon ('T154N-R97W Sec 14 NE/4') kills the
+    reference with ``TypeError: can only join an iterable`` at
+    ``plss_parse.py:825`` (the ``unused_sec<...>`` flag formatter
+    joins a non-iterable working sec).  A parser that dies on one
+    malformed row cannot run over a 10^12-row corpus; our engine
+    parses the document via the copy_all fallback instead and returns
+    a row.  Pinned so we notice if a reference upgrade fixes the crash
+    (then flag parity should be revisited)."""
+    text = 'T154N-R97W Sec 14 NE/4'
+    with pytest.raises(TypeError):
+        pytrs.PLSSDesc(text, config='sec_colon_required,parse_qq')
+    ours, _ = _ours(text, {'require_colon': True})
+    assert len(ours) == 1
+    assert ours[0][0] == '154n97w14'
