@@ -117,3 +117,81 @@ def sample_video_frames(videos: DataFrame, every_nth: int = 10,
 
     return videos.select(id_col, bytes_col) \
         .mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+# --- audio (synthetic container; real codecs stubbed) -------------------
+
+AUDIO_MAGIC = b'SGA1'
+
+
+def encode_fake_audio(samples: np.ndarray, sample_rate: int = 16000) \
+        -> bytes:
+    """(n,) int16 mono PCM -> deterministic SGA1 container bytes (the
+    audio analogue of SGI1/SGV1)."""
+    samples = np.asarray(samples, dtype='<i2')
+    return (AUDIO_MAGIC + struct.pack('<IH', len(samples), sample_rate)
+            + zlib.compress(samples.tobytes(), level=1))
+
+
+def _decode_fake_audio(data: bytes):
+    n, rate = struct.unpack('<IH', data[4:10])
+    pcm = np.frombuffer(zlib.decompress(data[10:]), dtype='<i2')[:n]
+    return pcm, rate
+
+
+def decode_audio_real(data: bytes):
+    """STUB: real WAV/MP3/FLAC decode needs soundfile/libsndfile or
+    ffmpeg bindings (not in this container).  On a cluster, ship the
+    codec package with ``spark-submit --py-files`` and replace this
+    body."""
+    raise NotImplementedError(
+        'Real audio decode needs codec bindings; see docstring for the '
+        'cluster deployment path.')
+
+
+_AUDIO_SCHEMA = ('audio_id string, window_idx int, start_ms double, '
+                 'rms double, zero_crossings int, peak int')
+
+
+def audio_window_features(audio: DataFrame, window_ms: int = 250,
+                          id_col: str = 'audio_id',
+                          bytes_col: str = 'bytes') -> DataFrame:
+    """Windowed audio features: one output row per ``window_ms`` slice
+    -- RMS level, zero-crossing count, peak amplitude (the standard
+    cheap speech/music/silence discriminators for corpus filtering).
+
+    Same plumbing contract as the image/video legs: ``mapInPandas``
+    over only (id, bytes), decode per Arrow batch, numpy-vectorized
+    per window; real container formats raise through
+    :func:`decode_audio_real`, the SGA1 synthetic container exercises
+    the full path."""
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                data = bytes(blob)
+                if data[:4] == AUDIO_MAGIC:
+                    pcm, rate = _decode_fake_audio(data)
+                else:
+                    pcm, rate = decode_audio_real(data)
+                win = max(1, rate * window_ms // 1000)
+                n_win = (len(pcm) + win - 1) // win
+                x = pcm.astype(np.float64)
+                for i in range(n_win):
+                    seg = x[i * win:(i + 1) * win]
+                    segi = pcm[i * win:(i + 1) * win]
+                    rows.append((
+                        aid, i, i * win * 1000.0 / rate,
+                        float(np.sqrt(np.mean(seg * seg))),
+                        int(np.count_nonzero(np.diff(np.signbit(segi)))),
+                        int(np.abs(segi).max(initial=0)),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                'audio_id', 'window_idx', 'start_ms', 'rms',
+                'zero_crossings', 'peak'])
+
+    return audio.select(id_col, bytes_col) \
+        .mapInPandas(extract, schema=_AUDIO_SCHEMA)

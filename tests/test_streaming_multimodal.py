@@ -102,6 +102,43 @@ def test_video_real_decode_is_stubbed(spark):
         sample_video_frames(df).collect()
 
 
+def test_audio_window_features(spark):
+    """Audio leg: windowed RMS / zero-crossing / peak features over
+    the SGA1 synthetic container, verified against a numpy oracle."""
+    from pytrs_spark.multimodal import (audio_window_features,
+                                        encode_fake_audio)
+    rng = np.random.Generator(np.random.PCG64(7))
+    rate, window_ms = 8000, 250
+    win = rate * window_ms // 1000
+    clips = {}
+    rows = []
+    for i in range(4):
+        n = int(rng.integers(win, 4 * win))
+        pcm = rng.integers(-2000, 2000, size=n).astype(np.int16)
+        clips[f'a{i}'] = pcm
+        rows.append((f'a{i}', encode_fake_audio(pcm, rate)))
+    df = spark.createDataFrame(rows, 'audio_id string, bytes binary')
+    got = {(r['audio_id'], r['window_idx']): r
+           for r in audio_window_features(df, window_ms=window_ms).collect()}
+    n_expected = sum((len(p) + win - 1) // win for p in clips.values())
+    assert len(got) == n_expected
+    for (aid, idx), r in got.items():
+        seg = clips[aid][idx * win:(idx + 1) * win]
+        assert r['peak'] == int(np.abs(seg).max())
+        assert r['zero_crossings'] == int(
+            np.count_nonzero(np.diff(np.signbit(seg))))
+        assert abs(r['rms'] - float(np.sqrt(np.mean(
+            seg.astype(np.float64) ** 2)))) < 1e-9
+
+
+def test_audio_real_decode_is_stubbed(spark):
+    from pytrs_spark.multimodal import audio_window_features
+    df = spark.createDataFrame([('a0', b'RIFF....WAVEfmt ')],
+                               'audio_id string, bytes binary')
+    with pytest.raises(Exception, match='NotImplementedError|codec'):
+        audio_window_features(df).collect()
+
+
 def test_stream_dedup_first_seen(spark, tmp_path):
     """Stateful cross-batch dedup: duplicate keys arriving in LATER
     micro-batches are suppressed by the state store; within one batch
