@@ -470,7 +470,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (no shuffle -- the join shuffles on the small cell key).  nprobe =
     n_cells degenerates to exact search.
     """
-    C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
+    # The quantizer is a property of the corpus, not of one query
+    # batch: memoize it on the corpus DataFrame (same pattern as the
+    # tile path's polygon prep) so repeated top-k calls against the
+    # same corpus skip the sample-collect + Lloyd training.  The
+    # training is deterministic, so a cache hit is result-identical.
+    cache = getattr(corpus, '_ivf_centroids', None)
+    if cache is None:
+        cache = {}
+        corpus._ivf_centroids = cache
+    key = (n_cells, id_col, vec_col)
+    C = cache.get(key)
+    if C is None:
+        C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
+        cache[key] = C
     assign = _cell_udf(C, 1)
     probe = _cell_udf(C, min(nprobe, len(C)))
     cb = (corpus.select(F.col(id_col).alias('vec_id'),
