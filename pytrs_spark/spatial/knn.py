@@ -20,7 +20,14 @@ no join.  This is the plan that survives 10^12 points: embarrassingly
 parallel over whatever partitioning the input already has.  (A pure
 native-column formulation with transform/filter/array_sort was ~10x
 slower: lambda higher-order functions evaluate interpreted, outside
-whole-stage codegen.)
+whole-stage codegen.  A lambda-FREE unroll -- CreateArray of 36
+plain structs + default-ordering array_sort + slice, the trick that
+made the tile ray cast native -- was ALSO measured ~3x slower than
+this kernel (A/B at 600k rows, round 3): CreateArray-of-struct and
+array_sort are non-codegen expressions, so 21.6M boxed struct
+allocations per 600k rows beat the Arrow crossing's cost.  The
+native-tier rule of thumb: scalar comparisons unroll well, per-row
+ARRAY construction does not.)
 
 Points that fail the safety guarantee at radius r (possible only for
 k > 4 or clipped domain edges) re-enter at r+1; for k <= 4 every point
