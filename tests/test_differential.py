@@ -430,3 +430,25 @@ def test_reference_unused_sec_crash_is_handled():
     ours, _ = _ours(text, {'require_colon': True})
     assert len(ours) == 1
     assert ours[0][0] == '154n97w14'
+
+
+def test_reference_fallback_duplicate_rows_not_replicated():
+    """Reference BUG pin #2: when a deduced walk layout stages ZERO
+    tracts, the reference's copy_all fallback (``plss_parse.py:
+    835-846``) registers the replacement chunk's components twice --
+    the replacement ``ChunkParser`` adds them to the parent itself,
+    then the original chunk copies them over and they are registered
+    again -- so every such document yields its error-tract row exactly
+    twice (flags are not doubled).  Found by fragment-fuzzing 4,000
+    garbage documents (reference: 94 crashes + this; our engine:
+    zero crashes).  We deliberately emit the tract once; duplicate
+    identical error rows are the kind of defect our dedup operators
+    exist to remove, not to produce."""
+    doc = 'W½ 01 Section T154N-R97W'
+    ref = pytrs.PLSSDesc(doc, config='parse_qq')
+    rows = [(t.trs, t.desc) for t in ref.tracts]
+    assert rows == [('154n97wXX', doc)] * 2          # the reference bug
+    assert ref.e_flags == ['twprge_error']           # flags NOT doubled
+    ours, r = _ours(doc, {})
+    assert [(t[0], t[1]) for t in ours] == [('154n97wXX', doc)]
+    assert r['e_flags'] == ['twprge_error']

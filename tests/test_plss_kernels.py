@@ -453,3 +453,30 @@ class TestDocumentParse:
         assert deduce_layout('T154N-R97W some words here NE/4 of '
                              'Section 14') == 'TR_desc_S'
         assert deduce_layout('no plss here at all') == 'copy_all'
+
+
+def test_parse_kernels_survive_fragment_fuzz():
+    """A 10^12-row corpus contains garbage; the parse kernels must
+    never raise on it.  Seeded fragment-fuzz (the same generator that
+    found the reference's two crash/duplication bugs pinned in
+    test_differential.py; the reference crashes on ~2% of these)."""
+    import random
+
+    from pytrs_spark.plss.document import parse_document
+    from pytrs_spark.plss.tract import parse_tract
+
+    random.seed(20260817)
+    frags = ['T154N-R97W', 'Sec 14', 'Sec', ':', 'NE/4', 'Lots 1 - 3',
+             'ALL', 'T', 'R', 'N', 'W', '½', '¼', '5th P.M.', 'Township',
+             'Range', 'Section', '-', ',', ';', 'of the', 'Lot 7(39.5)',
+             '§', 'and', '  ', '\n', '01', '97', '154', 'S/2N/2', 'E2',
+             'thru', '..', 'T0N-R0W', 'Sec 99', 'Lot 0', 'T9999N-R9999W',
+             '(', ')', '1/2', '½¼¼¼', 'NENE', 'W2SW', 'L1', '\t', '\r\n',
+             'Sections 1 - 36', 'T1S-R1E', 'part of', 'EXCEPT',
+             '154n97w01']
+    for _ in range(800):
+        doc = ''.join(random.choice(frags) + random.choice([' ', '', ', '])
+                      for _ in range(random.randint(1, 12)))
+        r = parse_document(doc)                      # must not raise
+        for t in r['tracts']:
+            parse_tract(t['desc'])                   # must not raise
