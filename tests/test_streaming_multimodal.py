@@ -67,6 +67,57 @@ def test_stream_events_hourly_matches_batch(spark, tmp_path):
     assert want.exceptAll(got).isEmpty()
 
 
+def test_stream_events_hourly_drops_late_data(spark, tmp_path):
+    """Watermark semantics pin: in append mode a window only emits
+    once the (data-driven) watermark passes its end, and rows arriving
+    after the watermark passed their window are dropped.  Batch
+    boundaries are forced deterministically by running the query twice
+    from one checkpoint (the watermark survives restarts in the
+    checkpoint, like any production incremental ingest)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / 'late_src')
+    out = str(tmp_path / 'late_out')
+    ckpt = str(tmp_path / 'late_ckpt')
+    base = dt.datetime(2026, 1, 1, 0, 30)
+    schema = 'ts timestamp, event_type string, value double'
+
+    def write(rows, mode):
+        spark.createDataFrame([Row(ts=ts, event_type=et, value=v)
+                               for ts, et, v in rows], schema) \
+            .coalesce(1).write.mode(mode).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        rolled = stream_events_hourly(stream, watermark='2 hours')
+        q = (rolled.writeStream.format('parquet')
+             .option('path', out).option('checkpointLocation', ckpt)
+             .outputMode('append').trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    # Run 1: two rows in hour 00, one in hour 05 -> watermark ends at
+    # 05:30 - 2h = 03:30, finalizing (and emitting) window 00.
+    write([(base, 'a', 1.0),
+           (base + dt.timedelta(minutes=5), 'a', 2.0),
+           (base + dt.timedelta(hours=5), 'a', 4.0)], 'overwrite')
+    run()
+    got = {r['hour']: (r['n_events'], r['sum_value'])
+           for r in spark.read.parquet(out).collect()}
+    assert got['2026-01-01 00'] == (2, 3.0)
+    assert '2026-01-01 05' not in got    # not finalized yet
+
+    # Run 2 (same checkpoint; watermark restored at 03:30): a LATE
+    # row for hour 00 arrives -> dropped, the emitted window stands.
+    write([(base + dt.timedelta(minutes=10), 'a', 100.0)], 'append')
+    run()
+    got = {r['hour']: (r['n_events'], r['sum_value'])
+           for r in spark.read.parquet(out).collect()}
+    assert got['2026-01-01 00'] == (2, 3.0)   # late row did NOT land
+    assert '2026-01-01 05' not in got
+
+
 def test_image_features(spark):
     images = datagen.gen_images(spark, 48, with_bytes=True, partitions=4)
     feats = image_features(images).collect()
