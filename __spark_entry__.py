@@ -1138,6 +1138,25 @@ FROM packed
 """
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 3 via the exact-recall
+    banded Hamming-LSH join (max_hamming+1 pigeonhole bands).  The
+    oracle is full brute force: all doc pairs with
+    bit_count(xor(simhash_a, simhash_b)) <= 3 over the independently
+    SQL-computed simhashes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+_ORACLE_SIMHASH_PAIRS = f"""
+WITH s AS ({_ORACLE_SIMHASH})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (spec'd dual Mersenne-31
     polynomial window hash; oracle re-implements it in SQL)."""
@@ -1302,6 +1321,7 @@ _RAW_QUERIES = {
         'events_hourly': q_events_hourly,
         'minhash_pairs': q_minhash_pairs,
         'simhash': q_simhash,
+        'simhash_near_dup': q_simhash_near_dup,
         'fingerprint': q_fingerprint,
         'lang_id': q_lang_id,
 }
@@ -1383,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         'events_hourly': _ORACLE_EVENTS,
         'minhash_pairs': _ORACLE_MINHASH,
         'simhash': _ORACLE_SIMHASH,
+        'simhash_near_dup': _ORACLE_SIMHASH_PAIRS,
         'fingerprint': _fp_oracle(),
         'lang_id': _ORACLE_LANG,
     }

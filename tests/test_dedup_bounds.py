@@ -81,3 +81,65 @@ def test_lineage_corrupt_table_raises(spark, tmp_path):
     (lin / 'part-00000.parquet').write_text('this is not parquet')
     with pytest.raises(Exception):
         finished_buckets(spark, str(lin))
+
+
+def test_simhash_near_dup_exact_vs_brute_force(spark):
+    """The pigeonhole band join must return EXACTLY the brute-force
+    all-pairs answer at Hamming <= r (recall 1 by construction, not
+    probabilistically), including hamming-0 groups via the
+    distinct-simhash prepass."""
+    base = ('the quick brown fox jumps over the lazy dog while '
+            'seventeen engineers watch a shuffle graph converge')
+    rows = []
+    # 3 identical docs (hamming 0 within group), small perturbations
+    # (low hamming), and unrelated docs (far).
+    for i in range(3):
+        rows.append((i, base))
+    rows += [(10, base + ' tonight'), (11, base.replace('lazy', 'calm')),
+             (20, 'completely unrelated text about parquet footers'),
+             (21, 'another unrelated doc on iceberg snapshot manifests'),
+             (30, '')]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    for r in (0, 2, 6, 12):
+        got = sorted(
+            (x.id_a, x.id_b, x.hamming)
+            for x in textops.simhash_near_dup_pairs(
+                docs, max_hamming=r).collect())
+        sh = docs.select('doc_id',
+                         textops.simhash_col('text').alias('sh'))
+        a, b = sh.alias('a'), sh.alias('b')
+        want = sorted(
+            (x.id_a, x.id_b, x.hamming)
+            for x in (a.join(b, F.col('a.doc_id') < F.col('b.doc_id'))
+                      .withColumn('hamming',
+                                  F.bit_count(F.col('a.sh').bitwiseXOR(
+                                      F.col('b.sh'))).cast('int'))
+                      .filter(F.col('hamming') <= r)
+                      .select(F.col('a.doc_id').alias('id_a'),
+                              F.col('b.doc_id').alias('id_b'),
+                              'hamming')).collect())
+        assert got == want, (r, got, want)
+    # hamming-0 group of identical docs is fully enumerated
+    got0 = {(x.id_a, x.id_b) for x in textops.simhash_near_dup_pairs(
+        docs, max_hamming=0).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got0
+
+    with pytest.raises(ValueError):
+        textops.simhash_near_dup_pairs(docs, max_hamming=3, bands=8)
+
+
+def test_simhash_hot_bucket_bounded_by_prepass(spark):
+    """10k identical docs: only ONE distinct simhash enters the band
+    join (the prepass makes the hot group a single rep row), and
+    max_bucket never drops anything for it."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col('id').alias('doc_id'),
+        F.lit('the same exact document body appears everywhere '
+              'in this corpus').alias('text'))
+    stats = {}
+    pairs = textops.simhash_near_dup_pairs(
+        docs, max_hamming=3, max_bucket=64, drop_stats=stats)
+    assert stats['dropped_rows'] == 0, stats
+    assert pairs.filter(F.col('id_a') == 0).count() == n - 1
