@@ -1096,6 +1096,53 @@ WHERE n_inter * 5 >= (la.n + lb.n - n_inter) * 4
 """
 
 
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pair join (prefix-filtered AllPairs/PPJoin
+    inverted index) at Jaccard >= 4/5, over a corpus where every doc
+    has a clone with a short appended suffix -- so the true pairs have
+    non-trivial n_inter < n_union and the prefix filter's
+    no-false-negative guarantee is exercised against a brute-force
+    all-pairs DuckDB oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mut = docs.select(
+        (F.col('doc_id') + 1_000_000).alias('doc_id'),
+        F.concat('text', F.lit(' qq tail')).alias('text'))
+    corpus = docs.select('doc_id', 'text').unionByName(mut)
+    return textops.ngram_jaccard_pairs(corpus, threshold=(4, 5))
+
+
+_ORACLE_JACCARD = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, concat(text, ' qq tail') AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM doubled
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 4, 1)),
+           i -> substring(CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
+                          ELSE t END, i, 5))) AS s
+  FROM norm
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_inter AS INT) AS n_inter,
+       CAST(la.n + lb.n - n_inter AS INT) AS n_union
+FROM co
+JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = co.id_a
+JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = co.id_b
+WHERE n_inter * 5 >= (la.n + lb.n - n_inter) * 4
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (spec'd FNV-1a token hash + bit
     votes; the oracle re-implements the spec in SQL)."""
@@ -1320,6 +1367,7 @@ _RAW_QUERIES = {
         'dedup_embedding': q_dedup_embedding,
         'events_hourly': q_events_hourly,
         'minhash_pairs': q_minhash_pairs,
+        'jaccard_pairs': q_jaccard_pairs,
         'simhash': q_simhash,
         'simhash_near_dup': q_simhash_near_dup,
         'fingerprint': q_fingerprint,
@@ -1402,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_embedding': _ORACLE_DEDUP_EMB,
         'events_hourly': _ORACLE_EVENTS,
         'minhash_pairs': _ORACLE_MINHASH,
+        'jaccard_pairs': _ORACLE_JACCARD,
         'simhash': _ORACLE_SIMHASH,
         'simhash_near_dup': _ORACLE_SIMHASH_PAIRS,
         'fingerprint': _fp_oracle(),

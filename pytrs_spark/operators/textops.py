@@ -105,6 +105,36 @@ def shingles_col(text_col, k: int = 5) -> F.Column:
     return _shingle_udf(k)(normalized_text(text_col))
 
 
+def _char_ngram_udf(n: int):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                text = ''
+            if len(text) < n:
+                text = text.ljust(n)
+            return sorted({text[i:i + n]
+                           for i in range(len(text) - n + 1)})
+        return texts.map(one)
+    return udf
+
+
+def char_ngrams_col(text_col, n: int = 5) -> F.Column:
+    """Distinct *raw* character n-grams of the normalized text, sorted.
+
+    Same windowing convention as :func:`shingles_col` / the DuckDB
+    oracles (texts shorter than ``n`` are right-padded with spaces and
+    yield one gram), but the grams stay strings instead of 64-bit
+    hashes: :func:`ngram_jaccard_pairs` needs raw grams because a hash
+    quotient can *decrease* Jaccard (A={a,b,x}, B={a,b,y} with a~b
+    colliding: true J=1/2, hashed J=1/3), so hashed candidate
+    generation could miss true pairs.  Hashed shingles remain the
+    right representation for MinHash, where collisions only perturb
+    the estimate.
+    """
+    return _char_ngram_udf(n)(normalized_text(text_col))
+
+
 def minhash_signature(shingles, num_perm: int = 32) -> F.Column:
     """MinHash signature: for permutation i, min over shingles of
     ``(a_i * h + b_i) mod p`` -- fully native column math.
@@ -281,6 +311,83 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col='text',
         'id_a', 'id_b',
         inter.alias('n_inter'), union.alias('n_union'),
         (inter.cast('double') / union).alias('jaccard'))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col='text',
+                        id_col='doc_id', n: int = 5, threshold=(4, 5),
+                        prefix_filter: bool = True) -> DataFrame:
+    """ALL pairs with exact n-gram Jaccard >= p/q -- the exact tier of
+    the dedup family (brief: "n-gram Jaccard" dedup).  Unlike
+    :func:`near_duplicate_pairs` (MinHash+LSH, probabilistic recall)
+    this operator provably never misses a qualifying pair; its cost is
+    the inverted-index self-join, so it is the verification /
+    bounded-corpus tier while LSH remains the 100 TB production path.
+
+    Scale shape -- AllPairs/PPJoin prefix filtering (Bayardo et al.,
+    WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et al.,
+    WWW'08 PPJoin, Lemma 1): order all grams rare-first by global
+    document frequency (one map-side-combined groupBy), and index only
+    each doc's first ``|x| - ceil(t*|x|) + 1`` grams.  If
+    ``J(A,B) >= t``, then ``|inter| >= ceil(t*max(|A|,|B|))``, and the
+    *smallest* shared gram w (in the global order) has ``|inter|-1``
+    shared grams after it in both docs, so w sits within both
+    prefixes -- the prefix equi-join loses nothing.  Rare-first
+    ordering keeps stop-gram hot keys out of the index (they sort
+    last), bounding join skew; a size predicate
+    (``q*|A| >= p*|B|`` both ways) prunes inside the join condition.
+    The verify step touches surviving candidates only and returns
+    exact integer ``(n_inter, n_union)`` -- the threshold decision is
+    ``n_inter * q >= n_union * p``, no float boundary.
+
+    Grams stay raw strings end-to-end (see :func:`char_ngrams_col` for
+    why hashing them could drop true pairs).  ``prefix_filter=False``
+    indexes every gram (same output, more candidates) -- the equality
+    of the two paths is pinned by ``tests/test_ngram_jaccard.py``.
+    """
+    p, q = threshold
+    if not (1 <= p <= q):
+        raise ValueError(f'threshold must be a fraction 0 < p/q <= 1, '
+                         f'got {threshold}')
+    grams = (docs.select(F.col(id_col).alias('id'),
+                         char_ngrams_col(F.col(text_col), n)
+                         .alias('grams'))
+             .withColumn('sz', F.size('grams'))
+             .filter(F.col('sz') > 0))
+    ex = grams.select('id', 'sz', F.explode('grams').alias('g'))
+    if prefix_filter:
+        dfreq = ex.groupBy('g').agg(F.count(F.lit(1)).alias('_df'))
+        # prefix length |x| - ceil(t*|x|) + 1, exact rational ceil
+        plen = (F.col('sz')
+                - F.expr(f'(sz * {p} + {q - 1}) div {q}') + 1)
+        w = Window.partitionBy('id').orderBy('_df', 'g')
+        idx = (ex.join(dfreq, 'g')
+               .withColumn('_rn', F.row_number().over(w))
+               .filter(F.col('_rn') <= plen)
+               .select('id', 'sz', 'g'))
+    else:
+        idx = ex
+    a, b = idx.alias('a'), idx.alias('b')
+    cand = (a.join(b, (F.col('a.g') == F.col('b.g'))
+                   & (F.col('a.id') < F.col('b.id'))
+                   & (F.col('a.sz') * q >= F.col('b.sz') * p)
+                   & (F.col('b.sz') * q >= F.col('a.sz') * p))
+            .select(F.col('a.id').alias('id_a'),
+                    F.col('b.id').alias('id_b'))
+            .distinct())
+    ga = grams.select(F.col('id').alias('id_a'),
+                      F.col('grams').alias('_ga'),
+                      F.col('sz').alias('_sa'))
+    gb = grams.select(F.col('id').alias('id_b'),
+                      F.col('grams').alias('_gb'),
+                      F.col('sz').alias('_sb'))
+    return (cand.join(ga, 'id_a').join(gb, 'id_b')
+            .withColumn('n_inter', F.size(F.array_intersect('_ga', '_gb')))
+            .withColumn('n_union',
+                        F.col('_sa') + F.col('_sb') - F.col('n_inter'))
+            .filter(F.col('n_inter') * q >= F.col('n_union') * p)
+            .select('id_a', 'id_b',
+                    F.col('n_inter').cast('int').alias('n_inter'),
+                    F.col('n_union').cast('int').alias('n_union')))
 
 
 def near_duplicate_pairs(docs: DataFrame, text_col='text',
