@@ -621,13 +621,22 @@ def _pq_score_udf(B: np.ndarray):
         nq = np.sqrt(np.einsum('ij,ij->i', Q, Q))
         nq[nq == 0] = 1.0
         Q = Q / nq[:, None]
-        uq, inv = np.unique(Q, axis=0, return_inverse=True)
-        # LUT[u, j, c] = <uq[u] subspace j, codebook[j] centroid c>
+        # unique queries via byte-view compare (np.unique(axis=0)
+        # row-sorts ~10x slower); LUT[u, j, c] = <uq[u] subspace j,
+        # codebook[j] centroid c>
+        Qc = np.ascontiguousarray(Q)
+        qview = Qc.view(
+            np.dtype((np.void, Qc.dtype.itemsize * dim))).ravel()
+        _, uidx, inv = np.unique(qview, return_index=True,
+                                 return_inverse=True)
+        uq = Qc[uidx]
         lut = np.einsum('ujd,jkd->ujk',
                         uq.reshape(len(uq), m, dsub), B)
-        scores = np.take_along_axis(
-            lut[inv], C[:, :, None].astype(np.int64), axis=2
-        )[:, :, 0].sum(axis=1)
+        # direct fancy-index gather: (n, m) picks, no (n, m, ksub)
+        # intermediate (lut[inv] would materialize ~n*m*ksub floats
+        # -- 262 MB per 16k-row batch at m=8/ksub=256)
+        scores = lut[inv[:, None], np.arange(m)[None, :],
+                     C.astype(np.int64)].sum(axis=1)
         out[idx] = scores
         return pd.Series(out, dtype=object)
     return udf
@@ -722,4 +731,69 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn('rank', F.row_number().over(
                 Window.partitionBy('query_id').orderBy(
                     F.col('cos_sim').desc(), F.col('vec_id'))))
+            .filter(F.col('rank') <= k))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               n_cells: int = 16, nprobe: int = 4,
+               m: int = 4, nbits: int = 8, rerank: int = 64,
+               id_col='vec_id', vec_col='embedding',
+               qid_col='query_id', qvec_col='embedding') -> DataFrame:
+    """IVF-PQ: the composed production shape for 10^12-vector corpora.
+
+    The IVF coarse quantizer bounds the scan FRACTION (each query
+    touches ~nprobe/n_cells of the corpus); PQ codes bound the scan
+    BYTES (m bytes/vector instead of 4*dim); ADC orders the probed
+    candidates; exact cosine re-ranks only the top-``rerank`` pool
+    with raw vectors late-materialized by id.  The corpus side is one
+    map pass producing ``(vec_id, cell, code)`` -- the only per-query
+    work is the broadcast cell join + LUT gathers + the bounded
+    re-rank.  No residual encoding (codes quantize the normalized
+    vector itself, so one LUT per query serves every cell); with
+    ``rerank`` >= the candidate count this is exactly
+    :func:`ivf_topk` (pinned by tests).
+    """
+    C = None
+    cache = getattr(corpus, '_ivf_centroids', None)
+    if cache is None:
+        cache = {}
+        corpus._ivf_centroids = cache
+    ckey = (n_cells, id_col, vec_col)
+    C = cache.get(ckey)
+    if C is None:
+        C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
+        cache[ckey] = C
+    B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
+    assign = _cell_udf(C, 1)
+    probe = _cell_udf(C, min(nprobe, len(C)))
+    cb = (corpus.select(F.col(id_col).alias('vec_id'),
+                        F.col(vec_col).alias('_cv'))
+          .select('vec_id',
+                  F.element_at(assign(F.col('_cv')), 1).alias('cell'),
+                  _pq_encode_udf(B)(F.col('_cv')).alias('_code')))
+    q = queries.select(F.col(qid_col).alias('query_id'),
+                       F.col(qvec_col).alias('_qvec'))
+    qb = (q.select('query_id', '_qvec',
+                   F.explode(probe(F.col('_qvec'))).alias('cell')))
+    scored = (cb.join(F.broadcast(qb), 'cell')
+              .select('query_id', 'vec_id',
+                      _pq_score_udf(B)(F.col('_code'), F.col('_qvec'))
+                      .alias('_adc'))
+              .filter(F.col('_adc').isNotNull()))
+    w = Window.partitionBy('query_id').orderBy(
+        F.col('_adc').desc(), F.col('vec_id'))
+    pool = (scored.withColumn('_r', F.row_number().over(w))
+            .filter(F.col('_r') <= max(rerank, k))
+            .select('query_id', 'vec_id'))
+    cv = corpus.select(F.col(id_col).alias('vec_id'),
+                       F.col(vec_col).alias('_cv'))
+    exact = (pool.join(cv, 'vec_id')
+             .join(F.broadcast(q), 'query_id')
+             .select('query_id', 'vec_id',
+                     cosine(F.col('_cv'), F.col('_qvec'))
+                     .alias('cos_sim'))
+             .filter(F.col('cos_sim').isNotNull()))
+    w2 = Window.partitionBy('query_id').orderBy(
+        F.col('cos_sim').desc(), F.col('vec_id'))
+    return (exact.withColumn('rank', F.row_number().over(w2))
             .filter(F.col('rank') <= k))

@@ -258,3 +258,33 @@ def test_pq_recall_high_on_driver_embeddings(spark):
     got = {(r.query_id, r.vec_id, r.rank)
            for r in pq_topk(emb, q, k=10, m=8, rerank=64).collect()}
     assert got == exact
+
+
+def test_ivfpq_equals_ivf_with_full_rerank(spark):
+    """With rerank >= candidate count, IVF-PQ's exact re-rank of the
+    whole probed set IS ivf_topk (same coarse quantizer, same probed
+    cells, same exact-cosine ranking) -- the ADC stage only prunes."""
+    from pytrs_spark.operators.ann import ivf_topk, ivfpq_topk
+    corpus = _corpus(spark, 60)
+    q = (corpus.filter(F.col('vec_id') < 'v004')
+         .select(F.col('vec_id').alias('query_id'), 'embedding'))
+    ivf = {(r.query_id, r.vec_id, r.rank)
+           for r in ivf_topk(corpus, q, k=5, n_cells=8,
+                             nprobe=3).collect()}
+    both = {(r.query_id, r.vec_id, r.rank)
+            for r in ivfpq_topk(corpus, q, k=5, n_cells=8, nprobe=3,
+                                m=4, rerank=60).collect()}
+    assert both == ivf
+
+
+def test_ivfpq_malformed_rows_never_rank(spark):
+    from pytrs_spark.operators.ann import ivfpq_topk
+    corpus = _corpus(spark, 30, bad={3: None, 6: _vec(6, DIM + 1),
+                                     8: [0.0] * DIM})
+    q = (corpus.filter(F.col('vec_id') == 'v000')
+         .select(F.col('vec_id').alias('query_id'), 'embedding'))
+    got = ivfpq_topk(corpus, q, k=30, n_cells=4, nprobe=4,
+                     m=4, rerank=30).collect()
+    ids = {r.vec_id for r in got}
+    assert not ids & {'v003', 'v006', 'v008'}
+    assert min(got, key=lambda r: r.rank).vec_id == 'v000'

@@ -56,10 +56,12 @@ def test_matches_brute_force_both_paths(spark, threshold):
     df = spark.createDataFrame(CORPUS, ['doc_id', 'text'])
     expect = _brute(CORPUS, p, q)
     for pf in (True, False):
-        got = {(r.id_a, r.id_b, r.n_inter, r.n_union)
-               for r in textops.ngram_jaccard_pairs(
-                   df, threshold=threshold, prefix_filter=pf).collect()}
-        assert got == expect, (threshold, pf)
+        for bmax in (1 << 16, 0):   # bitmap verify vs array verify
+            got = {(r.id_a, r.id_b, r.n_inter, r.n_union)
+                   for r in textops.ngram_jaccard_pairs(
+                       df, threshold=threshold, prefix_filter=pf,
+                       bitmap_max_bits=bmax).collect()}
+            assert got == expect, (threshold, pf, bmax)
 
 
 def test_boundary_pair_exactly_at_threshold_is_kept(spark):
@@ -94,10 +96,12 @@ def test_randomized_prefix_equals_unfiltered(spark):
     df = spark.createDataFrame(rows, ['doc_id', 'text'])
     for threshold in [(4, 5), (3, 5), (1, 2)]:
         expect = _brute(rows, *threshold)
-        fast = {(r.id_a, r.id_b, r.n_inter, r.n_union)
-                for r in textops.ngram_jaccard_pairs(
-                    df, threshold=threshold).collect()}
-        assert fast == expect, threshold
+        for bmax in (1 << 16, 0):
+            fast = {(r.id_a, r.id_b, r.n_inter, r.n_union)
+                    for r in textops.ngram_jaccard_pairs(
+                        df, threshold=threshold,
+                        bitmap_max_bits=bmax).collect()}
+            assert fast == expect, (threshold, bmax)
 
 
 def test_bad_threshold_rejected(spark):
