@@ -924,6 +924,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select('query_id', 'rank', 'vec_id')
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed tier: IVF cells bound the scan fraction
+    (nprobe=4 of 16), PQ codes bound the scan bytes (m=8), ADC orders
+    candidates, exact cosine re-ranks the top-64 pool.  At these
+    params the ADC pool contains the probed-cell top-10 (measured
+    recall 1.0, deterministic end to end), so the result equals
+    ivf_topk's -- held to the same full
+    SQL re-implementation oracle (:func:`_ivf_oracle`), which gates
+    both the real partial-probe path AND the ADC pruning."""
+    from pytrs_spark.operators.ann import ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col('vec_id') < 5) \
+        .select(F.col('vec_id').alias('query_id'), 'embedding')
+    topk = ivfpq_topk(emb, queries, k=10, n_cells=16, nprobe=4,
+                      m=8, rerank=64)
+    return topk.select('query_id', 'rank', 'vec_id')
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at threshold 0.4 (59
     pairs at sf0.01, min |cos - 0.4| margin 1.3e-4 -- far above any
@@ -1381,6 +1399,7 @@ _RAW_QUERIES = {
         'ann_lsh': q_ann_lsh,
         'ann_pq': q_ann_pq,
         'ann_ivf': q_ann_ivf,
+        'ann_ivfpq': q_ann_ivfpq,
         'dedup_embedding': q_dedup_embedding,
         'events_hourly': q_events_hourly,
         'minhash_pairs': q_minhash_pairs,
@@ -1467,6 +1486,9 @@ def oracle_sql() -> dict[str, str]:
         # unrolled as chained CTEs) -- gates the real partial-probe
         # path, not a degenerate exhaustive configuration.
         'ann_ivf': _ivf_oracle(n_cells=16, nprobe=4, k=10),
+        # ann_ivfpq equals ivf_topk at gate params (ADC pool recall
+        # 1.0 within the probed cells, exact re-rank) -> same oracle.
+        'ann_ivfpq': _ivf_oracle(n_cells=16, nprobe=4, k=10),
         'dedup_embedding': _ORACLE_DEDUP_EMB,
         'events_hourly': _ORACLE_EVENTS,
         'minhash_pairs': _ORACLE_MINHASH,

@@ -496,7 +496,7 @@ def main():
     # both corpora.  Codes are 8 B/vector vs 512 B raw here (dim-64
     # float64) -- the compression is the scale story; recall comes from
     # the bounded exact re-rank pool.
-    from pytrs_spark.operators.ann import pq_topk
+    from pytrs_spark.operators.ann import ivfpq_topk, pq_topk
     queries['ann_pq'] = round(_median_time(
         lambda: pq_topk(emb, q, k=10, m=8, rerank=64).count(),
         runs=RUNS), 3)
@@ -507,6 +507,22 @@ def main():
            for r in pq_topk(cemb, cq, k=10, m=8, rerank=64).collect()}
     ann_pq_recall_clustered = round(
         len(ctruth & cpq) / max(len(ctruth), 1), 3)
+
+    # IVF-PQ composed tier (cells bound the scan fraction, codes bound
+    # the scan bytes): wall at scale params + recall on both corpora.
+    queries['ann_ivfpq'] = round(_median_time(
+        lambda: ivfpq_topk(emb, q, k=10, n_cells=32, nprobe=4,
+                           m=8, rerank=64).count(), runs=RUNS), 3)
+    ivfpq_got = {(r['query_id'], r['vec_id'])
+                 for r in ivfpq_topk(emb, q, k=10, n_cells=32, nprobe=4,
+                                     m=8, rerank=64).collect()}
+    ann_ivfpq_recall = round(
+        len(truth & ivfpq_got) / max(len(truth), 1), 3)
+    civfpq = {(r['query_id'], r['vec_id'])
+              for r in ivfpq_topk(cemb, cq, k=10, n_cells=32, nprobe=4,
+                                  m=8, rerank=64).collect()}
+    ann_ivfpq_recall_clustered = round(
+        len(ctruth & civfpq) / max(len(ctruth), 1), 3)
 
     queries['dedup_embedding'] = round(_median_time(
         lambda: embedding_near_dup_pairs(emb, threshold=0.4).count(),
@@ -531,6 +547,8 @@ def main():
         'ann_ivf_recall_at_10_clustered': ann_ivf_recall_clustered,
         'ann_pq_recall_at_10': ann_pq_recall,
         'ann_pq_recall_at_10_clustered': ann_pq_recall_clustered,
+        'ann_ivfpq_recall_at_10': ann_ivfpq_recall,
+        'ann_ivfpq_recall_at_10_clustered': ann_ivfpq_recall_clustered,
     }
     print(json.dumps(result))
     spark.stop()
