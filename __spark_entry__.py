@@ -1344,6 +1344,143 @@ FROM s
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line fraction,
+    dup-line char fraction, top-2-gram char fraction) -- the oracle
+    re-derives the documented spec in raw SQL (string_split + lateral
+    2-gram join + window winner)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = textops.repetition_metrics(docs.select('doc_id', 'text'))
+    return rep.select(
+        'doc_id',
+        F.round('dup_line_frac', 6).alias('dup_line_frac'),
+        F.round('dup_line_char_frac', 6).alias('dup_line_char_frac'),
+        F.round('top_2gram_char_frac', 6).alias('top_2gram_char_frac'))
+
+
+_ORACLE_REPETITION = """
+WITH nz AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+), nzf AS (
+  SELECT * FROM nz WHERE length(line) > 0
+), per_line AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+  FROM nzf GROUP BY doc_id, line
+), line_agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt)
+           AS dup_line_frac,
+         CAST(sum((cnt - 1) * len) AS DOUBLE) / sum(cnt * len)
+           AS dup_line_char_frac
+  FROM per_line GROUP BY doc_id
+), toks AS (
+  SELECT doc_id,
+         coalesce(length(text), 0) AS nc,
+         string_split_regex(
+           regexp_replace(lower(coalesce(text, '')),
+                          '^[^a-z0-9'']+|[^a-z0-9'']+$', '', 'g'),
+           '[^a-z0-9'']+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, nc,
+         tk[i] || ' ' || tk[i + 1] AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) s
+  WHERE len(tk) >= 2
+), per_gram AS (
+  SELECT doc_id, nc, gram, count(*) AS cnt
+  FROM grams GROUP BY doc_id, nc, gram
+), top AS (
+  SELECT doc_id,
+         CAST(cnt * length(gram) AS DOUBLE) / greatest(nc, 1)
+           AS top_2gram_char_frac,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram ASC) AS rn
+  FROM per_gram
+)
+SELECT d.doc_id,
+       round(coalesce(la.dup_line_frac, 0.0), 6) AS dup_line_frac,
+       round(coalesce(la.dup_line_char_frac, 0.0), 6)
+         AS dup_line_char_frac,
+       round(coalesce(t.top_2gram_char_frac, 0.0), 6)
+         AS top_2gram_char_frac
+FROM documents d
+LEFT JOIN line_agg la USING (doc_id)
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+"""
+
+
+def _mix_ctes(salt: int) -> str:
+    """CTE chain re-implementing pytrs_spark.operators.sampling's
+    documented mix spec in raw SQL (affine rounds mod 2^31-1 separated
+    by xor-shifts; all products < 2^52, exact in BIGINT)."""
+    return f"""
+WITH m0 AS (
+  SELECT doc_id, (doc_id + {salt}) % 2147483647 AS h FROM documents
+), m1 AS (
+  SELECT doc_id, (h * 1299709 + 2654435761) % 2147483647 AS h FROM m0
+), m2 AS (
+  SELECT doc_id, xor(h, h >> 16) AS h FROM m1
+), m3 AS (
+  SELECT doc_id, (h * 1000003 + 12345) % 2147483647 AS h FROM m2
+), mix AS (
+  SELECT doc_id, xor(h, h >> 8) AS h FROM m3
+)"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% hash sample of documents; returns the mixed
+    hash too so the oracle verifies the mix itself, not just the kept
+    set."""
+    from pytrs_spark.operators.sampling import hash_mix, sample_by_hash
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (sample_by_hash(docs, 'doc_id', 0.25)
+            .select('doc_id', hash_mix('doc_id').alias('h')))
+
+
+_ORACLE_SAMPLE = _mix_ctes(0) + f"""
+SELECT doc_id, h FROM mix WHERE h < {int(0.25 * (1 << 31))}
+"""
+
+
+def q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment by cumulative hash ranges."""
+    from pytrs_spark.operators.sampling import assign_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return assign_split(docs, 'doc_id',
+                        {'train': 0.8, 'val': 0.1, 'test': 0.1},
+                        salt=7).select('doc_id', 'split')
+
+
+_ORACLE_SPLIT = _mix_ctes(7) + f"""
+SELECT doc_id,
+       CASE WHEN h < {int(0.8 * (1 << 31))} THEN 'train'
+            WHEN h < {int(0.9 * (1 << 31))} THEN 'val'
+            WHEN h < {int(1.0 * (1 << 31))} THEN 'test'
+       END AS split
+FROM mix
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-by-hash quota sample: 20 docs per language."""
+    from pytrs_spark.operators.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (stratified_sample(docs, 'lang', 20, 'doc_id', salt=3)
+            .select('doc_id', 'lang'))
+
+
+_ORACLE_STRATIFIED = _mix_ctes(3) + """
+, ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY m.h, d.doc_id) AS rn
+  FROM documents d JOIN mix m USING (doc_id)
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -1408,6 +1545,10 @@ _RAW_QUERIES = {
         'simhash_near_dup': q_simhash_near_dup,
         'fingerprint': q_fingerprint,
         'lang_id': q_lang_id,
+        'repetition': q_repetition,
+        'sample_hash': q_sample_hash,
+        'assign_split': q_assign_split,
+        'stratified_sample': q_stratified_sample,
 }
 
 
@@ -1497,4 +1638,8 @@ def oracle_sql() -> dict[str, str]:
         'simhash_near_dup': _ORACLE_SIMHASH_PAIRS,
         'fingerprint': _fp_oracle(),
         'lang_id': _ORACLE_LANG,
+        'repetition': _ORACLE_REPETITION,
+        'sample_hash': _ORACLE_SAMPLE,
+        'assign_split': _ORACLE_SPLIT,
+        'stratified_sample': _ORACLE_STRATIFIED,
     }

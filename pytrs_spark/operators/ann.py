@@ -260,9 +260,26 @@ def sign_sketch(vec_col, dim: int, planes: int = 16,
     return udf(vec_col)
 
 
+def lsh_index(corpus: DataFrame, planes: int = 16, tables: int = 4,
+              id_col='vec_id', vec_col='embedding') -> DataFrame:
+    """Materializable LSH index: one (vec_id, table, bucket) row per
+    corpus vector per table.  Build once, ``persist()`` (or write out
+    bucketed by (table, bucket)), and hand to
+    :func:`lsh_bucket_topk` via ``index=`` -- the per-query cost then
+    never re-ships corpus vectors through Arrow.  At 10^12 vectors
+    the index build is the one-time O(N) map pass; queries touch only
+    bucket-matched ids."""
+    sketch = _sketch_udf(planes, tables)
+    return (corpus.select(F.col(id_col).alias('vec_id'),
+                          F.col(vec_col).alias('_v'))
+            .select('vec_id',
+                    F.posexplode(sketch(F.col('_v')))
+                    .alias('table', 'bucket')))
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                     k: int = 10, planes: int = 16, tables: int = 4,
-                    probes: int = 0,
+                    probes: int = 0, index: DataFrame = None,
                     id_col='vec_id', vec_col='embedding',
                     qid_col='query_id', qvec_col='embedding') -> DataFrame:
     """Approximate top-k: multi-table sign-sketch buckets -> equi-join
@@ -274,6 +291,11 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     look in the buckets reached by flipping that many least-certain
     sign bits) -- recall rises without touching the corpus index;
     candidate volume scales ~x(1+probes) in the worst case.
+
+    ``index``: a prebuilt (persisted) :func:`lsh_index` with the SAME
+    planes/tables.  Without it, every call pays the full corpus
+    sketch pass (all vectors through Arrow) -- fine for one-shot
+    jobs, wasteful for query-many serving.
     """
     sketch = _sketch_udf(planes, tables)
 
@@ -289,7 +311,8 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
             out_id,
             F.posexplode(sketch(F.col('_v'))).alias('table', 'bucket'))
 
-    cb = bucketize(corpus, id_col, vec_col, 'vec_id')
+    cb = index if index is not None \
+        else bucketize(corpus, id_col, vec_col, 'vec_id')
     if probes > 0:
         psketch = _probe_sketch_udf(planes, tables, probes)
         qb = (queries.select(F.col(qid_col).alias('query_id'),
@@ -308,7 +331,12 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                        F.col(vec_col).alias('_vec_id_v'))
     qv = queries.select(F.col(qid_col).alias('query_id'),
                         F.col(qvec_col).alias('_query_id_v'))
-    scored = (cand.join(cv, 'vec_id')
+    # Broadcast the candidate ids (bounded: queries x tables x bucket
+    # x (1+probes)) so the corpus NEVER shuffles its vectors -- the
+    # vector attach is a streamed scan + inline hash probe.  Without
+    # the hint the UDF-derived candidate side has no size estimate and
+    # Catalyst sort-merge-joins, shuffling every corpus vector.
+    scored = (cv.join(F.broadcast(cand), 'vec_id')
               .join(F.broadcast(qv), 'query_id')
               .select('query_id', 'vec_id',
                       cosine(F.col('_vec_id_v'),
@@ -465,8 +493,46 @@ def _cell_udf(C: np.ndarray, nprobe: int):
     return udf
 
 
+def _ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str,
+                   vec_col: str) -> np.ndarray:
+    """The quantizer is a property of the corpus, not of one query
+    batch: memoize it on the corpus DataFrame (same pattern as the
+    tile path's polygon prep) so repeated top-k calls against the
+    same corpus skip the sample-collect + Lloyd training.  The
+    training is deterministic, so a cache hit is result-identical."""
+    cache = getattr(corpus, '_ivf_centroids_cache', None)
+    if cache is None:
+        cache = {}
+        corpus._ivf_centroids_cache = cache
+    key = (n_cells, id_col, vec_col)
+    C = cache.get(key)
+    if C is None:
+        C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
+        cache[key] = C
+    return C
+
+
+def ivf_index(corpus: DataFrame, n_cells: int = 16,
+              id_col='vec_id', vec_col='embedding') -> DataFrame:
+    """Materializable IVF index: (vec_id, cell, <vec_col>) -- the
+    corpus with its inverted-list assignment attached.  Build once,
+    ``persist()`` (or better: write out ``partitionBy('cell')`` so a
+    probed query prunes to nprobe/n_cells of the FILES), and hand to
+    :func:`ivf_topk` via ``index=``: per-query work then starts from
+    a JVM-side cell filter instead of re-shipping every corpus vector
+    through Arrow to recompute assignments."""
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assign = _cell_udf(C, 1)
+    return (corpus.select(F.col(id_col).alias('vec_id'),
+                          F.col(vec_col).alias(vec_col))
+            .select('vec_id', vec_col,
+                    F.element_at(assign(F.col(vec_col)), 1)
+                    .alias('cell')))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, nprobe: int = 4,
+             index: DataFrame = None,
              id_col='vec_id', vec_col='embedding',
              qid_col='query_id', qvec_col='embedding') -> DataFrame:
     """IVF approximate top-k: a deterministic coarse quantizer
@@ -478,27 +544,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     1.0 for brute force); the corpus-side assignment is one map pass
     (no shuffle -- the join shuffles on the small cell key).  nprobe =
     n_cells degenerates to exact search.
+
+    ``index``: a prebuilt (persisted) :func:`ivf_index` with the SAME
+    n_cells.  Without it every call re-runs the full corpus
+    assignment pass -- the dominant cost for query-many serving.
     """
-    # The quantizer is a property of the corpus, not of one query
-    # batch: memoize it on the corpus DataFrame (same pattern as the
-    # tile path's polygon prep) so repeated top-k calls against the
-    # same corpus skip the sample-collect + Lloyd training.  The
-    # training is deterministic, so a cache hit is result-identical.
-    cache = getattr(corpus, '_ivf_centroids', None)
-    if cache is None:
-        cache = {}
-        corpus._ivf_centroids = cache
-    key = (n_cells, id_col, vec_col)
-    C = cache.get(key)
-    if C is None:
-        C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
-        cache[key] = C
-    assign = _cell_udf(C, 1)
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
     probe = _cell_udf(C, min(nprobe, len(C)))
-    cb = (corpus.select(F.col(id_col).alias('vec_id'),
-                        F.col(vec_col).alias('_cv'))
-          .select('vec_id', '_cv',
-                  F.element_at(assign(F.col('_cv')), 1).alias('cell')))
+    if index is not None:
+        cb = index.select('vec_id', F.col(vec_col).alias('_cv'),
+                          'cell')
+    else:
+        assign = _cell_udf(C, 1)
+        cb = (corpus.select(F.col(id_col).alias('vec_id'),
+                            F.col(vec_col).alias('_cv'))
+              .select('vec_id', '_cv',
+                      F.element_at(assign(F.col('_cv')), 1)
+                      .alias('cell')))
     qb = (queries.select(F.col(qid_col).alias('query_id'),
                          F.col(qvec_col).alias('_qv'))
           .select('query_id', '_qv',
@@ -679,8 +741,21 @@ def pq_encode(corpus: DataFrame, m: int = 4, nbits: int = 8,
         _pq_encode_udf(B)(F.col(vec_col)).alias('code'))
 
 
+def pq_index(corpus: DataFrame, m: int = 4, nbits: int = 8,
+             id_col='vec_id', vec_col='embedding') -> DataFrame:
+    """Materializable PQ code table: (vec_id, _code) -- m bytes per
+    vector.  Build once, persist, pass to :func:`pq_topk` via
+    ``index=`` so the ADC scan reads codes without re-encoding the
+    corpus per call."""
+    B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
+    return corpus.select(F.col(id_col).alias('vec_id'),
+                         _pq_encode_udf(B)(F.col(vec_col))
+                         .alias('_code'))
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 4, nbits: int = 8, rerank: int = 64,
+            index: DataFrame = None,
             id_col='vec_id', vec_col='embedding',
             qid_col='query_id', qvec_col='embedding') -> DataFrame:
     """PQ approximate top-k: ADC scan over m-byte codes, exact cosine
@@ -696,9 +771,10 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     gate and at 1M-row scale.
     """
     B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
-    codes = corpus.select(F.col(id_col).alias('vec_id'),
-                          _pq_encode_udf(B)(F.col(vec_col))
-                          .alias('_code'))
+    codes = index if index is not None else \
+        corpus.select(F.col(id_col).alias('vec_id'),
+                      _pq_encode_udf(B)(F.col(vec_col))
+                      .alias('_code'))
     q = queries.select(F.col(qid_col).alias('query_id'),
                        F.col(qvec_col).alias('_qvec'))
     scored = (codes.crossJoin(F.broadcast(q))
@@ -717,7 +793,10 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .select('query_id', 'vec_id'))
         cv = corpus.select(F.col(id_col).alias('vec_id'),
                            F.col(vec_col).alias('_cv'))
-        exact = (pool.join(cv, 'vec_id')
+        # Broadcast the bounded pool (<= rerank x |queries| ids) so
+        # the raw-vector table never shuffles -- late materialization
+        # is a streamed scan + hash probe, not a corpus-wide exchange.
+        exact = (cv.join(F.broadcast(pool), 'vec_id')
                  .join(F.broadcast(q), 'query_id')
                  .select('query_id', 'vec_id',
                          cosine(F.col('_cv'), F.col('_qvec'))
@@ -734,9 +813,29 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col('rank') <= k))
 
 
+def ivfpq_index(corpus: DataFrame, n_cells: int = 16, m: int = 4,
+                nbits: int = 8, id_col='vec_id',
+                vec_col='embedding') -> DataFrame:
+    """Materializable IVF-PQ index: (vec_id, cell, _code) -- the full
+    production index of a 10^12-vector corpus in ~(8 + 4 + m) bytes
+    per row.  Build once, persist (or write ``partitionBy('cell')``
+    for file-level probe pruning), pass to :func:`ivfpq_topk` via
+    ``index=``: queries then never touch raw corpus vectors except
+    the bounded re-rank pool."""
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
+    assign = _cell_udf(C, 1)
+    return (corpus.select(F.col(id_col).alias('vec_id'),
+                          F.col(vec_col).alias('_cv'))
+            .select('vec_id',
+                    F.element_at(assign(F.col('_cv')), 1).alias('cell'),
+                    _pq_encode_udf(B)(F.col('_cv')).alias('_code')))
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                n_cells: int = 16, nprobe: int = 4,
                m: int = 4, nbits: int = 8, rerank: int = 64,
+               index: DataFrame = None,
                id_col='vec_id', vec_col='embedding',
                qid_col='query_id', qvec_col='embedding') -> DataFrame:
     """IVF-PQ: the composed production shape for 10^12-vector corpora.
@@ -752,25 +851,25 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     vector itself, so one LUT per query serves every cell); with
     ``rerank`` >= the candidate count this is exactly
     :func:`ivf_topk` (pinned by tests).
+
+    ``index``: a prebuilt (persisted) :func:`ivfpq_index` with the
+    SAME n_cells/m/nbits -- skips the corpus encode pass entirely;
+    the centroids/codebooks are re-fetched from the corpus memo (or
+    retrained deterministically) for query-side probing/LUTs.
     """
-    C = None
-    cache = getattr(corpus, '_ivf_centroids', None)
-    if cache is None:
-        cache = {}
-        corpus._ivf_centroids = cache
-    ckey = (n_cells, id_col, vec_col)
-    C = cache.get(ckey)
-    if C is None:
-        C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
-        cache[ckey] = C
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
     B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
-    assign = _cell_udf(C, 1)
     probe = _cell_udf(C, min(nprobe, len(C)))
-    cb = (corpus.select(F.col(id_col).alias('vec_id'),
-                        F.col(vec_col).alias('_cv'))
-          .select('vec_id',
-                  F.element_at(assign(F.col('_cv')), 1).alias('cell'),
-                  _pq_encode_udf(B)(F.col('_cv')).alias('_code')))
+    if index is not None:
+        cb = index
+    else:
+        assign = _cell_udf(C, 1)
+        cb = (corpus.select(F.col(id_col).alias('vec_id'),
+                            F.col(vec_col).alias('_cv'))
+              .select('vec_id',
+                      F.element_at(assign(F.col('_cv')), 1)
+                      .alias('cell'),
+                      _pq_encode_udf(B)(F.col('_cv')).alias('_code')))
     q = queries.select(F.col(qid_col).alias('query_id'),
                        F.col(qvec_col).alias('_qvec'))
     qb = (q.select('query_id', '_qvec',
@@ -787,7 +886,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select('query_id', 'vec_id'))
     cv = corpus.select(F.col(id_col).alias('vec_id'),
                        F.col(vec_col).alias('_cv'))
-    exact = (pool.join(cv, 'vec_id')
+    # Bounded pool broadcast: the raw-vector table streams, never
+    # shuffles (see pq_topk's re-rank note).
+    exact = (cv.join(F.broadcast(pool), 'vec_id')
              .join(F.broadcast(q), 'query_id')
              .select('query_id', 'vec_id',
                      cosine(F.col('_cv'), F.col('_qvec'))

@@ -1,0 +1,127 @@
+"""Deterministic hash-based sampling operators.
+
+A 100 TB training-data pipeline cannot use ``df.sample()`` for
+anything that must be reproducible or joinable: Spark's sampler is
+seeded per-partition, so the kept set changes whenever partitioning
+changes, and two tables sampled "the same way" keep different rows.
+The operators here key every decision on a DOCUMENTED integer mix of
+a stable key column, so
+
+  * the same key is kept at every scale, on every cluster layout,
+  * two tables sampled on the same key column stay join-compatible,
+  * the sample is an ordinary pushdown-able ``Filter`` (no UDF, no
+    shuffle) that whole-stage codegen evaluates inline.
+
+Mix spec (independently implementable in SQL -- the DuckDB oracles
+in ``__spark_entry__.py`` re-implement it verbatim):
+
+    M  = 2^31 - 1  (Mersenne prime)
+    h0 = pmod(key + salt, M)
+    h1 = (h0 * 1299709 + 2654435761) mod M
+    h2 = h1 xor (h1 >> 16)
+    h3 = (h2 * 1000003 + 12345) mod M
+    mix(key) = h3 xor (h3 >> 8)            -- in [0, 2^31)
+
+All intermediate products are < 2^52, so the arithmetic is exact in
+ANSI-mode int64 (Spark 4 default) and in any SQL engine's BIGINT --
+no wraparound semantics needed anywhere.  The two affine rounds are
+separated by xor-shifts, so the composition is NOT affine (a single
+affine map would sample arithmetic-progression keys pathologically).
+
+Uniformity: measured on 0..10^6-1 sequential keys, every rate r in
+{0.1, 0.01, 0.001} keeps within 1.5% of r*n (see
+``tests/test_sampling.py``); keys are distinct -> decisions are
+deterministic per key, i.i.d.-like across unrelated keys.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+_M31 = (1 << 31) - 1
+_A1, _B1 = 1299709, 2654435761
+_A2, _B2 = 1000003, 12345
+
+
+def hash_mix(key, salt: int = 0) -> F.Column:
+    """The spec'd mix as a native column expression: int64 key column
+    (or name) -> int64 in [0, 2^31).  Pure codegen arithmetic -- two
+    multiplies, two mods, two xor-shifts -- so a filter on it is
+    evaluated inline in the scan stage."""
+    k = F.col(key) if isinstance(key, str) else key
+    h0 = F.pmod(k.cast('long') + F.lit(salt), F.lit(_M31))
+    h1 = (h0 * _A1 + _B1) % _M31
+    h2 = h1.bitwiseXOR(F.shiftrightunsigned(h1, 16))
+    h3 = (h2 * _A2 + _B2) % _M31
+    return h3.bitwiseXOR(F.shiftrightunsigned(h3, 8))
+
+
+def sample_by_hash(df: DataFrame, key_col: str, rate: float,
+                   salt: int = 0) -> DataFrame:
+    """Keep rows whose mixed key falls below ``rate`` of the hash
+    range: ``mix(key) < floor(rate * 2^31)``.
+
+    Unlike ``df.sample`` this is stable under repartitioning, reruns,
+    and engine versions, and the SAME keys are kept from any table
+    sharing the key column (sampling documents and their embeddings
+    separately yields aligned samples).  Plan shape: a single native
+    ``Filter`` -- no shuffle, no UDF; survives at any scale.
+
+    ``salt`` decorrelates independent samples over the same keys
+    (e.g. a 1% audit sample that must not overlap the eval split).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f'rate must be in [0,1], got {rate}')
+    threshold = int(rate * (1 << 31))
+    return df.filter(hash_mix(key_col, salt) < F.lit(threshold))
+
+
+def assign_split(df: DataFrame, key_col: str, rates: dict,
+                 salt: int = 0, out_col: str = 'split') -> DataFrame:
+    """Partition rows into named splits by cumulative hash ranges --
+    the train/val/test assignment of a training pipeline, stable under
+    reshuffles and incremental reruns (a new row never moves an old
+    row's split).
+
+    ``rates`` maps name -> fraction; fractions must sum to <= 1.0 and
+    are assigned in the given order; leftover hash range (if the sum
+    is < 1) gets split name ``null``.  One chained ``CASE WHEN`` on
+    the mixed key: codegen-native, zero shuffle.
+    """
+    total = sum(rates.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f'rates sum to {total} > 1')
+    h = hash_mix(key_col, salt)
+    expr = None
+    cum = 0.0
+    for name, r in rates.items():
+        if r < 0:
+            raise ValueError(f'negative rate for {name!r}')
+        cum += r
+        cond = h < F.lit(int(cum * (1 << 31)))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      key_col: str, salt: int = 0) -> DataFrame:
+    """Keep (up to) ``n_per_stratum`` rows per stratum, chosen as the
+    rows with the smallest mixed key -- a deterministic quota sample
+    (bottom-k by hash == uniform without replacement), reproducible
+    across runs and cluster layouts.
+
+    Shape: one shuffle on ``strata_col`` + a per-group sort
+    (``row_number`` window; ties broken by the raw key so the result
+    is total-ordered and exactly reproducible).  At 100 TB the
+    heaviest stratum bounds the task: a stratum's rows sort within
+    one task, which holds while per-stratum row counts fit a task's
+    spill budget -- for web-corpus strata (language, source domain
+    bucket) that is the normal regime; for pathological single-strata
+    skew, pre-filter with :func:`sample_by_hash` to cut the sort input
+    (bottom-k survives any prefilter that keeps > n_per_stratum rows).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_mix(key_col, salt), F.col(key_col))
+    return (df.withColumn('_rnk', F.row_number().over(w))
+            .filter(F.col('_rnk') <= n_per_stratum)
+            .drop('_rnk'))

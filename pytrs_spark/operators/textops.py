@@ -1081,3 +1081,95 @@ def fingerprint(df: DataFrame, text_col='text', window: int = 64,
         id_col,
         fp['content_hash'].alias('content_hash'),
         fp['min_window_hash'].alias('min_window_hash'))
+
+
+# --- repetition metrics (Gopher-style quality signals) -------------------
+#
+# Repetition spec (independently implementable in SQL; the DuckDB
+# oracle re-implements it verbatim):
+#   lines   = split(text, '\n') with empty lines removed.
+#   dup_line_frac      = (n_lines - n_distinct_lines) / n_lines
+#   dup_line_char_frac = sum over distinct lines of (cnt-1)*len(line)
+#                        / sum of cnt*len(line)
+#   tokens  = lower(text) split on runs of [^a-z0-9']+ (edges trimmed);
+#   2-grams = consecutive token pairs joined by one space.
+#   top_2gram_char_frac = cnt(most frequent 2-gram; ties -> lexico-
+#                         graphically smallest) * len(that 2-gram)
+#                         / length(text)
+#   All three are 0.0 (not null) for empty/degenerate docs.
+
+
+def repetition_metrics(df: DataFrame, text_col='text',
+                       id_col='doc_id') -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher
+    data-quality rules (Rae et al. 2021): how much of a document is
+    duplicated lines, and how much is one repeated word pair.  High
+    values mark boilerplate, templated spam, and scraper loops --
+    standard pre-training filter inputs.
+
+    Shape at scale: two explode -> groupBy aggregations (lines and
+    2-grams), each shuffling ``(doc_id, unit)`` pairs -- partial
+    aggregation (map-side combine) collapses within-partition repeats
+    before the shuffle, which is exactly the skewed case (a document
+    of one repeated line ships ~1 row).  The 2-gram array is built
+    with native ``slice``/``arrays_zip`` (no interpreted lambda); the
+    winner per doc is one ``min(struct(-cnt, gram))`` partial agg.
+    Returns (id, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    base = df.select(F.col(id_col), t.alias('_t'),
+                     F.length(t).alias('_nc'))
+
+    # Line-duplication channel.
+    lines = (base.select(id_col, F.explode(F.split('_t', '\n'))
+                         .alias('line'))
+             .filter(F.length('line') > 0))
+    per_line = lines.groupBy(id_col, 'line').agg(
+        F.count(F.lit(1)).alias('cnt'),
+        F.length('line').alias('len'))
+    line_agg = per_line.groupBy(id_col).agg(
+        ((F.sum('cnt') - F.count(F.lit(1))) / F.sum('cnt'))
+        .alias('dup_line_frac'),
+        (F.sum((F.col('cnt') - 1) * F.col('len'))
+         / F.sum(F.col('cnt') * F.col('len')))
+        .alias('dup_line_char_frac'))
+
+    # Top-2-gram channel: tokens via edge-trim + split (codegen
+    # native; Java split collapses a +-quantified delimiter run into
+    # one boundary, so no empty tokens can appear mid-array).
+    low = F.lower(F.col('_t'))
+    cleaned = F.regexp_replace(low, r"^[^a-z0-9']+|[^a-z0-9']+$", '')
+    toks = F.split(cleaned, r"[^a-z0-9']+")
+    grams = (base
+             .withColumn('_toks', toks)
+             .withColumn('_n', F.size('_toks'))
+             .filter((F.col('_n') >= 2) & (F.length(F.element_at('_toks', 1)) > 0))
+             .select(id_col, '_nc', F.explode(F.arrays_zip(
+                 F.slice('_toks', 1, F.col('_n') - 1).alias('a'),
+                 F.slice('_toks', 2, F.col('_n') - 1).alias('b')))
+                 .alias('p'))
+             .select(id_col, '_nc',
+                     F.concat_ws(' ', F.col('p.a'), F.col('p.b'))
+                     .alias('gram')))
+    per_gram = grams.groupBy(id_col, '_nc', 'gram').agg(
+        F.count(F.lit(1)).alias('cnt'))
+    top = (per_gram.groupBy(id_col).agg(
+        F.min(F.struct((-F.col('cnt')).alias('negcnt'),
+                       F.col('gram').alias('gram'),
+                       F.col('_nc').alias('nc'))).alias('w'))
+        .select(id_col,
+                ((-F.col('w.negcnt')) * F.length('w.gram')
+                 / F.greatest(F.col('w.nc'), F.lit(1)).cast('double'))
+                .alias('top_2gram_char_frac')))
+
+    out = (base.select(id_col)
+           .join(line_agg, id_col, 'left')
+           .join(top, id_col, 'left'))
+    return out.select(
+        id_col,
+        F.coalesce('dup_line_frac', F.lit(0.0)).alias('dup_line_frac'),
+        F.coalesce('dup_line_char_frac', F.lit(0.0))
+        .alias('dup_line_char_frac'),
+        F.coalesce('top_2gram_char_frac', F.lit(0.0))
+        .alias('top_2gram_char_frac'))

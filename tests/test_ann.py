@@ -288,3 +288,63 @@ def test_ivfpq_malformed_rows_never_rank(spark):
     ids = {r.vec_id for r in got}
     assert not ids & {'v003', 'v006', 'v008'}
     assert min(got, key=lambda r: r.rank).vec_id == 'v000'
+
+
+def test_prebuilt_index_paths_match_inline(spark):
+    """index= (the build-once/query-many serving shape) must return
+    byte-identical results to the inline corpus pass for every tier,
+    and the prebuilt index must carry the expected columns."""
+    from pytrs_spark.operators.ann import (
+        ivf_index, ivf_topk, ivfpq_index, ivfpq_topk,
+        lsh_index, pq_index, pq_topk)
+    corpus = _corpus(spark, 60)
+    q = (corpus.filter(F.col('vec_id') < 'v005')
+         .select(F.col('vec_id').alias('query_id'), 'embedding'))
+
+    def rows(df):
+        return sorted((r['query_id'], r['rank'], r['vec_id'])
+                      for r in df.collect())
+
+    li = lsh_index(corpus, planes=4, tables=6).persist()
+    assert li.columns == ['vec_id', 'table', 'bucket']
+    assert rows(lsh_bucket_topk(corpus, q, dim=DIM, k=5, planes=4,
+                                tables=6, probes=1, index=li)) == \
+        rows(lsh_bucket_topk(corpus, q, dim=DIM, k=5, planes=4,
+                             tables=6, probes=1))
+
+    ii = ivf_index(corpus, n_cells=8).persist()
+    assert ii.columns == ['vec_id', 'embedding', 'cell']
+    assert rows(ivf_topk(corpus, q, k=5, n_cells=8, nprobe=3,
+                         index=ii)) == \
+        rows(ivf_topk(corpus, q, k=5, n_cells=8, nprobe=3))
+
+    pi = pq_index(corpus, m=4).persist()
+    assert pi.columns == ['vec_id', '_code']
+    assert rows(pq_topk(corpus, q, k=5, m=4, rerank=16, index=pi)) == \
+        rows(pq_topk(corpus, q, k=5, m=4, rerank=16))
+
+    fi = ivfpq_index(corpus, n_cells=8, m=4).persist()
+    assert fi.columns == ['vec_id', 'cell', '_code']
+    assert rows(ivfpq_topk(corpus, q, k=5, n_cells=8, nprobe=3, m=4,
+                           rerank=16, index=fi)) == \
+        rows(ivfpq_topk(corpus, q, k=5, n_cells=8, nprobe=3, m=4,
+                        rerank=16))
+    for ix in (li, ii, pi, fi):
+        ix.unpersist()
+
+
+def test_rerank_pool_join_broadcasts_bounded_side(spark):
+    """The late-materialization joins must broadcast the bounded
+    candidate/pool side: the full-vector corpus table never appears
+    below a shuffle Exchange."""
+    from pytrs_spark.operators.ann import pq_topk
+    corpus = _corpus(spark, 60)
+    q = (corpus.filter(F.col('vec_id') < 'v003')
+         .select(F.col('vec_id').alias('query_id'), 'embedding'))
+    plan = pq_topk(corpus, q, k=5, m=4, rerank=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # Every Exchange hashpartitioning block in the final plan must be
+    # on skinny keys, never carrying the embedding column itself.
+    import re
+    for m in re.finditer(r'Exchange hashpartitioning\(([^)]*)\)', plan):
+        assert 'embedding' not in m.group(1), m.group(0)

@@ -1,0 +1,147 @@
+"""Deterministic hash sampling + Gopher-style repetition metrics.
+
+Sampling must be a function of the KEY only (never partitioning or
+run order), near-uniform at every rate, and exhaustive/disjoint for
+split assignment.  Repetition metrics are pinned against hand-derived
+golden values (the DuckDB oracle in __spark_entry__ re-derives the
+same spec independently).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pytrs_spark.operators.sampling import (
+    assign_split, hash_mix, sample_by_hash, stratified_sample)
+from pytrs_spark.operators.textops import repetition_metrics
+
+_M31 = (1 << 31) - 1
+
+
+def _mix_py(k: int, salt: int = 0) -> int:
+    """Independent plain-Python re-implementation of the documented
+    mix spec (the test's oracle for the column expression)."""
+    h0 = (k + salt) % _M31
+    h1 = (h0 * 1299709 + 2654435761) % _M31
+    h2 = h1 ^ (h1 >> 16)
+    h3 = (h2 * 1000003 + 12345) % _M31
+    return h3 ^ (h3 >> 8)
+
+
+def test_hash_mix_matches_spec(spark):
+    keys = [0, 1, 2, 17, 12345, 2**31 - 2, 2**40 + 7]
+    df = spark.createDataFrame([(k,) for k in keys], 'k long')
+    got = {r['k']: r['h'] for r in
+           df.select('k', hash_mix('k', salt=9).alias('h')).collect()}
+    for k in keys:
+        assert got[k] == _mix_py(k, salt=9)
+
+
+def test_sample_stable_under_repartition(spark):
+    df = spark.range(20_000).withColumnRenamed('id', 'doc_id')
+    a = {r['doc_id'] for r in
+         sample_by_hash(df, 'doc_id', 0.05).collect()}
+    b = {r['doc_id'] for r in
+         sample_by_hash(df.repartition(17, 'doc_id'), 'doc_id', 0.05)
+         .collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sample_rate_uniformity(spark):
+    n = 1_000_000
+    df = spark.range(n).withColumnRenamed('id', 'doc_id')
+    for rate in (0.1, 0.01, 0.001):
+        kept = sample_by_hash(df, 'doc_id', rate).count()
+        assert abs(kept - rate * n) < 0.015 * rate * n + 50, \
+            (rate, kept)
+
+
+def test_sample_salts_decorrelate(spark):
+    n = 100_000
+    df = spark.range(n).withColumnRenamed('id', 'doc_id')
+    a = {r['doc_id'] for r in
+         sample_by_hash(df, 'doc_id', 0.1, salt=1).collect()}
+    b = {r['doc_id'] for r in
+         sample_by_hash(df, 'doc_id', 0.1, salt=2).collect()}
+    # Independent 10% samples overlap ~1%; generous bound.
+    assert len(a & b) < 0.03 * n
+
+
+def test_assign_split_exhaustive_disjoint(spark):
+    n = 50_000
+    df = spark.range(n).withColumnRenamed('id', 'doc_id')
+    out = assign_split(df, 'doc_id', {'train': 0.8, 'val': 0.1,
+                                      'test': 0.1})
+    counts = {r['split']: r['count'] for r in
+              out.groupBy('split').count().collect()}
+    assert set(counts) == {'train', 'val', 'test'}
+    assert sum(counts.values()) == n
+    assert abs(counts['train'] - 0.8 * n) < 0.02 * n
+    # Split membership is consistent with sample_by_hash at the same
+    # salt: the train split IS the first 80% of hash space.
+    train = {r['doc_id'] for r in
+             out.filter(F.col('split') == 'train').collect()}
+    sampled = {r['doc_id'] for r in
+               sample_by_hash(df, 'doc_id', 0.8).collect()}
+    assert train == sampled
+
+
+def test_stratified_quota_and_determinism(spark):
+    df = (spark.range(30_000).withColumnRenamed('id', 'doc_id')
+          .withColumn('g', F.col('doc_id') % 11))
+    out1 = stratified_sample(df, 'g', 7, 'doc_id')
+    counts = {r['g']: r['count'] for r in
+              out1.groupBy('g').count().collect()}
+    assert all(c == 7 for c in counts.values()) and len(counts) == 11
+    ids1 = {r['doc_id'] for r in out1.collect()}
+    ids2 = {r['doc_id'] for r in
+            stratified_sample(df.repartition(13), 'g', 7, 'doc_id')
+            .collect()}
+    assert ids1 == ids2
+    # Small stratum: quota larger than the stratum keeps all rows.
+    tiny = df.filter(F.col('doc_id') < 5)
+    assert stratified_sample(tiny, 'g', 7, 'doc_id').count() == 5
+
+
+def test_repetition_metrics_golden(spark):
+    df = spark.createDataFrame([
+        (0, 'a b\na b\nc d'),
+        (1, 'hello world hello world hello'),
+        (2, ''),
+        (3, None),
+        (4, 'x\n\nx\ny'),
+        (5, 'one-token'),
+    ], 'doc_id long, text string')
+    got = {r['doc_id']: r for r in
+           repetition_metrics(df).collect()}
+    # doc 0: 3 lines, 'a b' twice -> 1/3 dup lines; chars 3+3+3, dup
+    # occurrence chars 3 -> 1/3; top 2-gram 'a b' (2x, len 3) of 11
+    # chars.
+    assert got[0]['dup_line_frac'] == pytest.approx(1 / 3)
+    assert got[0]['dup_line_char_frac'] == pytest.approx(3 / 9)
+    assert got[0]['top_2gram_char_frac'] == pytest.approx(6 / 11)
+    # doc 1: no newlines; 'hello world' 2x, len 11, text len 29.
+    assert got[1]['dup_line_frac'] == 0.0
+    assert got[1]['top_2gram_char_frac'] == pytest.approx(22 / 29)
+    # degenerate docs: all-zero, never null.
+    for d in (2, 3, 5):
+        assert got[d]['dup_line_frac'] == 0.0
+        assert got[d]['dup_line_char_frac'] == 0.0
+    # doc 5 is a single 2-gram 'one token' (9 chars of 9).
+    assert got[5]['top_2gram_char_frac'] == pytest.approx(1.0)
+    # doc 4: empty line dropped; 'x' twice of 3 lines.
+    assert got[4]['dup_line_frac'] == pytest.approx(1 / 3)
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    """The operator's purpose: a templated/spam doc scores far above
+    a varied doc on every channel."""
+    spam = ('click here to win\n' * 40) + 'prize prize prize ' * 30
+    clean = ('The quick brown fox jumps over the lazy dog. '
+             'Pack my box with five dozen liquor jugs.\n'
+             'Sphinx of black quartz, judge my vow.')
+    df = spark.createDataFrame([(0, spam), (1, clean)],
+                               'doc_id long, text string')
+    got = {r['doc_id']: r for r in repetition_metrics(df).collect()}
+    assert got[0]['dup_line_frac'] > 0.9 > got[1]['dup_line_frac']
+    assert (got[0]['top_2gram_char_frac']
+            > 0.2 > got[1]['top_2gram_char_frac'])
