@@ -1481,6 +1481,40 @@ SELECT doc_id, lang FROM ranked WHERE rn <= 20
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over the embedding near-dup pair
+    graph: (doc_id, component_id = min reachable id).  The oracle
+    re-derives the same components with a recursive-CTE transitive
+    closure over an independently computed pair set -- gating both
+    the pair recall AND the label-propagation/pointer-jumping loop."""
+    from pytrs_spark.operators.ann import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4,
+                                     planes=2, tables=16)
+    return textops.connected_components(pairs)
+
+
+_ORACLE_COMPONENTS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+           * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+)
+SELECT id AS doc_id, min(r) AS component_id
+FROM reach GROUP BY id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -1549,6 +1583,7 @@ _RAW_QUERIES = {
         'sample_hash': q_sample_hash,
         'assign_split': q_assign_split,
         'stratified_sample': q_stratified_sample,
+        'dedup_components': q_dedup_components,
 }
 
 
@@ -1642,4 +1677,5 @@ def oracle_sql() -> dict[str, str]:
         'sample_hash': _ORACLE_SAMPLE,
         'assign_split': _ORACLE_SPLIT,
         'stratified_sample': _ORACLE_STRATIFIED,
+        'dedup_components': _ORACLE_COMPONENTS,
     }

@@ -394,6 +394,19 @@ def main():
     queries['quality_scores'] = round(_median_time(
         lambda: textops.quality_score(docs.select('doc_id', 'text'))
         .select(F.max(F.xxhash64('n_tokens'))).collect(), runs=RUNS), 3)
+    queries['repetition_metrics'] = round(_median_time(
+        lambda: textops.repetition_metrics(docs.select('doc_id', 'text'))
+        .select(F.max(F.xxhash64(F.round('top_2gram_char_frac', 6))))
+        .collect(), runs=RUNS), 3)
+
+    # Deterministic hash sampling: codegen-native filter over the
+    # biggest table we have (lineitem-scale via the images parquet is
+    # spatial; use documents x a range blowup for a text-side count).
+    from pytrs_spark.operators.sampling import sample_by_hash
+    ids = spark.range(50_000_000).withColumnRenamed('id', 'doc_id')
+    queries['sample_hash_50m'] = round(_median_time(
+        lambda: sample_by_hash(ids, 'doc_id', 0.01).count(),
+        runs=RUNS), 3)
 
     # Full near-dup pipeline (exact prepass -> LSH -> verify -> expand)
     # on a doubled corpus, so the hot-bucket path is exercised.

@@ -1173,3 +1173,71 @@ def repetition_metrics(df: DataFrame, text_col='text',
         .alias('dup_line_char_frac'),
         F.coalesce('top_2gram_char_frac', F.lit(0.0))
         .alias('top_2gram_char_frac'))
+
+
+# --- connected components over near-dup pair graphs ----------------------
+
+def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
+                         max_iters: int = 25) -> DataFrame:
+    """Resolve a pairwise near-duplicate graph into dedup clusters:
+    (doc_id, component_id) where component_id = the smallest doc id
+    reachable through any chain of pairs.  This is the step that turns
+    `near_duplicate_pairs` / `simhash_near_dup_pairs` /
+    `embedding_near_dup_pairs` output into a keep-one policy
+    (keep doc_id == component_id, drop the rest) that is CLOSED under
+    transitivity -- pairwise keep-one alone can drop both endpoints of
+    an unseen A-C pair when A-B and B-C were found.
+
+    Algorithm: min-label propagation with pointer jumping --
+    per iteration every vertex takes the min of (its label, its
+    neighbors' labels), then labels contract one hop
+    (``comp = comp[comp]``), giving O(log diameter) convergence
+    instead of O(diameter).  Near-dup graphs are union-of-cliques-ish
+    (diameter rarely > 3), so 2-4 iterations are typical; the loop
+    stops at the measured fixpoint and raises past ``max_iters``
+    (25 doublings covers any graph this engine could hold).
+
+    Scale shape: each iteration is two skinny shuffles (edge join +
+    min agg) over (long, long) rows; labels persist per iteration and
+    the previous generation unpersists, so lineage stays constant.
+    Deterministic: min() everywhere, no tie-breaks needed.
+    """
+    sym = (pairs.select(F.col(id_a).alias('src'),
+                        F.col(id_b).alias('dst'))
+           .unionByName(pairs.select(F.col(id_b).alias('src'),
+                                     F.col(id_a).alias('dst'))))
+    edges = sym.distinct().persist()
+    labels = (edges.select(F.col('src').alias('id')).distinct()
+              .withColumn('comp', F.col('id')).persist())
+    labels.count()
+    for _ in range(max_iters):
+        # neighbor-min: every vertex offers its component to its
+        # neighbors; take the min of self and offers.
+        offers = (edges.join(labels.withColumnRenamed('id', 'src'),
+                             'src')
+                  .groupBy(F.col('dst').alias('id'))
+                  .agg(F.min('comp').alias('nbr')))
+        stepped = (labels.join(offers, 'id', 'left')
+                   .select('id', F.least('comp', 'nbr').alias('comp')))
+        # pointer jumping: comp <- comp's comp (labels are vertex ids,
+        # so the lookup is a self-join on the label table).
+        jumped = (stepped.alias('s')
+                  .join(stepped.select(F.col('id').alias('comp'),
+                                       F.col('comp').alias('comp2'))
+                        .alias('t'), 'comp', 'left')
+                  .select(F.col('id'),
+                          F.least('comp', 'comp2').alias('comp')))
+        new_labels = jumped.persist()
+        changed = (new_labels.alias('n')
+                   .join(labels.alias('o'), 'id')
+                   .filter(F.col('n.comp') != F.col('o.comp'))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col('id').alias('doc_id'),
+                                 F.col('comp').alias('component_id'))
+    raise RuntimeError(
+        f'connected_components did not converge in {max_iters} '
+        f'iterations -- graph diameter beyond 2^{max_iters}?')

@@ -143,3 +143,37 @@ def test_simhash_hot_bucket_bounded_by_prepass(spark):
         docs, max_hamming=3, max_bucket=64, drop_stats=stats)
     assert stats['dropped_rows'] == 0, stats
     assert pairs.filter(F.col('id_a') == 0).count() == n - 1
+
+
+def test_connected_components_chain_ring_and_clique(spark):
+    """Label propagation + pointer jumping must close transitively:
+    a 12-node path (worst diameter per edge), a ring, and a clique
+    all collapse to min-id components; pairwise keep-one would not."""
+    from pytrs_spark.operators.textops import connected_components
+    chain = [(i, i + 1) for i in range(100, 111)]        # path of 12
+    ring = [(i, i + 1) for i in range(200, 205)] + [(205, 200)]
+    clique = [(a, b) for a in range(300, 304)
+              for b in range(a + 1, 304)]
+    pairs = spark.createDataFrame(chain + ring + clique,
+                                  'id_a long, id_b long')
+    got = {r['doc_id']: r['component_id']
+           for r in connected_components(pairs).collect()}
+    assert all(got[i] == 100 for i in range(100, 112))
+    assert all(got[i] == 200 for i in range(200, 206))
+    assert all(got[i] == 300 for i in range(300, 304))
+    # keep-one policy: exactly one representative per component.
+    reps = [d for d, c in got.items() if d == c]
+    assert sorted(reps) == [100, 200, 300]
+
+
+def test_connected_components_empty_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.textops import connected_components
+    empty = spark.createDataFrame([], 'id_a long, id_b long')
+    assert connected_components(empty).count() == 0
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 21)], 'id_a long, id_b long')
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components(
+        pairs.repartition(5)).collect()))
+    assert a == b == [(3, 3), (7, 3), (9, 3), (20, 20), (21, 20)]
