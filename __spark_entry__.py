@@ -1515,6 +1515,187 @@ FROM reach GROUP BY id
 """
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup of the tile assignment: leaf QQ tiles ->
+    per-section -> per-township -> grand total in ONE ROLLUP pass
+    (rolled-up keys coalesced to '*'); the raster-pyramid analogue
+    for vector tiles."""
+    from pytrs_spark.spatial.rollup import tile_pyramid
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+    points = _points_from_orders(spark, sf_dir)
+    tiles = assign_images_to_tiles(points, polygons, payload_cols=())
+    return tile_pyramid(tiles)
+
+
+_ORACLE_PYRAMID = f"""
+WITH leaf AS ({_ORACLE_TILE}),
+lvl AS (
+  SELECT substring(trs, 1, length(trs) - 2) AS twprge,
+         substring(trs, length(trs) - 1, 2) AS sec, qq
+  FROM leaf
+)
+SELECT coalesce(twprge, '*') AS twprge,
+       coalesce(sec, '*') AS sec,
+       coalesce(qq, '*') AS qq,
+       CAST(CASE WHEN qq IS NOT NULL THEN 3
+                 WHEN sec IS NOT NULL THEN 2
+                 WHEN twprge IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS level,
+       count(*) AS n_images
+FROM lvl GROUP BY ROLLUP(twprge, sec, qq)
+"""
+
+
+def q_kring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-section-cell counts smoothed over the 3x3 k-ring (H3
+    grid_disk aggregation pattern on the square section grid)."""
+    from pytrs_spark.spatial.grid import with_anchor
+    from pytrs_spark.spatial.rollup import kring_density
+    points = with_anchor(_points_from_orders(spark, sf_dir))
+    return kring_density(points, k=1)
+
+
+_ORACLE_KRING = f"""
+WITH xy AS ({_ORACLE_XY}),
+cells AS (
+  SELECT CAST(floor(x) AS BIGINT) AS cell_x,
+         CAST(floor(y) AS BIGINT) AS cell_y,
+         count(*) AS n_self
+  FROM xy GROUP BY 1, 2
+), offs AS (
+  SELECT dx.g AS dx, dy.g AS dy
+  FROM (SELECT unnest(generate_series(-1, 1)) AS g) dx,
+       (SELECT unnest(generate_series(-1, 1)) AS g) dy
+), ring AS (
+  SELECT cells.cell_x + dx AS cell_x, cells.cell_y + dy AS cell_y,
+         sum(n_self) AS n_ring
+  FROM cells, offs GROUP BY 1, 2
+)
+SELECT cells.cell_x, cells.cell_y, n_self,
+       CAST(n_ring AS BIGINT) AS n_ring
+FROM cells JOIN ring USING (cell_x, cell_y)
+"""
+
+
+def _points_from_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic anchor points for the embedding vectors (same
+    closed-form phash derivation as the orders-based points, keyed on
+    vec_id + 1 so key 0 never pins the origin)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    phash = ((F.col('vec_id') + 1) * F.lit(_PHASH_MULT)) % F.lit(_PHASH_MOD)
+    return emb.select(
+        F.col('vec_id').alias('image_id'),
+        phash.cast('long').alias('phash'),
+        F.col('vec_id').cast('string').alias('caption'))
+
+
+_ORACLE_XY_EMB = f"""
+  SELECT vec_id AS image_id,
+         ((vec_id + 1) * {_PHASH_MULT}) % {_PHASH_MOD} AS phash,
+         {datagen.X0} + ((((vec_id + 1) * {_PHASH_MULT}) % {_PHASH_MOD})
+            // 2147483648) / 2147483648.0 * {datagen.X1 - datagen.X0} AS x,
+         {datagen.Y0} + ((((vec_id + 1) * {_PHASH_MULT}) % {_PHASH_MOD})
+            % 2147483648) / 2147483648.0 * {datagen.Y1 - datagen.Y0} AS y
+  FROM embeddings
+"""
+
+
+def q_tile_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial x vector bridge: tile-assign the embedding anchor
+    points through the full parse+geometry+join machinery, then
+    reduce a per-township element-wise embedding centroid (exploded
+    (key, pos) form; assemble_centroids packs the array shape)."""
+    from pytrs_spark.spatial.rollup import tile_embedding_stats
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+    points = _points_from_embeddings(spark, sf_dir)
+    tiles = assign_images_to_tiles(points, polygons, payload_cols=())
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return tile_embedding_stats(
+        tiles.withColumnRenamed('image_id', 'vec_id'), emb)
+
+
+_ORACLE_CENTROID = f"""
+WITH tiles AS ({_ORACLE_TILE.replace(_ORACLE_XY, _ORACLE_XY_EMB)}),
+j AS (
+  SELECT substring(t.trs, 1, length(t.trs) - 2) AS twprge,
+         e.vec_id, e.embedding
+  FROM tiles t JOIN embeddings e ON t.image_id = e.vec_id
+), n AS (
+  SELECT twprge, count(*) AS n_vectors FROM j GROUP BY 1
+), ex AS (
+  SELECT twprge, CAST(i - 1 AS INT) AS pos, embedding[i] AS v
+  FROM j, (SELECT unnest(generate_series(1, 64)) AS i) s
+), per AS (
+  SELECT twprge, pos, round(avg(v), 6) AS centroid_v
+  FROM ex GROUP BY 1, 2
+)
+SELECT per.twprge, pos, centroid_v, n_vectors
+FROM per JOIN n USING (twprge)
+"""
+
+
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup POLICY over the doubled jaccard corpus:
+    exact n-gram Jaccard pair join -> transitive components ->
+    min-id representative per component (kept flag).  The oracle
+    recomputes pairs by brute force and closes them with a recursive
+    CTE -- gating pair recall, the component loop, AND the keep-one
+    attach in one query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mut = docs.select(
+        (F.col('doc_id') + 1_000_000).alias('doc_id'),
+        F.concat('text', F.lit(' qq tail')).alias('text'))
+    corpus = docs.select('doc_id', 'text').unionByName(mut)
+    pairs = textops.ngram_jaccard_pairs(corpus, threshold=(4, 5))
+    return textops.keep_one(corpus.select('doc_id'), pairs) \
+        .select('doc_id', 'component_id', 'kept')
+
+
+_ORACLE_KEEP_ONE = """
+WITH RECURSIVE doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, concat(text, ' qq tail') AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM doubled
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 4, 1)),
+           i -> substring(CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ')
+                          ELSE t END, i, 5))) AS s
+  FROM norm
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pr AS (
+  SELECT id_a, id_b
+  FROM co
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON la.doc_id = co.id_a
+  JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON lb.doc_id = co.id_b
+  WHERE n_inter * 5 >= (la.n + lb.n - n_inter) * 4
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+), comp AS (
+  SELECT id, min(r) AS c FROM reach GROUP BY id
+)
+SELECT d.doc_id, coalesce(c, d.doc_id) AS component_id,
+       coalesce(c, d.doc_id) = d.doc_id AS kept
+FROM doubled d LEFT JOIN comp ON d.doc_id = comp.id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -1584,6 +1765,10 @@ _RAW_QUERIES = {
         'assign_split': q_assign_split,
         'stratified_sample': q_stratified_sample,
         'dedup_components': q_dedup_components,
+        'tile_pyramid': q_tile_pyramid,
+        'kring_density': q_kring_density,
+        'tile_centroid': q_tile_centroid,
+        'dedup_keep_one': q_dedup_keep_one,
 }
 
 
@@ -1678,4 +1863,8 @@ def oracle_sql() -> dict[str, str]:
         'assign_split': _ORACLE_SPLIT,
         'stratified_sample': _ORACLE_STRATIFIED,
         'dedup_components': _ORACLE_COMPONENTS,
+        'tile_pyramid': _ORACLE_PYRAMID,
+        'kring_density': _ORACLE_KRING,
+        'tile_centroid': _ORACLE_CENTROID,
+        'dedup_keep_one': _ORACLE_KEEP_ONE,
     }

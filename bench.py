@@ -333,6 +333,16 @@ def main():
         .select(F.max(F.xxhash64('image_id', 'trs', 'qq'))).collect(),
         runs=RUNS), 3)
 
+    # Hierarchical tile pyramid: assignment + 4-level ROLLUP in one
+    # extra exchange (delta over tile_assign_nopayload = rollup cost).
+    from pytrs_spark.spatial.rollup import tile_pyramid
+    queries['tile_pyramid'] = round(_median_time(
+        lambda: tile_pyramid(
+            assign_images_to_tiles(images, polygons, payload_cols=()))
+        .select(F.max(F.xxhash64('twprge', 'sec', 'qq', 'level',
+                                 'n_images'))).collect(),
+        runs=RUNS), 3)
+
     # kNN to section corners.
     pts = images.select('image_id', 'phash')
     queries['knn_corners'] = round(_median_time(

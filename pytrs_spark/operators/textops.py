@@ -1241,3 +1241,30 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     raise RuntimeError(
         f'connected_components did not converge in {max_iters} '
         f'iterations -- graph diameter beyond 2^{max_iters}?')
+
+
+def keep_one(docs: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
+             id_a: str = 'id_a', id_b: str = 'id_b') -> DataFrame:
+    """The end-to-end dedup POLICY: given a corpus and its near-dup
+    pair graph, label every document with its transitive component
+    and a ``kept`` flag (true iff the doc is its component's min-id
+    representative).  ``docs.filter('kept')`` is then the deduped
+    corpus, closed under transitivity -- see connected_components for
+    why pairwise keep-one alone is not.
+
+    Docs touching no pair are their own singleton component (kept).
+    Output: ``docs``'s columns + ``component_id`` + ``kept``.
+
+    Scale shape: the component table is bounded by the number of
+    docs that appear in ANY pair (usually a small fraction of the
+    corpus), so the final attach join keeps the full corpus streaming
+    against a much smaller label table; the corpus is never collected
+    or exploded.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b) \
+        .withColumnRenamed('doc_id', id_col)
+    return (docs.join(comp, id_col, 'left')
+            .withColumn('component_id',
+                        F.coalesce('component_id', F.col(id_col)))
+            .withColumn('kept',
+                        F.col('component_id') == F.col(id_col)))

@@ -1,0 +1,172 @@
+"""Hierarchical tile rollups and neighborhood aggregation.
+
+The reference's grid is strictly hierarchical -- QQ tiles nest in
+sections, sections in townships (reference ``pytrs/parser/trs.py``
+twp/rge/sec composition; our ``spatial/grid.py`` realizes the
+geometry) -- so the natural OLAP companions to the flat tile
+assignment are:
+
+- ``tile_pyramid``: one-pass multi-level aggregation up the
+  QQ -> section -> township hierarchy (``ROLLUP``), the
+  vector-tile-pyramid analogue of raster zoom levels;
+- ``kring_density``: per-section-cell counts smoothed over the
+  k-ring of neighboring cells (the H3 ``grid_disk`` aggregation
+  pattern), for hot-township detection and skew planning;
+- ``tile_embedding_stats``: join image embeddings onto tile
+  assignments and reduce an element-wise centroid per tile -- the
+  bridge between the spatial world and the ANN/dedup world.
+
+All three are pure DataFrame compositions: rollup is a single
+shuffle with map-side partial aggregation, the k-ring explode runs
+over the *aggregated* cell table (bounded by grid area, never by
+image count), and the centroid reduction is a skinny
+(key, pos, double) partial agg.  No Python crossings anywhere.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ALL = '*'     # sentinel for rolled-up levels (never a valid trs/qq char)
+
+
+def split_trs(trs: Column) -> tuple:
+    """(twprge, sec) from a packed trs like ``154n97w01`` -- the
+    section is always the trailing 2 digits (grid.py packs with
+    lpad(sec, 2, '0'))."""
+    return (F.substring(trs, 1, F.length(trs) - F.lit(2)),
+            F.substring(trs, -2, 2))
+
+
+def tile_pyramid(tiles: DataFrame, trs_col: str = 'trs',
+                 qq_col: str = 'qq') -> DataFrame:
+    """Multi-level tile counts up the aliquot hierarchy in ONE pass.
+
+    Input: a tile assignment (``assign_images_to_tiles`` output --
+    one row per image with ``trs`` + ``qq``).  Output: one row per
+    (township, section, qq) node of the pyramid at every level,
+    rolled-up members coalesced to ``'*'``:
+
+        level 3:  twprge, sec, qq   (leaf tiles)
+        level 2:  twprge, sec, *    (per-section totals)
+        level 1:  twprge, *,   *    (per-township totals)
+        level 0:  *,      *,   *    (grand total)
+
+    ``level`` counts the non-rolled-up keys, so consumers slice one
+    zoom level with a single equality filter.
+
+    Scale shape: ``ROLLUP`` computes all four levels inside one
+    hash-aggregate -- partial (map-side) aggregation applies, the
+    shuffle carries at most 4x the LEAF-tile cardinality (bounded by
+    grid area x 16 QQs, never by image count), and there is exactly
+    one exchange regardless of pyramid depth.  The alternative
+    (4 groupBys + union) scans the assignment 4 times.
+    """
+    twprge = F.substring(F.col(trs_col), 1,
+                         F.length(trs_col) - F.lit(2))
+    sec = F.substring(F.col(trs_col), -2, 2)
+    lvl = tiles.select(twprge.alias('twprge'), sec.alias('sec'),
+                       F.col(qq_col).alias('qq'))
+    rolled = (lvl.rollup('twprge', 'sec', 'qq')
+              .agg(F.count('*').alias('n_images')))
+    level = (F.when(F.col('qq').isNotNull(), 3)
+             .when(F.col('sec').isNotNull(), 2)
+             .when(F.col('twprge').isNotNull(), 1)
+             .otherwise(0))
+    return rolled.select(
+        F.coalesce('twprge', F.lit(ALL)).alias('twprge'),
+        F.coalesce('sec', F.lit(ALL)).alias('sec'),
+        F.coalesce('qq', F.lit(ALL)).alias('qq'),
+        level.cast('int').alias('level'),
+        'n_images')
+
+
+def kring_density(points: DataFrame, k: int = 1,
+                  x_col: str = 'x', y_col: str = 'y') -> DataFrame:
+    """Per-section-cell image counts smoothed over the k-ring of
+    neighboring cells (the square grid analogue of H3 ``grid_disk``
+    aggregation).
+
+    Output: one row per NON-EMPTY section cell --
+    ``(cell_x, cell_y, n_self, n_ring)`` where ``n_ring`` sums the
+    counts of the (2k+1)^2 cells centered there (including self).
+    Empty cells inside a ring contribute 0 and emit no row.
+
+    Scale shape: the raw points aggregate FIRST (one shuffle, partial
+    agg); the (2k+1)^2 offset explode then runs over the aggregated
+    cell table, whose cardinality is bounded by the occupied grid
+    area -- at 10^12 images over a continent-sized grid that is ~10^7
+    cells, so the explode+re-agg is trivially small compared to the
+    initial aggregation.  The final self-join is cell-table vs
+    cell-table (AQE picks broadcast when it fits).
+    """
+    if k < 1:
+        raise ValueError(f'k must be >= 1, got {k}')
+    cells = (points.groupBy(
+        F.floor(x_col).cast('long').alias('cell_x'),
+        F.floor(y_col).cast('long').alias('cell_y'))
+        .agg(F.count('*').alias('n_self')))
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias('dx'), F.lit(dy).alias('dy'))
+        for dx in range(-k, k + 1) for dy in range(-k, k + 1)])
+    ring = (cells
+            .select('cell_x', 'cell_y', 'n_self',
+                    F.explode(offsets).alias('o'))
+            .groupBy((F.col('cell_x') + F.col('o.dx')).alias('cell_x'),
+                     (F.col('cell_y') + F.col('o.dy')).alias('cell_y'))
+            .agg(F.sum('n_self').alias('n_ring')))
+    return cells.join(ring, ['cell_x', 'cell_y'])
+
+
+def tile_embedding_stats(assignments: DataFrame, embeddings: DataFrame,
+                         id_col: str = 'vec_id',
+                         vec_col: str = 'embedding',
+                         key: Column = None,
+                         decimals: int = 6) -> DataFrame:
+    """Element-wise embedding centroid per tile key, in exploded form
+    ``(key, pos, centroid_v, n_vectors)``.
+
+    ``assignments`` carries one row per vector id with the tile
+    columns (``assign_images_to_tiles`` output); ``key`` defaults to
+    the township (``trs`` minus the trailing section digits).  The
+    centroid is the per-dimension mean over every vector assigned to
+    the key, rounded to ``decimals`` (floats cross engines; the
+    rounding makes the result oracle-comparable).
+
+    Scale shape: the join attaches only (id -> key), so vectors never
+    carry tile payload; ``posexplode`` emits skinny
+    (key, pos, double) rows that partial-aggregate map-side -- the
+    shuffle carries |keys| x dim rows, independent of corpus size.
+    ``assemble_centroids`` packs the exploded form back into
+    ``array<double>`` when a vector-shaped centroid is needed
+    (e.g. to seed IVF cells per region).
+    """
+    if key is None:
+        key = F.substring(F.col('trs'), 1,
+                          F.length('trs') - F.lit(2)).alias('twprge')
+    keyed = assignments.select(F.col(id_col), key)
+    key_name = keyed.columns[1]
+    j = keyed.join(embeddings.select(id_col, vec_col), id_col)
+    counts = (j.groupBy(key_name)
+              .agg(F.count('*').alias('n_vectors')))
+    per_dim = (j.select(key_name,
+                        F.posexplode(vec_col).alias('pos', 'v'))
+               .groupBy(key_name, 'pos')
+               .agg(F.round(F.avg('v'), decimals).alias('centroid_v')))
+    return per_dim.join(counts, key_name) \
+        .select(key_name, 'pos', 'centroid_v', 'n_vectors')
+
+
+def assemble_centroids(stats: DataFrame, key_name: str = 'twprge') \
+        -> DataFrame:
+    """(key, pos, centroid_v, n_vectors) -> (key, centroid:
+    array<double>, n_vectors): sort-by-pos pack of the exploded
+    centroid.  collect_list is bounded by the embedding dim per
+    group, not by corpus size."""
+    return (stats.groupBy(key_name, 'n_vectors')
+            .agg(F.array_sort(
+                F.collect_list(F.struct('pos', 'centroid_v')))
+                .alias('s'))
+            .select(key_name,
+                    F.transform('s', lambda x: x['centroid_v'])
+                    .alias('centroid'),
+                    'n_vectors'))
