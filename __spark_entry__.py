@@ -1696,6 +1696,85 @@ FROM doubled d LEFT JOIN comp ON d.doc_id = comp.id
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): one exchange
+    on the user key, lag + running-sum windows chained in one sort."""
+    from pytrs_spark.operators.events import sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev).select('event_id', 'session_seq', 'session_id')
+
+
+_ORACLE_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pus
+  FROM events
+), m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN pus IS NULL OR us - pus > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT event_id, user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS seq
+  FROM m
+)
+SELECT event_id, CAST(seq AS INT) AS session_seq,
+       user_id || '_' || seq AS session_id
+FROM s
+"""
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (count, bounds, duration) of the
+    sessionized stream."""
+    from pytrs_spark.operators.events import session_stats, sessionize
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(sessionize(ev))
+
+
+_ORACLE_SESSION_STATS = f"""
+WITH s AS ({_ORACLE_SESSIONIZE}),
+sess AS (
+  SELECT e.user_id, s.session_id, e.ts
+  FROM events e JOIN s ON e.event_id = s.event_id
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6 AS duration_s
+FROM sess GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (kdb/DuckDB ASOF semantics): every click
+    gets the user's most recent prior-or-simultaneous purchase value.
+    Spark side = union-tag + forward-fill window (one exchange, no
+    range join); oracle = DuckDB's native ASOF LEFT JOIN."""
+    from pytrs_spark.operators.events import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col('event_type') == 'click') \
+        .select('event_id', 'user_id', 'ts')
+    purchases = ev.filter(F.col('event_type') == 'purchase') \
+        .select('user_id', 'ts', 'value')
+    out = asof_join(clicks, purchases, 'user_id')
+    return out.select('event_id', 'user_id', 'value_asof')
+
+
+_ORACLE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, p.value AS value_asof
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -1769,6 +1848,9 @@ _RAW_QUERIES = {
         'kring_density': q_kring_density,
         'tile_centroid': q_tile_centroid,
         'dedup_keep_one': q_dedup_keep_one,
+        'sessionize': q_sessionize,
+        'session_stats': q_session_stats,
+        'asof_join': q_asof_join,
 }
 
 
@@ -1867,4 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         'kring_density': _ORACLE_KRING,
         'tile_centroid': _ORACLE_CENTROID,
         'dedup_keep_one': _ORACLE_KEEP_ONE,
+        'sessionize': _ORACLE_SESSIONIZE,
+        'session_stats': _ORACLE_SESSION_STATS,
+        'asof_join': _ORACLE_ASOF,
     }

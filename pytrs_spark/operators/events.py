@@ -1,0 +1,114 @@
+"""Event-stream relational operators: gap sessionization and as-of
+(backward) joins.
+
+These are the two event-table primitives every large-scale analytics
+engine ends up needing (web/product analytics over the `events`
+table; the reference has no event model -- this extends the engine
+the same way SURVEY §2.9's training-pipeline ops do).
+
+Both are single-shuffle window compositions -- no range explode, no
+cross join, no Python:
+
+- ``sessionize``: one exchange on the user key, two window passes in
+  the same sort order (Catalyst runs them in one Window node chain
+  without re-sorting).
+- ``asof_join``: the classic union-tag trick -- interleave both
+  tables in (key, ts) order and carry the last right-side value
+  forward with ``last(..., ignorenulls=True)``.  One exchange total;
+  the naive alternative (range join + per-left-row max) is a
+  quadratic blowup on hot keys.  Skew = per-key row count; at
+  10^12-event scale a hot key's window still sorts within its
+  partition spill-safely (ExternalSorter), and AQE splits oversized
+  partitions.
+"""
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, user_col: str = 'user_id',
+               ts_col: str = 'ts', order_col: str = 'event_id',
+               gap_s: int = 1800) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the
+    time since the user's previous event exceeds ``gap_s`` seconds
+    (strictly greater; micro-second precision).
+
+    Output: input columns + ``session_seq`` (0-based per-user session
+    index) + ``session_id`` (``'<user>_<seq>'``, globally unique).
+    ``order_col`` breaks equal-timestamp ties deterministically.
+
+    Scale shape: one exchange on ``user_col``; the lag and the
+    running sum share one (user, ts, order) sort, so Catalyst chains
+    them in a single Window stage.  150M users x ~anything rows is a
+    healthy key distribution; a single pathological user still sorts
+    externally rather than OOMing.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    # parquet NTZ timestamps need the cast (session tz is pinned UTC
+    # engine-wide; only DIFFERENCES feed the gap test, so the cast is
+    # tz-invariant anyway).
+    us = F.unix_micros(F.col(ts_col).cast('timestamp'))
+    brk = (F.lag(us).over(w).isNull()
+           | (us - F.lag(us).over(w) > gap_s * 1_000_000)) \
+        .cast('long')
+    seq = (F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    return (events
+            .withColumn('session_seq', seq.cast('int'))
+            .withColumn('session_id',
+                        F.concat_ws('_', F.col(user_col).cast('string'),
+                                    F.col('session_seq').cast('string'))))
+
+
+def session_stats(sessions: DataFrame, user_col: str = 'user_id',
+                  ts_col: str = 'ts') -> DataFrame:
+    """Per-session rollup of a ``sessionize`` output: event count,
+    start/end, duration seconds.  One partial-agg exchange on the
+    session key."""
+    us = F.unix_micros(F.col(ts_col).cast('timestamp'))
+    return (sessions.groupBy(user_col, 'session_id')
+            .agg(F.count('*').alias('n_events'),
+                 F.min(ts_col).alias('session_start'),
+                 F.max(ts_col).alias('session_end'),
+                 ((F.max(us) - F.min(us)) / 1e6).alias('duration_s')))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = 'ts', right_ts: str = 'ts',
+              value_cols=('value',), suffix: str = '_asof') -> DataFrame:
+    """Backward as-of join: attach to every left row the right row
+    with the greatest ``right_ts`` <= ``left_ts`` for the same key
+    (DuckDB/kdb ASOF JOIN semantics; left rows with no prior right
+    row keep nulls).
+
+    ``right`` should be unique per (key, right_ts) -- with duplicates
+    the carried row is the last in an engine-determined order;
+    pre-aggregate the right side to make it deterministic.
+
+    Implementation: union-tag + forward-fill.  Right rows interleave
+    into the left timeline sorted by (ts, is_left) -- right sorts
+    FIRST at equal timestamps so a simultaneous right row is visible
+    to the left row (ts_r <= ts_l is inclusive).  One exchange on
+    ``key``, one window sort, a filter back to left rows.  Never a
+    range join (quadratic on hot keys), never a Python crossing.
+    """
+    val_list = list(value_cols)
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        F.col(key), F.col(left_ts).alias('_ts'), F.lit(1).alias('_is_l'),
+        *[F.col(c).alias(f'_l_{c}') for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f'_r_{c}')
+          for c in val_list])
+    tagged_r = right.select(
+        F.col(key), F.col(right_ts).alias('_ts'), F.lit(0).alias('_is_l'),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f'_l_{c}')
+          for c in lcols],
+        *[F.col(c).alias(f'_r_{c}') for c in val_list])
+    w = (Window.partitionBy(key).orderBy('_ts', '_is_l')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = tagged_l.unionByName(tagged_r).select(
+        '*', *[F.last(f'_r_{c}', ignorenulls=True).over(w)
+               .alias(f'_f_{c}') for c in val_list])
+    out_cols = [F.col(f'_l_{c}').alias(c) for c in lcols] + \
+        [F.col(f'_f_{c}').alias(f'{c}{suffix}') for c in val_list]
+    return filled.filter(F.col('_is_l') == 1).select(*out_cols)

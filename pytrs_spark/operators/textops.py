@@ -1178,7 +1178,8 @@ def repetition_metrics(df: DataFrame, text_col='text',
 # --- connected components over near-dup pair graphs ----------------------
 
 def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         stats: dict = None) -> DataFrame:
     """Resolve a pairwise near-duplicate graph into dedup clusters:
     (doc_id, component_id) where component_id = the smallest doc id
     reachable through any chain of pairs.  This is the step that turns
@@ -1198,9 +1199,21 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     (25 doublings covers any graph this engine could hold).
 
     Scale shape: each iteration is two skinny shuffles (edge join +
-    min agg) over (long, long) rows; labels persist per iteration and
-    the previous generation unpersists, so lineage stays constant.
+    min agg) over (long, long) rows.  The label generations are cut
+    over with ``localCheckpoint`` (eager), not ``persist``: an
+    iterative DataFrame loop that only persists keeps NESTING the
+    logical plan, and Catalyst re-analysis goes super-linear after
+    ~10 rounds (measured: a 50k-edge chain graph burned minutes of
+    pure driver/analyzer CPU before the fix, seconds after).
+    Checkpointing truncates the plan so per-round cost stays
+    constant.  On a real cluster localCheckpoint trades fault
+    tolerance of the (skinny) label table for speed; a lost executor
+    restarts the job from the last label generation at worst.
     Deterministic: min() everywhere, no tie-breaks needed.
+
+    ``stats``: optional dict; on return ``stats['iterations']`` holds
+    the number of propagation rounds run to reach the fixpoint
+    (``scripts/cc_scale_probe.py`` reports it).
     """
     sym = (pairs.select(F.col(id_a).alias('src'),
                         F.col(id_b).alias('dst'))
@@ -1208,9 +1221,8 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
                                      F.col(id_a).alias('dst'))))
     edges = sym.distinct().persist()
     labels = (edges.select(F.col('src').alias('id')).distinct()
-              .withColumn('comp', F.col('id')).persist())
-    labels.count()
-    for _ in range(max_iters):
+              .withColumn('comp', F.col('id')).localCheckpoint())
+    for it in range(max_iters):
         # neighbor-min: every vertex offers its component to its
         # neighbors; take the min of self and offers.
         offers = (edges.join(labels.withColumnRenamed('id', 'src'),
@@ -1227,15 +1239,16 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
                         .alias('t'), 'comp', 'left')
                   .select(F.col('id'),
                           F.least('comp', 'comp2').alias('comp')))
-        new_labels = jumped.persist()
+        new_labels = jumped.localCheckpoint()   # eager; truncates plan
         changed = (new_labels.alias('n')
                    .join(labels.alias('o'), 'id')
                    .filter(F.col('n.comp') != F.col('o.comp'))
                    .count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             edges.unpersist()
+            if stats is not None:
+                stats['iterations'] = it + 1
             return labels.select(F.col('id').alias('doc_id'),
                                  F.col('comp').alias('component_id'))
     raise RuntimeError(

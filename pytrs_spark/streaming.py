@@ -138,3 +138,35 @@ def stream_events_hourly(events: DataFrame,
             .select(F.date_format('win.start', 'yyyy-MM-dd HH')
                     .alias('hour'),
                     'event_type', 'n_events', 'sum_value'))
+
+
+def stream_sessions(events: DataFrame, gap: str = '30 minutes',
+                    watermark: str = '1 hour',
+                    user_col: str = 'user_id') -> DataFrame:
+    """Watermarked streaming gap-sessionization via the native
+    ``session_window`` aggregation: per (user, session) event counts
+    and bounds, sessions merging while consecutive events are within
+    ``gap`` (window end = last event + gap, Spark's session-window
+    convention; the batch ``operators.events.sessionize`` uses the
+    inclusive-boundary lag convention instead -- the two differ only
+    on exact-gap ties).
+
+    State is bounded by the watermark: a session closes (and its
+    state drops) once the watermark passes its end.  The only shuffle
+    is the key repartition any stateful aggregation needs;
+    ``session_window`` merges windows inside the state store, so
+    session length never inflates the shuffle.
+
+    Runs identically over a batch DataFrame (session_window is
+    batch-capable) -- the parity test pins stream == batch output.
+    """
+    events = events.withColumn('ts', F.col('ts').cast('timestamp'))
+    return (events
+            .withWatermark('ts', watermark)
+            .groupBy(F.col(user_col),
+                     F.session_window('ts', gap).alias('sw'))
+            .agg(F.count('*').alias('n_events'))
+            .select(user_col,
+                    F.col('sw.start').alias('session_start'),
+                    F.col('sw.end').alias('session_end'),
+                    'n_events'))

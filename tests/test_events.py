@@ -1,0 +1,102 @@
+"""Unit tests for sessionization and as-of join
+(pytrs_spark.operators.events) on handcrafted timelines."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pytrs_spark.operators.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds, micros=0):
+    return T0 + dt.timedelta(seconds=seconds, microseconds=micros)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: exactly gap_s keeps the session; gap_s + 1us breaks it.
+    ev = spark.createDataFrame(
+        [(1, 7, _ts(0)),
+         (2, 7, _ts(1800)),              # exactly 30 min -> same session
+         (3, 7, _ts(3600, 1)),           # 1800s + 1us gap -> new session
+         (4, 8, _ts(10))],               # other user -> own session 0
+        'event_id long, user_id long, ts timestamp')
+    rows = {r['event_id']: (r['session_seq'], r['session_id'])
+            for r in sessionize(ev, gap_s=1800).collect()}
+    assert rows[1] == (0, '7_0')
+    assert rows[2] == (0, '7_0')
+    assert rows[3] == (1, '7_1')
+    assert rows[4] == (0, '8_0')
+
+
+def test_sessionize_equal_ts_deterministic(spark):
+    # equal timestamps order by event_id -- stable under repartition.
+    ev = spark.createDataFrame(
+        [(2, 1, _ts(0)), (1, 1, _ts(0)), (3, 1, _ts(5000))],
+        'event_id long, user_id long, ts timestamp')
+    a = sorted(map(tuple, sessionize(ev).select(
+        'event_id', 'session_seq').collect()))
+    b = sorted(map(tuple, sessionize(ev.repartition(5)).select(
+        'event_id', 'session_seq').collect()))
+    assert a == b == [(1, 0), (2, 0), (3, 1)]
+
+
+def test_session_stats(spark):
+    ev = spark.createDataFrame(
+        [(1, 7, _ts(0)), (2, 7, _ts(100)), (3, 7, _ts(10000))],
+        'event_id long, user_id long, ts timestamp')
+    rows = {r['session_id']: (r['n_events'], r['duration_s'])
+            for r in session_stats(sessionize(ev)).collect()}
+    assert rows['7_0'] == (2, 100.0)
+    assert rows['7_1'] == (1, 0.0)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10)),    # after right@5 -> 50.0
+         (2, 7, _ts(5)),     # simultaneous with right@5 -> inclusive
+         (3, 7, _ts(1)),     # before any right row -> null
+         (4, 8, _ts(100))],  # other key, no right rows -> null
+        'event_id long, user_id long, ts timestamp')
+    right = spark.createDataFrame(
+        [(7, _ts(5), 50.0), (7, _ts(8), 80.0)],
+        'user_id long, ts timestamp, value double')
+    out = {r['event_id']: r['value_asof']
+           for r in asof_join(left, right, 'user_id').collect()}
+    assert out == {1: 80.0, 2: 50.0, 3: None, 4: None}
+    # left row count preserved (left join)
+    assert asof_join(left, right, 'user_id').count() == 4
+
+
+def test_asof_join_preserves_left_columns(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10), 'x')],
+        'event_id long, user_id long, ts timestamp, tag string')
+    right = spark.createDataFrame(
+        [(7, _ts(5), 1.5)], 'user_id long, ts timestamp, value double')
+    row = asof_join(left, right, 'user_id').collect()[0]
+    assert (row['event_id'], row['user_id'], row['tag'],
+            row['value_asof']) == (1, 7, 'x', 1.5)
+
+
+def test_stream_sessions_matches_batch(spark, tmp_path):
+    from pytrs_spark.streaming import stream_sessions
+    sf = '/root/testdata/sf0.001'
+    batch_events = spark.read.parquet(f'{sf}/events.parquet')
+    src = str(tmp_path / 'events_dir')
+    batch_events.write.mode('overwrite').parquet(src)
+    stream = spark.readStream.schema(batch_events.schema).parquet(src)
+    q = (stream_sessions(stream).writeStream.format('memory')
+         .queryName('sessions').outputMode('complete')
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.table('sessions')
+    want = stream_sessions(batch_events)     # batch-capable operator
+    assert got.count() > 0
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
