@@ -1775,6 +1775,108 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec'd HyperLogLog sketch of distinct users (p=6, 64
+    registers) -- the oracle re-implements the documented mix +
+    bin-length rank in raw SQL, so the SKETCH ITSELF is verified
+    bit-for-bit, not just an estimate."""
+    from pytrs_spark.operators.stats import hll_sketch
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_sketch(ev, 'user_id', p=6)
+
+
+_ORACLE_HLL = """
+WITH m0 AS (
+  SELECT (user_id + 0) % 2147483647 AS a,
+         (user_id + 23459) % 2147483647 AS b
+  FROM events
+), m1 AS (
+  SELECT (a * 1299709 + 2654435761) % 2147483647 AS a,
+         (b * 1299709 + 2654435761) % 2147483647 AS b FROM m0
+), m2 AS (
+  SELECT xor(a, a >> 16) AS a, xor(b, b >> 16) AS b FROM m1
+), m3 AS (
+  SELECT (a * 1000003 + 12345) % 2147483647 AS a,
+         (b * 1000003 + 12345) % 2147483647 AS b FROM m2
+), mix AS (
+  SELECT xor(a, a >> 8) AS a, xor(b, b >> 8) AS b FROM m3
+), rr AS (
+  SELECT CAST(a % 64 AS INT) AS register,
+         CAST(32 - (CASE WHEN b = 0 THEN 0
+                         ELSE length(bin(b)) END) AS INT) AS rho
+  FROM mix
+)
+SELECT register, max(rho) AS rho_max FROM rr GROUP BY register
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (20 bins over [0, 500),
+    out-of-range clamped into end bins)."""
+    from pytrs_spark.operators.stats import histogram
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return histogram(ev, 'value', lo=0.0, hi=500.0, n_bins=20)
+
+
+_ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19)
+              AS INT) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin, 0.0 + bin * 25.0 AS lo_edge,
+       0.0 + (bin + 1) * 25.0 AS hi_edge, count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> click -> purchase conversion funnel
+    (earliest-completion greedy; strictly-increasing timestamps)."""
+    from pytrs_spark.operators.events import funnel
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ('signup', 'click', 'purchase'))
+
+
+_ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t_1
+  WHERE e.event_type = 'click' GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t_2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT s1.user_id, t_1, t_2, t_3,
+       CAST(1 + CAST(t_2 IS NOT NULL AS INT)
+              + CAST(t_3 IS NOT NULL AS INT) AS INT) AS funnel_stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_doc_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source): doc counts + char totals at every
+    grouping-set combination in one exchange (rolled-up keys = '*')."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.cube('lang', 'source')
+            .agg(F.count('*').alias('n_docs'),
+                 F.sum('n_chars').alias('sum_chars'))
+            .select(F.coalesce('lang', F.lit('*')).alias('lang'),
+                    F.coalesce('source', F.lit('*')).alias('source'),
+                    'n_docs', 'sum_chars'))
+
+
+_ORACLE_DOC_CUBE = """
+SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -1851,6 +1953,10 @@ _RAW_QUERIES = {
         'sessionize': q_sessionize,
         'session_stats': q_session_stats,
         'asof_join': q_asof_join,
+        'hll_registers': q_hll_registers,
+        'histogram': q_histogram,
+        'funnel': q_funnel,
+        'doc_stats_cube': q_doc_stats_cube,
 }
 
 
@@ -1952,4 +2058,8 @@ def oracle_sql() -> dict[str, str]:
         'sessionize': _ORACLE_SESSIONIZE,
         'session_stats': _ORACLE_SESSION_STATS,
         'asof_join': _ORACLE_ASOF,
+        'hll_registers': _ORACLE_HLL,
+        'histogram': _ORACLE_HISTOGRAM,
+        'funnel': _ORACLE_FUNNEL,
+        'doc_stats_cube': _ORACLE_DOC_CUBE,
     }

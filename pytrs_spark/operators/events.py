@@ -112,3 +112,41 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     out_cols = [F.col(f'_l_{c}').alias(c) for c in lcols] + \
         [F.col(f'_f_{c}').alias(f'{c}{suffix}') for c in val_list]
     return filled.filter(F.col('_is_l') == 1).select(*out_cols)
+
+
+def funnel(events: DataFrame, steps, user_col: str = 'user_id',
+           ts_col: str = 'ts', type_col: str = 'event_type') -> DataFrame:
+    """Ordered conversion funnel: for each user, the earliest time of
+    step 1, then the earliest step-2 event STRICTLY AFTER it, then
+    the earliest step-3 event strictly after that, etc. (classic
+    product-analytics funnel; earliest-completion greedy is the
+    standard well-defined semantics).
+
+    Output: one row per user who completed step 1 --
+    ``(user, t_1..t_k, funnel_stage)`` where ``t_i`` is null once the
+    chain stops and ``funnel_stage`` counts completed steps.
+
+    Scale shape: k-1 small hash joins between per-step MIN aggregates
+    -- each aggregation partial-aggregates map-side, each join keys on
+    the user, and raw events are scanned once per step with the type
+    filter pushed into the scan.  No windows, no event explosion.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError('funnel needs at least 2 steps')
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias('t_1')))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step) \
+            .select(user_col, F.col(ts_col).alias('_ts'))
+        prev_cols = [f't_{j}' for j in range(1, i)]
+        advanced = (cur.join(nxt, user_col)
+                    .filter(F.col('_ts') > F.col(f't_{i - 1}'))
+                    .groupBy(user_col)
+                    .agg(*[F.max(c).alias(c) for c in prev_cols],
+                         F.min('_ts').alias(f't_{i}')))
+        cur = cur.join(advanced.select(user_col, f't_{i}'),
+                       user_col, 'left')
+    stage = sum((F.col(f't_{i}').isNotNull().cast('int')
+                 for i in range(2, len(steps) + 1)), F.lit(1))
+    return cur.withColumn('funnel_stage', stage)
