@@ -1877,6 +1877,74 @@ FROM documents GROUP BY CUBE (lang, source)
 """
 
 
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed end-to-end training-data prep: quality filter
+    (n_tokens >= 10, alpha_ratio >= 0.5) -> exact-dedup keep-first ->
+    deterministic train/val/test split.  Gates the INTERFACES between
+    the pipeline stages row-exactly, not just each stage alone."""
+    from pytrs_spark.operators.sampling import assign_split
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select('doc_id', 'text')
+    # exercise every branch: clones (dedup drops), junk (quality
+    # drops), plus the originals (survive)
+    clones = base.select((F.col('doc_id') + 1_000_000).alias('doc_id'),
+                         F.upper('text').alias('text'))
+    junk = base.select((F.col('doc_id') + 2_000_000).alias('doc_id'),
+                       F.lit('!!! 111 ??? 222 !!!').alias('text'))
+    docs = base.unionByName(clones).unionByName(junk)
+    scored = textops.quality_score(docs)
+    kept = scored.filter((F.col('n_tokens') >= 10)
+                         & (F.col('alpha_ratio') >= 0.5))
+    dups = textops.exact_duplicates(kept.select('doc_id', 'text'))
+    survivors = kept.join(dups.select('doc_id'), 'doc_id', 'left_anti')
+    out = assign_split(survivors, 'doc_id',
+                       {'train': 0.8, 'val': 0.1, 'test': 0.1}, salt=7)
+    return out.select('doc_id', 'split')
+
+
+_ORACLE_TRAINING_PREP = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, '!!! 111 ??? 222 !!!' FROM documents
+), t AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9'']+'), x -> x <> '')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM corpus
+), kept AS (
+  SELECT doc_id, text FROM t
+  WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
+), ranked AS (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    ORDER BY doc_id) AS rn
+  FROM kept
+), surv AS (
+  SELECT doc_id FROM ranked WHERE rn = 1
+), m0 AS (
+  SELECT doc_id, (doc_id + 7) % 2147483647 AS h FROM surv
+), m1 AS (
+  SELECT doc_id, (h * 1299709 + 2654435761) % 2147483647 AS h FROM m0
+), m2 AS (
+  SELECT doc_id, xor(h, h >> 16) AS h FROM m1
+), m3 AS (
+  SELECT doc_id, (h * 1000003 + 12345) % 2147483647 AS h FROM m2
+), mix AS (
+  SELECT doc_id, xor(h, h >> 8) AS h FROM m3
+)
+SELECT doc_id,
+       CASE WHEN h < {int(0.8 * (1 << 31))} THEN 'train'
+            WHEN h < {int(0.9 * (1 << 31))} THEN 'val'
+            ELSE 'test' END AS split
+FROM mix
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -1957,6 +2025,7 @@ _RAW_QUERIES = {
         'histogram': q_histogram,
         'funnel': q_funnel,
         'doc_stats_cube': q_doc_stats_cube,
+        'training_prep': q_training_prep,
 }
 
 
@@ -2062,4 +2131,5 @@ def oracle_sql() -> dict[str, str]:
         'histogram': _ORACLE_HISTOGRAM,
         'funnel': _ORACLE_FUNNEL,
         'doc_stats_cube': _ORACLE_DOC_CUBE,
+        'training_prep': _ORACLE_TRAINING_PREP,
     }
