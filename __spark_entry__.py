@@ -1945,6 +1945,59 @@ FROM mix
 """
 
 
+def q_acreage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLSS acreage rollup over the parsed golden aliquots: standard
+    component-count areas (each quarter /4, each half /2 of 640 ac)
+    summed per key -- the area-weighted aggregate a lease/royalty
+    pipeline runs after parsing."""
+    from pytrs_spark.spatial.rollup import acreage_rollup
+    parsed = parse_tract_details(_golden_tract_df(spark, sf_dir))
+    qqs = parsed.select('key', F.explode('qqs').alias('qq'))
+    return acreage_rollup(qqs)
+
+
+_ORACLE_ACREAGE = f"""
+WITH qq AS ({_values_oracle(_GOLDEN_QQS, 'qq')}),
+a AS (
+  SELECT key, qq,
+         length(qq) - length(replace(qq, '2', '')) AS k2
+  FROM qq
+)
+SELECT key,
+       sum(640.0 / (power(2.0, k2)
+                    * power(4.0, length(qq) / 2 - k2))) AS total_acres,
+       count(*) AS n_aliquots
+FROM a GROUP BY key
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: distinct users per (first-seen week,
+    week offset)."""
+    from pytrs_spark.operators.events import retention_cohorts
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev).select(
+        F.date_format('cohort_week', 'yyyy-MM-dd').alias('cohort_week'),
+        'week_offset', 'n_users')
+
+
+_ORACLE_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events GROUP BY 1
+), j AS (
+  SELECT e.user_id, CAST(f.cohort AS DATE) AS cohort_week,
+         CAST(datediff('day', CAST(f.cohort AS DATE),
+                       CAST(date_trunc('week', e.ts) AS DATE)) / 7
+              AS INT) AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -2026,6 +2079,8 @@ _RAW_QUERIES = {
         'funnel': q_funnel,
         'doc_stats_cube': q_doc_stats_cube,
         'training_prep': q_training_prep,
+        'acreage': q_acreage,
+        'retention': q_retention,
 }
 
 
@@ -2132,4 +2187,6 @@ def oracle_sql() -> dict[str, str]:
         'funnel': _ORACLE_FUNNEL,
         'doc_stats_cube': _ORACLE_DOC_CUBE,
         'training_prep': _ORACLE_TRAINING_PREP,
+        'acreage': _ORACLE_ACREAGE,
+        'retention': _ORACLE_RETENTION,
     }

@@ -150,3 +150,28 @@ def funnel(events: DataFrame, steps, user_col: str = 'user_id',
     stage = sum((F.col(f't_{i}').isNotNull().cast('int')
                  for i in range(2, len(steps) + 1)), F.lit(1))
     return cur.withColumn('funnel_stage', stage)
+
+
+def retention_cohorts(events: DataFrame, user_col: str = 'user_id',
+                      ts_col: str = 'ts') -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week
+    (cohort), counted distinct in each subsequent week offset.
+
+    Output: (cohort_week date, week_offset int, n_users long).
+
+    Scale shape: first-seen = one partial-agg exchange on the user;
+    the attach join keys on the user (broadcast when the user dim
+    fits, shuffle otherwise); the final distinct-count aggregates
+    (cohort, offset, user) -- all skinny rows, no event payload.
+    """
+    wk = lambda c: F.date_trunc('week', F.col(c).cast('timestamp'))
+    first = events.groupBy(user_col).agg(
+        F.min(wk(ts_col)).alias('_cohort'))
+    joined = events.join(first, user_col).select(
+        user_col,
+        F.col('_cohort').cast('date').alias('cohort_week'),
+        (F.datediff(wk(ts_col).cast('date'),
+                    F.col('_cohort').cast('date')) / 7)
+        .cast('int').alias('week_offset'))
+    return (joined.groupBy('cohort_week', 'week_offset')
+            .agg(F.countDistinct(user_col).alias('n_users')))

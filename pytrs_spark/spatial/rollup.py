@@ -170,3 +170,32 @@ def assemble_centroids(stats: DataFrame, key_name: str = 'twprge') \
                     F.transform('s', lambda x: x['centroid_v'])
                     .alias('centroid'),
                     'n_vectors'))
+
+
+def qq_acres(qq) -> Column:
+    """Acreage of one aliquot string under the standard PLSS areas
+    (section = 640 ac): each quarter component ('NE','SW',...)
+    divides by 4, each half component ('N2','S2',...) divides by 2 --
+    so 'SENE' = 40 ac (a quarter-quarter), 'S2N2NWSW' = 10 ac.
+    Computed natively from component counts: with k2 = number of
+    half components and kq = number of quarter components,
+    acres = 640 / (2^k2 * 4^kq).  (Reference semantics: the QQ
+    strings come from aliquot_parse.py's recursive quartering --
+    ``pytrs_spark/plss/aliquot.py``; standard lots carry stated
+    acreage instead and are handled by the lot parser.)
+    """
+    q = F.col(qq) if isinstance(qq, str) else qq
+    k2 = F.length(q) - F.length(F.replace(q, F.lit('2'), F.lit('')))
+    n_comp = (F.length(q) / 2).cast('int')
+    kq = n_comp - k2
+    return F.lit(640.0) / (F.pow(F.lit(2.0), k2) * F.pow(F.lit(4.0), kq))
+
+
+def acreage_rollup(qqs: DataFrame, key_col: str = 'key',
+                   qq_col: str = 'qq') -> DataFrame:
+    """Total acreage per key from exploded aliquot rows: one
+    partial-agg exchange; the per-row acreage is a codegen
+    expression."""
+    return (qqs.groupBy(key_col)
+            .agg(F.sum(qq_acres(qq_col)).alias('total_acres'),
+                 F.count('*').alias('n_aliquots')))

@@ -100,3 +100,21 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
     assert got.count() > 0
     assert got.exceptAll(want).isEmpty()
     assert want.exceptAll(got).isEmpty()
+
+
+def test_retention_cohorts(spark):
+    from pytrs_spark.operators.events import retention_cohorts
+    # user 1 first seen week of Jan 1 (Mon), active weeks 0 and 2;
+    # user 2 first seen week of Jan 8, active week 0 only.
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 3)),
+        (2, 1, dt.datetime(2024, 1, 17)),
+        (3, 1, dt.datetime(2024, 1, 19)),   # same week as event 2
+        (4, 2, dt.datetime(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(
+        rows, 'event_id long, user_id long, ts timestamp')
+    got = {(str(r['cohort_week']), r['week_offset']): r['n_users']
+           for r in retention_cohorts(df).collect()}
+    assert got == {('2024-01-01', 0): 1, ('2024-01-01', 2): 1,
+                   ('2024-01-08', 0): 1}

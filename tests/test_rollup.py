@@ -84,3 +84,14 @@ def test_keep_one_transitive_and_singletons(spark):
             for r in keep_one(docs, pairs).collect()}
     assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
                     9: (9, True)}
+
+
+def test_qq_acres_component_areas(spark):
+    from pytrs_spark.spatial.rollup import acreage_rollup
+    qqs = spark.createDataFrame(
+        [(1, 'NENE'), (1, 'S2N2NWSW'), (2, 'NE'), (2, 'N2')],
+        'key long, qq string')
+    rows = {r['key']: (r['total_acres'], r['n_aliquots'])
+            for r in acreage_rollup(qqs).collect()}
+    assert rows[1] == (40.0 + 10.0, 2)     # QQ + half-half-of-QQ
+    assert rows[2] == (160.0 + 320.0, 2)   # quarter + half section
