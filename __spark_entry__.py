@@ -1998,6 +1998,75 @@ FROM j GROUP BY 1, 2
 """
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts as one column per event type
+    (fixed type list -> stable schema; one exchange, conditional
+    partial aggs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ['click', 'error', 'purchase', 'signup', 'view']
+    return (ev.groupBy('user_id').pivot('event_type', types).count()
+            .na.fill(0, types))
+
+
+_ORACLE_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of event value per
+    type.  The EXACT aggregate sorts each group's values -- correct
+    at any scale but memory-proportional to group size; at 10^12
+    rows use approx_percentile (t-digest, mergeable) and keep this
+    as the oracle-checkable ground truth."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy('event_type')
+            .agg(*[F.round(F.percentile('value', F.lit(p)), 6)
+                   .alias(f'p{int(p * 100)}')
+                   for p in (0.25, 0.5, 0.75, 0.95)]))
+
+
+_ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language (WindowGroupLimit
+    pushdown -- partitions pre-prune to k rows per group before the
+    final sort)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return Q.topk_per_group(
+        docs.select('doc_id', 'lang', 'n_chars'),
+        'lang', 'n_chars', k=3, tie_cols=('doc_id',))
+
+
+_ORACLE_TOPK = """
+SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -2081,6 +2150,9 @@ _RAW_QUERIES = {
         'training_prep': q_training_prep,
         'acreage': q_acreage,
         'retention': q_retention,
+        'events_pivot': q_events_pivot,
+        'percentiles': q_percentiles,
+        'topk_per_group': q_topk_per_group,
 }
 
 
@@ -2189,4 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         'training_prep': _ORACLE_TRAINING_PREP,
         'acreage': _ORACLE_ACREAGE,
         'retention': _ORACLE_RETENTION,
+        'events_pivot': _ORACLE_PIVOT,
+        'percentiles': _ORACLE_PERCENTILES,
+        'topk_per_group': _ORACLE_TOPK,
     }

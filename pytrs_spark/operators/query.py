@@ -446,3 +446,27 @@ def pretty_desc(df: DataFrame, word_sec: str = 'Sec ',
     rows = pretty_desc_lines(df, word_sec, order_col) \
         .orderBy('line_no').collect()
     return '\n'.join(r['line'] for r in rows)
+
+
+def topk_per_group(df: DataFrame, group_cols, order_col,
+                   k: int, descending: bool = True,
+                   tie_cols=()) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (rank column ``rank``
+    added; deterministic via ``tie_cols``).
+
+    Plan shape: ``row_number`` under a ``rank <= k`` filter triggers
+    Spark's WindowGroupLimit pushdown -- each shuffle partition keeps
+    only k rows per group BEFORE the final sort, so the exchange
+    carries ~k rows per (group, input partition), never the full
+    group.  The safe default for "top products per region"-style
+    queries at any scale; skewed groups cost k rows each, not their
+    cardinality.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = [oc.desc() if descending else oc.asc()]
+    order += [F.col(c).asc() for c in tie_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.withColumn('rank', F.row_number().over(w))
+            .filter(F.col('rank') <= k))
