@@ -2067,6 +2067,57 @@ SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.k out of the JSON
+    column and aggregate per type -- extraction is a native
+    expression evaluated in the scan stage (column-pruned; only
+    props + event_type are read)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object('props', '$.k').cast('int')
+    return (ev.select('event_type', k.alias('k'))
+            .groupBy('event_type')
+            .agg(F.count('k').alias('n'),
+                 F.sum('k').alias('sum_k'),
+                 F.min('k').alias('min_k'),
+                 F.max('k').alias('max_k')))
+
+
+_ORACLE_JSON = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY event_type
+"""
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals + 7-day trailing rolling sum (RANGE frame over
+    day numbers; decimal accumulation so sums are order-exact)."""
+    from pytrs_spark.operators.events import rolling_sum_days
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_sum_days(ev, days=7)
+
+
+_ORACLE_ROLLING = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         sum(CAST(value AS DECIMAL(18,6))) AS day_sum
+  FROM events GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(day_sum AS DOUBLE) AS day_total,
+       CAST(sum(day_sum) OVER (
+         ORDER BY CAST(day AS DATE)
+         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS trailing_7d
+FROM daily
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -2153,6 +2204,8 @@ _RAW_QUERIES = {
         'events_pivot': q_events_pivot,
         'percentiles': q_percentiles,
         'topk_per_group': q_topk_per_group,
+        'json_extract': q_json_extract,
+        'rolling_window': q_rolling_window,
 }
 
 
@@ -2264,4 +2317,6 @@ def oracle_sql() -> dict[str, str]:
         'events_pivot': _ORACLE_PIVOT,
         'percentiles': _ORACLE_PERCENTILES,
         'topk_per_group': _ORACLE_TOPK,
+        'json_extract': _ORACLE_JSON,
+        'rolling_window': _ORACLE_ROLLING,
     }

@@ -175,3 +175,32 @@ def retention_cohorts(events: DataFrame, user_col: str = 'user_id',
         .cast('int').alias('week_offset'))
     return (joined.groupBy('cohort_week', 'week_offset')
             .agg(F.countDistinct(user_col).alias('n_users')))
+
+
+def rolling_sum_days(events: DataFrame, days: int = 7,
+                     ts_col: str = 'ts', value_col: str = 'value') \
+        -> DataFrame:
+    """Daily totals with a trailing ``days``-day rolling sum
+    (RANGE frame over day numbers, so gaps in the calendar are
+    handled correctly -- a ROWS frame would silently span them).
+
+    Values accumulate in decimal(18,6) so the sums are exact and
+    order-independent (double summation order differs between
+    engines/partitionings; decimals don't).
+
+    Scale shape: events aggregate to one row per day FIRST (partial
+    agg); the window then runs over the tiny daily table.  For a
+    keyed variant partition the window by the key -- the daily
+    pre-aggregation keeps per-key state bounded by the date range.
+    """
+    day = F.date_trunc('day', F.col(ts_col).cast('timestamp'))
+    daily = (events.groupBy(day.alias('day'))
+             .agg(F.sum(F.col(value_col).cast('decimal(18,6)'))
+                  .alias('_day_sum')))
+    w = (Window.orderBy(F.unix_date(F.col('day').cast('date')))
+         .rangeBetween(-(days - 1), 0))
+    return (daily.select(
+        F.date_format('day', 'yyyy-MM-dd').alias('day'),
+        F.col('_day_sum').cast('double').alias('day_total'),
+        F.sum('_day_sum').over(w).cast('double')
+        .alias(f'trailing_{days}d')))

@@ -118,3 +118,20 @@ def test_retention_cohorts(spark):
            for r in retention_cohorts(df).collect()}
     assert got == {('2024-01-01', 0): 1, ('2024-01-01', 2): 1,
                    ('2024-01-08', 0): 1}
+
+
+def test_rolling_sum_days_handles_calendar_gaps(spark):
+    from pytrs_spark.operators.events import rolling_sum_days
+    # days 1, 2, then a gap to day 20: a ROWS frame would wrongly
+    # include day 2 in day 20's trailing week; RANGE must not.
+    rows = [(1, dt.datetime(2024, 1, 1, 5), 10.0),
+            (2, dt.datetime(2024, 1, 2, 6), 20.0),
+            (3, dt.datetime(2024, 1, 2, 7), 5.0),
+            (4, dt.datetime(2024, 1, 20, 8), 40.0)]
+    df = spark.createDataFrame(
+        rows, 'event_id long, ts timestamp, value double')
+    got = {r['day']: (r['day_total'], r['trailing_7d'])
+           for r in rolling_sum_days(df, days=7).collect()}
+    assert got['2024-01-01'] == (10.0, 10.0)
+    assert got['2024-01-02'] == (25.0, 35.0)
+    assert got['2024-01-20'] == (40.0, 40.0)   # gap: nothing carried
