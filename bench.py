@@ -418,6 +418,33 @@ def main():
         lambda: sample_by_hash(ids, 'doc_id', 0.01).count(),
         runs=RUNS), 3)
 
+    # Event-stream relational ops over the events table (all
+    # single-exchange window/agg compositions; see BENCH.md plan
+    # audits and the 50M-row scale probe).
+    from pytrs_spark.operators.events import (asof_join, funnel,
+                                              sessionize)
+    events = spark.read.parquet(f'{SF_DIR}/events.parquet').persist()
+    events.count()
+    queries['sessionize'] = round(_median_time(
+        lambda: sessionize(events)
+        .select(F.bit_xor(F.xxhash64('event_id', 'session_id')))
+        .collect(), runs=RUNS), 3)
+    _clicks = events.filter(F.col('event_type') == 'click') \
+        .select('event_id', 'user_id', 'ts')
+    _purch = events.filter(F.col('event_type') == 'purchase') \
+        .select('user_id', 'ts', 'value')
+    queries['asof_join'] = round(_median_time(
+        lambda: asof_join(_clicks, _purch, 'user_id')
+        .select(F.bit_xor(F.xxhash64(
+            'event_id', F.coalesce(F.round('value_asof', 6),
+                                   F.lit(-1.0))))).collect(),
+        runs=RUNS), 3)
+    queries['funnel'] = round(_median_time(
+        lambda: funnel(events, ('signup', 'click', 'purchase'))
+        .select(F.bit_xor(F.xxhash64('user_id', 'funnel_stage')))
+        .collect(), runs=RUNS), 3)
+    events.unpersist()
+
     # Full near-dup pipeline (exact prepass -> LSH -> verify -> expand)
     # on a doubled corpus, so the hot-bucket path is exercised.
     doubled = docs.select('doc_id', 'text').unionByName(
