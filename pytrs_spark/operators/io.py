@@ -247,3 +247,30 @@ def write_tracts_csv(df: DataFrame, path: str, attributes,
     stringify_tracts(df, attributes, doc_col=doc_col,
                      include_uid=include_uid) \
         .write.mode(mode).option('header', str(header).lower()).csv(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols,
+                   n_buckets: int, sort_cols=None,
+                   mode: str = 'overwrite') -> None:
+    """Persist a table bucketed (and optionally sorted) by join key --
+    the co-location strategy for repeated big-big joins: two tables
+    bucketed the SAME way (same keys, same bucket count) hash-join
+    with ZERO exchange on either side, because Spark proves each
+    bucket pair is co-partitioned at plan time.  At 100 TB this turns
+    the recurring fact-fact join from the dominant shuffle into a
+    local zip of bucket files; the one-time bucketed write is the
+    amortized cost.
+
+    Buckets land in the session's `spark.sql.warehouse.dir` via
+    ``saveAsTable`` (bucket metadata lives in the catalog -- a plain
+    ``.parquet(path)`` write cannot carry it).
+    ``tests/test_bucketing.py`` pins the exchange-free plan shape.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) \
+        else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) \
+            else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    w.format('parquet').saveAsTable(table)
