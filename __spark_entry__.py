@@ -2118,6 +2118,49 @@ FROM daily
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (batch mode of the streaming
+    sessionizer): the oracle re-implements Spark's merge rule
+    (new session iff gap >= 30 min; window end = last event + gap)
+    with lag/cumsum SQL -- so the session_window OPERATOR semantics
+    are gated, not just stream==batch parity."""
+    from pytrs_spark.streaming import stream_sessions
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = stream_sessions(ev)        # batch-capable operator
+    fmt = 'yyyy-MM-dd HH:mm:ss.SSSSSS'
+    return s.select(
+        'user_id',
+        F.date_format('session_start', fmt).alias('session_start'),
+        F.date_format('session_end', fmt).alias('session_end'),
+        'n_events')
+
+
+_ORACLE_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts) AS pus
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         CASE WHEN pus IS NULL OR us - pus >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -2206,6 +2249,7 @@ _RAW_QUERIES = {
         'topk_per_group': q_topk_per_group,
         'json_extract': q_json_extract,
         'rolling_window': q_rolling_window,
+        'session_window': q_session_window,
 }
 
 
@@ -2319,4 +2363,5 @@ def oracle_sql() -> dict[str, str]:
         'topk_per_group': _ORACLE_TOPK,
         'json_extract': _ORACLE_JSON,
         'rolling_window': _ORACLE_ROLLING,
+        'session_window': _ORACLE_SESSION_WINDOW,
     }

@@ -178,8 +178,8 @@ def retention_cohorts(events: DataFrame, user_col: str = 'user_id',
 
 
 def rolling_sum_days(events: DataFrame, days: int = 7,
-                     ts_col: str = 'ts', value_col: str = 'value') \
-        -> DataFrame:
+                     ts_col: str = 'ts', value_col: str = 'value',
+                     key_cols=()) -> DataFrame:
     """Daily totals with a trailing ``days``-day rolling sum
     (RANGE frame over day numbers, so gaps in the calendar are
     handled correctly -- a ROWS frame would silently span them).
@@ -188,18 +188,24 @@ def rolling_sum_days(events: DataFrame, days: int = 7,
     order-independent (double summation order differs between
     engines/partitionings; decimals don't).
 
-    Scale shape: events aggregate to one row per day FIRST (partial
-    agg); the window then runs over the tiny daily table.  For a
-    keyed variant partition the window by the key -- the daily
-    pre-aggregation keeps per-key state bounded by the date range.
+    Scale shape: events aggregate to one row per (key, day) FIRST
+    (partial agg); the window then runs over the tiny daily table.
+    ``key_cols`` partitions both the daily rollup and the window
+    (e.g. per-user trailing spend); the unkeyed global window is a
+    single-task sort over the daily table -- fine, because that
+    table has one row per calendar day, not per event.
     """
+    key_cols = [key_cols] if isinstance(key_cols, str) \
+        else list(key_cols)
     day = F.date_trunc('day', F.col(ts_col).cast('timestamp'))
-    daily = (events.groupBy(day.alias('day'))
+    daily = (events.groupBy(*key_cols, day.alias('day'))
              .agg(F.sum(F.col(value_col).cast('decimal(18,6)'))
                   .alias('_day_sum')))
-    w = (Window.orderBy(F.unix_date(F.col('day').cast('date')))
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.unix_date(F.col('day').cast('date')))
          .rangeBetween(-(days - 1), 0))
     return (daily.select(
+        *key_cols,
         F.date_format('day', 'yyyy-MM-dd').alias('day'),
         F.col('_day_sum').cast('double').alias('day_total'),
         F.sum('_day_sum').over(w).cast('double')

@@ -135,3 +135,18 @@ def test_rolling_sum_days_handles_calendar_gaps(spark):
     assert got['2024-01-01'] == (10.0, 10.0)
     assert got['2024-01-02'] == (25.0, 35.0)
     assert got['2024-01-20'] == (40.0, 40.0)   # gap: nothing carried
+
+
+def test_rolling_sum_days_keyed(spark):
+    from pytrs_spark.operators.events import rolling_sum_days
+    rows = [(1, 7, dt.datetime(2024, 1, 1), 10.0),
+            (2, 7, dt.datetime(2024, 1, 3), 20.0),
+            (3, 8, dt.datetime(2024, 1, 3), 100.0)]
+    df = spark.createDataFrame(
+        rows, 'event_id long, user_id long, ts timestamp, value double')
+    got = {(r['user_id'], r['day']): r['trailing_7d']
+           for r in rolling_sum_days(df, days=7,
+                                     key_cols='user_id').collect()}
+    # user 7's window carries day 1 into day 3; user 8 is isolated
+    assert got[(7, '2024-01-03')] == 30.0
+    assert got[(8, '2024-01-03')] == 100.0
