@@ -2161,6 +2161,30 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc codepoint Shannon entropy (bits/char) -- the
+    gibberish/compression-artifact quality signal; numpy batch kernel
+    vs DuckDB's native log2 entropy() aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        'doc_id', textops.char_entropy_col('text').alias('entropy'))
+
+
+_ORACLE_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text)),
+                               i -> substring(text, i, 1))) AS c
+  FROM documents
+), e AS (
+  SELECT doc_id, round(entropy(c), 6) AS entropy
+  FROM ch GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(e.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -2250,6 +2274,7 @@ _RAW_QUERIES = {
         'json_extract': q_json_extract,
         'rolling_window': q_rolling_window,
         'session_window': q_session_window,
+        'char_entropy': q_char_entropy,
 }
 
 
@@ -2364,4 +2389,5 @@ def oracle_sql() -> dict[str, str]:
         'json_extract': _ORACLE_JSON,
         'rolling_window': _ORACLE_ROLLING,
         'session_window': _ORACLE_SESSION_WINDOW,
+        'char_entropy': _ORACLE_ENTROPY,
     }

@@ -1281,3 +1281,47 @@ def keep_one(docs: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
                         F.coalesce('component_id', F.col(id_col)))
             .withColumn('kept',
                         F.col('component_id') == F.col(id_col)))
+
+
+def char_entropy_col(text_col='text', decimals: int = 6):
+    """Shannon entropy (bits/char) of the codepoint distribution per
+    document -- the gibberish / compression-artifact quality signal
+    (near 0 = one repeated char; English prose ~4.0-4.5; random bytes
+    ~8).  Null/empty text -> 0.0.
+
+    One numpy pass per Arrow batch: all docs' codepoints flatten into
+    a single array with offsets, one global sort-free bincount per
+    doc via np.unique on (doc_idx, codepoint) pairs -- no per-doc
+    Python loop.  Rounded to ``decimals`` so the float log2 is
+    oracle-comparable across libms.
+    """
+    @F.pandas_udf(T.DoubleType())
+    def udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts))
+        vals = texts.fillna('').to_numpy()
+        lens = np.array([len(t) for t in vals], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = np.empty(total, dtype=np.int64)
+        doc = np.empty(total, dtype=np.int64)
+        pos = 0
+        for i, t in enumerate(vals):
+            n = lens[i]
+            if n:
+                flat[pos:pos + n] = np.frombuffer(
+                    t.encode('utf-32-le'), dtype=np.uint32)
+                doc[pos:pos + n] = i
+                pos += n
+        # unique (doc, char) pairs with counts: one vectorized pass
+        key = doc * (1 << 21) + flat          # codepoints < 2^21
+        _, idx, counts = np.unique(key, return_index=True,
+                                   return_counts=True)
+        d = doc[idx]
+        p = counts / lens[d]
+        contrib = -p * np.log2(p)
+        out = np.zeros(len(texts))
+        np.add.at(out, d, contrib)
+        return pd.Series(np.round(out, decimals))
+    return udf(F.col(text_col) if isinstance(text_col, str)
+               else text_col)

@@ -81,3 +81,15 @@ def test_funnel_strictly_after_and_stages(spark):
     assert got == {1: 3, 2: 2, 3: 1, 5: 2, 6: 1}
     with pytest.raises(ValueError):
         funnel(df, ('signup',))
+
+
+def test_char_entropy_known_values(spark):
+    from pytrs_spark.operators.textops import char_entropy_col
+    df = spark.createDataFrame(
+        [(1, 'aaaa'), (2, 'aabb'), (3, 'abcd'), (4, ''), (5, None)],
+        'doc_id long, text string')
+    got = {r['doc_id']: r['e']
+           for r in df.select('doc_id',
+                              char_entropy_col('text').alias('e'))
+           .collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 0.0, 5: 0.0}
