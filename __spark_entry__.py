@@ -1534,13 +1534,11 @@ lvl AS (
          substring(trs, length(trs) - 1, 2) AS sec, qq
   FROM leaf
 )
-SELECT coalesce(twprge, '*') AS twprge,
-       coalesce(sec, '*') AS sec,
-       coalesce(qq, '*') AS qq,
-       CAST(CASE WHEN qq IS NOT NULL THEN 3
-                 WHEN sec IS NOT NULL THEN 2
-                 WHEN twprge IS NOT NULL THEN 1
-                 ELSE 0 END AS INT) AS level,
+SELECT CASE WHEN GROUPING(twprge) = 1 THEN '*' ELSE twprge END AS twprge,
+       CASE WHEN GROUPING(sec) = 1 THEN '*' ELSE sec END AS sec,
+       CASE WHEN GROUPING(qq) = 1 THEN '*' ELSE qq END AS qq,
+       CAST(3 - GROUPING(twprge) - GROUPING(sec) - GROUPING(qq)
+            AS INT) AS level,
        count(*) AS n_images
 FROM lvl GROUP BY ROLLUP(twprge, sec, qq)
 """
@@ -1862,16 +1860,23 @@ def q_doc_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (lang, source): doc counts + char totals at every
     grouping-set combination in one exchange (rolled-up keys = '*')."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # GROUPING() (not coalesce) so a genuinely-NULL lang/source stays
+    # a distinct data row instead of merging into the subtotal.
     return (docs.cube('lang', 'source')
             .agg(F.count('*').alias('n_docs'),
-                 F.sum('n_chars').alias('sum_chars'))
-            .select(F.coalesce('lang', F.lit('*')).alias('lang'),
-                    F.coalesce('source', F.lit('*')).alias('source'),
+                 F.sum('n_chars').alias('sum_chars'),
+                 F.grouping('lang').alias('_gl'),
+                 F.grouping('source').alias('_gs'))
+            .select(F.when(F.col('_gl') == 1, F.lit('*'))
+                    .otherwise(F.col('lang')).alias('lang'),
+                    F.when(F.col('_gs') == 1, F.lit('*'))
+                    .otherwise(F.col('source')).alias('source'),
                     'n_docs', 'sum_chars'))
 
 
 _ORACLE_DOC_CUBE = """
-SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
+SELECT CASE WHEN GROUPING(lang) = 1 THEN '*' ELSE lang END AS lang,
+       CASE WHEN GROUPING(source) = 1 THEN '*' ELSE source END AS source,
        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY CUBE (lang, source)
 """

@@ -331,12 +331,23 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                        F.col(vec_col).alias('_vec_id_v'))
     qv = queries.select(F.col(qid_col).alias('query_id'),
                         F.col(qvec_col).alias('_query_id_v'))
-    # Broadcast the candidate ids (bounded: queries x tables x bucket
-    # x (1+probes)) so the corpus NEVER shuffles its vectors -- the
-    # vector attach is a streamed scan + inline hash probe.  Without
-    # the hint the UDF-derived candidate side has no size estimate and
-    # Catalyst sort-merge-joins, shuffling every corpus vector.
-    scored = (cv.join(F.broadcast(cand), 'vec_id')
+    # Broadcasting the candidate ids lets the corpus vectors attach by
+    # streamed scan + inline hash probe (no corpus shuffle) -- without
+    # a hint the UDF-derived side has no size estimate and Catalyst
+    # sort-merge-joins, shuffling every corpus vector.  But the
+    # candidate count is |queries| x tables x (1+probes) x per-bucket
+    # OCCUPANCY, and occupancy is unbounded under bucket skew (a
+    # clustered corpus piles into few buckets), so a blind hint can
+    # blow the broadcast limit / driver.  Gate it like
+    # ngram_jaccard_pairs' bitmap verify (textops.py): the candidate
+    # set is two longs per row, so persist + count is one cheap
+    # ids-only job; hint only under the 64 MB convention, else leave
+    # the join to AQE (at that volume the shuffle join is the correct
+    # plan anyway).
+    cand = cand.persist()
+    n_cand = cand.count()
+    cand_j = F.broadcast(cand) if n_cand * 48 <= 64 << 20 else cand
+    scored = (cv.join(cand_j, 'vec_id')
               .join(F.broadcast(qv), 'query_id')
               .select('query_id', 'vec_id',
                       cosine(F.col('_vec_id_v'),
@@ -494,7 +505,7 @@ def _cell_udf(C: np.ndarray, nprobe: int):
 
 
 def _ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str,
-                   vec_col: str) -> np.ndarray:
+                   vec_col: str, train_sample: int = 8192) -> np.ndarray:
     """The quantizer is a property of the corpus, not of one query
     batch: memoize it on the corpus DataFrame (same pattern as the
     tile path's polygon prep) so repeated top-k calls against the
@@ -504,10 +515,13 @@ def _ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str,
     if cache is None:
         cache = {}
         corpus._ivf_centroids_cache = cache
-    key = (n_cells, id_col, vec_col)
+    # train_sample is part of the key: a second call with a different
+    # sample size must retrain, not return stale centroids.
+    key = (n_cells, id_col, vec_col, train_sample)
     C = cache.get(key)
     if C is None:
-        C = _centroid_matrix(corpus, n_cells, id_col, vec_col)
+        C = _centroid_matrix(corpus, n_cells, id_col, vec_col,
+                             train_sample=train_sample)
         cache[key] = C
     return C
 
@@ -677,12 +691,19 @@ def _pq_score_udf(B: np.ndarray):
         idx = np.flatnonzero(ok)
         if len(idx) == 0:
             return pd.Series(out, dtype=object)
-        C = np.frombuffer(b''.join(cv[i] for i in idx),
-                          dtype=np.uint8).reshape(len(idx), m)
         Q = np.stack(qv[idx]).astype(np.float64)
         nq = np.sqrt(np.einsum('ij,ij->i', Q, Q))
-        nq[nq == 0] = 1.0
-        Q = Q / nq[:, None]
+        # A zero-norm query has no cosine to ANY candidate: treat it
+        # as invalid (null out, matching cosine()'s null-not-NaN
+        # contract and the encode side's zero-norm handling) rather
+        # than scoring every candidate 0.0 into real ranks.
+        nzq = nq > 0
+        idx = idx[nzq]
+        if len(idx) == 0:
+            return pd.Series(out, dtype=object)
+        Q = Q[nzq] / nq[nzq][:, None]
+        C = np.frombuffer(b''.join(cv[i] for i in idx),
+                          dtype=np.uint8).reshape(len(idx), m)
         # unique queries via byte-view compare (np.unique(axis=0)
         # row-sorts ~10x slower); LUT[u, j, c] = <uq[u] subspace j,
         # codebook[j] centroid c>
@@ -715,7 +736,9 @@ def pq_codebooks(corpus: DataFrame, m: int = 4, nbits: int = 8,
     if cache is None:
         cache = {}
         corpus._pq_codebooks = cache
-    key = (m, nbits, id_col, vec_col)
+    # train_sample is part of the key: a second call with a different
+    # sample size must retrain, not return stale codebooks.
+    key = (m, nbits, id_col, vec_col, train_sample)
     B = cache.get(key)
     if B is None:
         X = _stable_norm_sample(corpus, id_col, vec_col, train_sample)
@@ -881,6 +904,14 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .filter(F.col('_adc').isNotNull()))
     w = Window.partitionBy('query_id').orderBy(
         F.col('_adc').desc(), F.col('vec_id'))
+    if not rerank or rerank <= 0:
+        # ADC-only contract, mirroring pq_topk: rerank=0 returns the
+        # approximate scores directly (no raw-vector pass at all).
+        return (scored.withColumnRenamed('_adc', 'cos_sim')
+                .withColumn('rank', F.row_number().over(
+                    Window.partitionBy('query_id').orderBy(
+                        F.col('cos_sim').desc(), F.col('vec_id'))))
+                .filter(F.col('rank') <= k))
     pool = (scored.withColumn('_r', F.row_number().over(w))
             .filter(F.col('_r') <= max(rerank, k))
             .select('query_id', 'vec_id'))

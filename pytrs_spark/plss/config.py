@@ -25,10 +25,17 @@ _FLAGS = {
 
 _INTS = {'qq_depth', 'qq_depth_min', 'qq_depth_max'}
 
+# Cautious two-pass colon mode (reference ``plssdesc.py:373-386``):
+# require the colon on the first section pass; if nothing matched,
+# rerun without.  Applies only when ``sec_colon_required`` is not
+# set/True (``config.py:133-137``: required trumps cautious).  The
+# kernel accepts this string as a ``require_colon`` value
+# (``document.py::_find_sec_matches``).
+SEC_COLON_CAUTIOUS = 'sec_colon_cautious'
+
 # Reference-only knobs with no effect on the batch engine (parse
 # always happens; nothing is deferred).
-_IGNORED = {'wait_to_parse', 'parse_qq', 'init_parse_qq', 'init_parse',
-            'sec_colon_cautious'}
+_IGNORED = {'wait_to_parse', 'parse_qq', 'init_parse_qq', 'init_parse'}
 
 
 def parse_config(config: str) -> dict:
@@ -38,11 +45,17 @@ def parse_config(config: str) -> dict:
     out = {}
     if not config:
         return out
+    cautious = None
     for raw in str(config).split(','):
         token = raw.strip()
         if not token:
             continue
-        if token in ('n', 's'):
+        if token == SEC_COLON_CAUTIOUS:
+            cautious = True
+        elif token in (SEC_COLON_CAUTIOUS + '.True',
+                       SEC_COLON_CAUTIOUS + '.False'):
+            cautious = token.endswith('.True')
+        elif token in ('n', 's'):
             out['default_ns'] = token
         elif token in ('e', 'w'):
             out['default_ew'] = token
@@ -67,4 +80,8 @@ def parse_config(config: str) -> dict:
                 out[_FLAGS[key][0]] = (val == 'True') is _FLAGS[key][1]
         elif token in _IGNORED:
             continue
+    # Resolution order per the reference: required (True) beats
+    # cautious regardless of token order in the string.
+    if cautious and out.get('require_colon') is not True:
+        out['require_colon'] = SEC_COLON_CAUTIOUS
     return out

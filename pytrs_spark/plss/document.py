@@ -610,14 +610,31 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
         chunk_layout = deduced if deduced is not None \
             else deduce_layout(text)
 
+    # Reference quirk, reproduced for row-for-row parity: when a
+    # layout is mandated (config layout without segment), ChunkParser
+    # receives layout=None (plss_parse.py:446-448) and never
+    # re-deduces it (plss_parse.py:797) -- so the FINDERS each deduce
+    # the layout themselves (plss_parse.py:68,177: `if layout is
+    # None: layout = deduce_layout(...)`) while the MARKER WALK runs
+    # with layout=None, i.e. desc->sec pairing with both working
+    # lists pre-staged (plss_parse.py:961-968: `None not in
+    # [TRS_DESC, S_DESC_TR]`).  The mandated layout itself only ever
+    # reaches segmentation and the copy_all branch.
+    finder_layout = chunk_layout
+    walk_layout = chunk_layout
+    if mandate_layout and chunk_layout != COPY_ALL:
+        finder_layout = deduced if deduced is not None \
+            else deduce_layout(text)
+        walk_layout = None
+
     tw_flags, tw_flag_lines = [], []
     twprge_matches = _find_twprge_matches(
-        text, chunk_layout, tw_flags, tw_flag_lines)
+        text, finder_layout, tw_flags, tw_flag_lines)
     state.w_flags.extend(tw_flags)
     state.w_flag_lines.extend(tw_flag_lines)
     sec_flags, sec_flag_lines = [], []
     sec_matches = _find_sec_matches(
-        text, chunk_layout, require_colon, sec_flags, sec_flag_lines,
+        text, finder_layout, require_colon, sec_flags, sec_flag_lines,
         _ms=ms_tuples)
     state.w_flags.extend(sec_flags)
     state.w_flag_lines.extend(sec_flag_lines)
@@ -660,9 +677,9 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
     twprge_first_layouts = (TRS_DESC, TR_DESC_S)
     final = len(positions) - 1
 
-    if chunk_layout not in sec_first_layouts:
+    if walk_layout not in sec_first_layouts:
         state.working_sec = state.next_sec()
-    if chunk_layout not in twprge_first_layouts:
+    if walk_layout not in twprge_first_layouts:
         state.working_twprge = state.next_twprge()
 
     for count, pos in enumerate(positions):
@@ -678,10 +695,10 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
         if kind == _TEXT_END:
             continue
         block = text[pos:next_pos]
-        if chunk_layout in sec_first_layouts and kind == _SEC_END:
+        if walk_layout in sec_first_layouts and kind == _SEC_END:
             # sec -> desc layouts: end of a section starts its desc.
             stage_tract(block)
-        elif (chunk_layout not in sec_first_layouts
+        elif (walk_layout not in sec_first_layouts
               and next_kind == _SEC_START):
             # desc -> sec layouts: text before a section is its desc.
             stage_tract(block)
@@ -714,9 +731,25 @@ def _parse_chunk(text, layout, require_colon, clean_up, mandate_layout,
 
     if not state.components:
         # Nothing found: rerun the chunk as COPY_ALL
-        # (plss_parse.py:835-846).
-        return _parse_chunk(text, COPY_ALL, require_colon, clean_up,
-                            mandate_layout, sec_within, _scan=_scan)
+        # (plss_parse.py:835-846).  Reference quirk, reproduced for
+        # row-for-row parity: the replacement ChunkParser hands its
+        # results to the parent once during its own __init__
+        # (plss_parse.py:779-787), and the original ChunkParser --
+        # having stolen the replacement's staged attributes
+        # (plss_parse.py:838-846) -- hands the same lists off AGAIN,
+        # so every fallback's tract and flags reach the parent twice
+        # (gen_flags_chunk also writes directly to the parent on both
+        # passes, plss_parse.py:1068-1069).
+        rep = _parse_chunk(text, COPY_ALL, require_colon, clean_up,
+                           mandate_layout, sec_within, _scan=_scan)
+        rep.components = rep.components + [dict(c)
+                                           for c in rep.components]
+        rep.w_flags = rep.w_flags * 2
+        rep.w_flag_lines = rep.w_flag_lines * 2
+        rep.e_flags = rep.e_flags * 2
+        rep.e_flag_lines = rep.e_flag_lines * 2
+        rep.unused = rep.unused * 2
+        return rep
 
     _scan_warning_flags(text, state.w_flags, state.w_flag_lines,
                         _active=warn_active)

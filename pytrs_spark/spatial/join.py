@@ -265,9 +265,20 @@ def assign_tiles_local(matches: DataFrame) -> DataFrame:
     return work.mapInPandas(reduce_partition, schema=schema)
 
 
+# Driver-side polygon prep is a broadcast-index build: fine for a
+# bench-scale QQ layer (~37k rows, a few MB) but a continental PLSS
+# extent is 10^7-10^8 polygons x ring arrays -- a multi-GB driver
+# materialization.  Above this cap the fused path refuses to collect
+# and falls back to the (already exchange-safe) shuffle join.  Same
+# 64 MB convention as the bitmap-verify gate in textops.py.
+FUSED_PREP_MAX_BYTES = 64 << 20
+
+
 def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                        res: int = JOIN_RES, salt: int = 0,
-                       payload_cols=('caption', 'x', 'y')) -> DataFrame:
+                       payload_cols=('caption', 'x', 'y'),
+                       max_prep_bytes: int = FUSED_PREP_MAX_BYTES
+                       ) -> DataFrame:
     """cell join + exact PIP + deterministic tile assignment, with
     the Python crossing reduced to the minimum the layer's geometry
     requires -- row-identical to ``assign_tiles_local(
@@ -344,6 +355,25 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
         prep_cache = {}
         polygons._fused_prep = prep_cache
     prep = prep_cache.get(res)
+    if prep is None:
+        # Size the layer BEFORE collecting it (one skinny agg job,
+        # memoized with the prep): rows x (2 ring arrays x avg arity
+        # x 8 B + bbox/keys overhead).  Over the cap, never toPandas
+        # -- hand off to the shuffle-join path below.
+        stats = polygons.agg(
+            F.count('*').alias('_n'),
+            F.avg(F.size('ring_xs')).alias('_m')).collect()[0]
+        est_bytes = int((stats['_n'] or 0)
+                        * (16.0 * float(stats['_m'] or 0.0) + 96.0))
+        if est_bytes > max_prep_bytes:
+            prep_cache[res] = '_shuffle'
+            prep = '_shuffle'
+    if prep == '_shuffle':
+        joined = spatial_join(
+            points.select('image_id', *payload_cols, *extra_xy,
+                          f'cell{res}'),
+            polygons, res=res, broadcast_index=False, salt=salt)
+        return assign_tiles_local(joined).select(*out_cols)
     if prep is None:
         pdf = (polygons.select('trs', 'qq', 'xmin', 'ymin',
                                'xmax', 'ymax', 'ring_xs', 'ring_ys')

@@ -66,16 +66,23 @@ def tile_pyramid(tiles: DataFrame, trs_col: str = 'trs',
     sec = F.substring(F.col(trs_col), -2, 2)
     lvl = tiles.select(twprge.alias('twprge'), sec.alias('sec'),
                        F.col(qq_col).alias('qq'))
+    # GROUPING() (not coalesce/isNotNull) distinguishes a rolled-up
+    # key from a genuinely-NULL data value: a null qq in the input
+    # stays a level-3 leaf (rendered NULL), it does not merge into
+    # the per-section subtotal row.
     rolled = (lvl.rollup('twprge', 'sec', 'qq')
-              .agg(F.count('*').alias('n_images')))
-    level = (F.when(F.col('qq').isNotNull(), 3)
-             .when(F.col('sec').isNotNull(), 2)
-             .when(F.col('twprge').isNotNull(), 1)
-             .otherwise(0))
+              .agg(F.count('*').alias('n_images'),
+                   F.grouping('twprge').alias('_gt'),
+                   F.grouping('sec').alias('_gs'),
+                   F.grouping('qq').alias('_gq')))
+    level = (F.lit(3) - F.col('_gt') - F.col('_gs') - F.col('_gq'))
     return rolled.select(
-        F.coalesce('twprge', F.lit(ALL)).alias('twprge'),
-        F.coalesce('sec', F.lit(ALL)).alias('sec'),
-        F.coalesce('qq', F.lit(ALL)).alias('qq'),
+        F.when(F.col('_gt') == 1, F.lit(ALL))
+        .otherwise(F.col('twprge')).alias('twprge'),
+        F.when(F.col('_gs') == 1, F.lit(ALL))
+        .otherwise(F.col('sec')).alias('sec'),
+        F.when(F.col('_gq') == 1, F.lit(ALL))
+        .otherwise(F.col('qq')).alias('qq'),
         level.cast('int').alias('level'),
         'n_images')
 

@@ -78,6 +78,13 @@ CORPUS = [
     "T154N-R97W Sec 00: NE/4",
     "T154N-R97W Sec 37: NE/4",
     "T7N-R2W Sec 20: W/2 of the E/2 of the NW/4 of the SE/4",
+    # round-4 additions: colon-mode divergence docs.  The first parses
+    # under default and sec_colon_cautious (second pass) but not under
+    # sec_colon_required; the second keeps Sec 22 only when colons are
+    # not required at all (cautious pass 1 already matched Sec 14, so
+    # no second pass runs) -- three distinct outcomes per doc.
+    "T154N-R97W Sec 14 NE/4",
+    "T154N-R97W Sec 14: NE/4, Sec 22 SW/4",
 ]
 
 CONFIGS = [
@@ -91,6 +98,17 @@ CONFIGS = [
     {'default_ns': 's', 'default_ew': 'e'},
     {'segment': True},
     {'require_colon': True},
+    # Cautious two-pass colon mode (reference plssdesc.py:373-386):
+    # must diverge from BOTH require_colon=True and the default on the
+    # colonless-section corpus rows below.  The forced-TRS_desc pair
+    # pins the divergence where it matters: with layout forced, the
+    # colonless doc 'T154N-R97W Sec 14 NE/4' parses under cautious
+    # (second pass) but not under required (the reference crashes
+    # there -- plss_parse.py:825 -- which the harness treats as
+    # "must not crash" for our kernel).
+    {'require_colon': 'sec_colon_cautious'},
+    {'layout': 'TRS_desc', 'require_colon': 'sec_colon_cautious'},
+    {'layout': 'TRS_desc', 'require_colon': True},
     {'sec_within': True},
     {'ocr_scrub': True},
     {'no_pm': True},
@@ -108,7 +126,9 @@ def _cfg_string(kw):
         elif k == 'layout':
             parts.append(v)
         elif k == 'require_colon':
-            parts.append('sec_colon_required')
+            parts.append('sec_colon_cautious'
+                         if v == 'sec_colon_cautious'
+                         else 'sec_colon_required')
         elif v is True:
             parts.append(k)
         else:
@@ -133,7 +153,19 @@ def _ours(text, kw):
 
 
 def _reference(text, kw):
-    ref = pytrs.PLSSDesc(text, config=_cfg_string(kw))
+    # Reference quirk (plssdesc.py:361): ``self.layout = layout``
+    # runs AFTER the config setter, so a layout in the config string
+    # (and even the ``layout=`` init kwarg) is inert for the
+    # init-time parse -- only an explicit ``.parse(layout=...)`` call
+    # mandates a layout.  Our engine honors the DOCUMENTED semantics
+    # (config layout == mandate), so compare like-for-like by calling
+    # ``.parse(layout=...)`` explicitly.
+    if 'layout' in kw:
+        rest = {k: v for k, v in kw.items() if k != 'layout'}
+        ref = pytrs.PLSSDesc(text, config=_cfg_string(rest))
+        ref.parse(layout=kw['layout'], commit=True)
+    else:
+        ref = pytrs.PLSSDesc(text, config=_cfg_string(kw))
     rows = [(t.trs, t.desc, t.lots, t.qqs, t.lot_acres)
             for t in ref.tracts]
     return rows, ref
@@ -362,30 +394,34 @@ def test_sinks_match_reference(spark):
 
 
 def test_forced_layout_reference_semantics():
-    """Forced (user-dictated) layout -- where the reference and this
-    engine DELIBERATELY diverge, pinned here so the divergence stays
-    known and bounded.
+    """Forced (user-dictated) layout -- bug-exact parity (round 4).
 
     Measured reference behavior (v2.2.1):
 
     1. A layout given at construction -- ``PLSSDesc(txt,
        layout=...)`` or ``config='<layout>'`` -- is silently
-       DISCARDED: ``plssdesc.py:360-365`` stores it, but the
-       auto-parse calls ``.parse()`` whose ``layout`` parameter
-       defaults to ``None`` and is passed through to ``PLSSParser``
-       without consulting ``self.layout`` (``plssdesc.py:736-741``),
-       so the parser deduces per usual.
-    2. An explicit ``.parse(layout=...)`` call DOES mandate the walk
-       (``plss_parse.py:354,797``), but for the three non-trivial
-       walk layouts the mandated path emits ``twprge_error`` rows on
-       WELL-FORMED text of that very layout (their own tests never
-       exercise it).
-    3. Mandated ``copy_all`` through ``.parse()`` works, and our
-       forced copy_all matches it row-for-row.
+       DISCARDED: ``plssdesc.py:361`` stores it AFTER the config
+       setter, and the auto-parse calls ``.parse()`` whose ``layout``
+       parameter defaults to ``None`` and is passed through to
+       ``PLSSParser`` without consulting ``self.layout``
+       (``plssdesc.py:736-741``), so the parser deduces per usual.
+       That is an init-order accident with no usable semantics, so
+       our engine maps a forced layout (config token or kwarg) to the
+       reference's one WORKING mandate path instead:
+    2. An explicit ``.parse(layout=...)`` call mandates
+       (``plss_parse.py:354``), which means: the chunk layout stays
+       ``None`` (``plss_parse.py:796-798``), each finder re-deduces
+       for itself (``plss_parse.py:67,179``), and the marker walk
+       runs layout-agnostic (``None`` fails every membership test in
+       ``_parse_meaningful``, so both working lists are pre-staged
+       and pairing is desc->sec).  Our ``layout=`` kwarg reproduces
+       that walk exactly -- including the ``twprge_error`` rows it
+       emits on well-formed sec-first text and the doubled rows of
+       the copy_all fallback.
+    3. Mandated ``copy_all`` short-circuits the walk and works.
 
-    Our engine honors a forced layout coherently in all five cases
-    (the walk runs with the mandated layout; same marker pairing as
-    deduction would use when the deduction agrees).
+    Parity here is corpus x all five layouts against the explicit
+    ``.parse(layout=...)`` path.
     """
     text = 'T154N-R97W Sec 14: NE/4'
     deduced = [('154n97w14', 'NE/4')]
@@ -395,23 +431,22 @@ def test_forced_layout_reference_semantics():
         ref = pytrs.PLSSDesc(text, **via)
         assert [(t.trs, t.desc) for t in ref.tracts] == deduced
 
-    # (2) explicit .parse(layout='TRS_desc') on well-formed TRS_desc
-    # text yields an error row in the reference; ours parses it.
-    ref = pytrs.PLSSDesc(text, config='wait_to_parse')
-    ref.parse(layout='TRS_desc', commit=True)
-    assert any(f.startswith('twprge_error') for f in ref.e_flags)
-    ours, _ = _ours(text, {'layout': 'TRS_desc'})
-    assert [(r[0], r[1]) for r in ours] == deduced
-
-    # (3) mandated copy_all: reference's honored path == ours, on the
-    # whole corpus.
-    for t in CORPUS:
-        ref = pytrs.PLSSDesc(t, config='wait_to_parse')
-        ref.parse(layout='copy_all', commit=True, parse_qq=True)
-        theirs = [(x.trs, x.desc, x.lots, x.qqs, x.lot_acres)
-                  for x in ref.tracts]
-        mine, _ = _ours(t, {'layout': 'copy_all'})
-        assert mine == theirs, t
+    # (2)+(3) every mandated layout: reference .parse(layout=...) ==
+    # ours, row-for-row, on the whole corpus.
+    for layout in ('TRS_desc', 'desc_STR', 'S_desc_TR', 'TR_desc_S',
+                   'copy_all'):
+        for t in CORPUS:
+            ref = pytrs.PLSSDesc(t, config='wait_to_parse')
+            try:
+                ref.parse(layout=layout, commit=True, parse_qq=True)
+            except TypeError:
+                # Reference crash (plss_parse.py:825); ours must not.
+                _ours(t, {'layout': layout})
+                continue
+            theirs = [(x.trs, x.desc, x.lots, x.qqs, x.lot_acres)
+                      for x in ref.tracts]
+            mine, _ = _ours(t, {'layout': layout})
+            assert mine == theirs, (layout, t)
 
 
 def test_reference_unused_sec_crash_is_handled():
@@ -428,27 +463,36 @@ def test_reference_unused_sec_crash_is_handled():
     with pytest.raises(TypeError):
         pytrs.PLSSDesc(text, config='sec_colon_required,parse_qq')
     ours, _ = _ours(text, {'require_colon': True})
-    assert len(ours) == 1
+    # Two identical rows: the copy_all fallback's double-handoff
+    # quirk (reproduced for parity, see
+    # test_reference_fallback_duplicate_rows_replicated) applies on
+    # this path too -- the reference crashes before reaching it.
+    assert len(ours) == 2
+    assert ours[0] == ours[1]
     assert ours[0][0] == '154n97w14'
 
 
-def test_reference_fallback_duplicate_rows_not_replicated():
-    """Reference BUG pin #2: when a deduced walk layout stages ZERO
-    tracts, the reference's copy_all fallback (``plss_parse.py:
-    835-846``) registers the replacement chunk's components twice --
-    the replacement ``ChunkParser`` adds them to the parent itself,
-    then the original chunk copies them over and they are registered
-    again -- so every such document yields its error-tract row exactly
-    twice (flags are not doubled).  Found by fragment-fuzzing 4,000
-    garbage documents (reference: 94 crashes + this; our engine:
-    zero crashes).  We deliberately emit the tract once; duplicate
-    identical error rows are the kind of defect our dedup operators
-    exist to remove, not to produce."""
+def test_reference_fallback_duplicate_rows_replicated():
+    """Reference QUIRK pin #2, now reproduced bug-for-bug (round 4):
+    when a walk layout stages ZERO tracts, the reference's copy_all
+    fallback (``plss_parse.py:835-846``) registers the replacement
+    chunk's components twice -- the replacement ``ChunkParser`` hands
+    them to the parent during its own ``__init__``
+    (``plss_parse.py:779-787``), then the original chunk copies the
+    same staged lists over and hands them off again -- so every such
+    document yields its tract row (and staged chunk flags) exactly
+    twice.  The bare ``twprge_error`` flag is NOT doubled: it comes
+    from the parent-level ``check_error_tracts`` post-pass, not the
+    chunk handoff.  Found by fragment-fuzzing 4,000 garbage documents
+    (reference: 94 crashes + this; our engine: zero crashes).  We
+    reproduce the duplication for row-for-row parity (a reference
+    user switching engines sees identical rows; the dedup operators
+    remove them on request)."""
     doc = 'W½ 01 Section T154N-R97W'
     ref = pytrs.PLSSDesc(doc, config='parse_qq')
     rows = [(t.trs, t.desc) for t in ref.tracts]
-    assert rows == [('154n97wXX', doc)] * 2          # the reference bug
-    assert ref.e_flags == ['twprge_error']           # flags NOT doubled
+    assert rows == [('154n97wXX', doc)] * 2          # the reference quirk
+    assert ref.e_flags == ['twprge_error']           # post-pass: once
     ours, r = _ours(doc, {})
-    assert [(t[0], t[1]) for t in ours] == [('154n97wXX', doc)]
+    assert [(t[0], t[1]) for t in ours] == [('154n97wXX', doc)] * 2
     assert r['e_flags'] == ['twprge_error']

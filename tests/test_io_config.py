@@ -50,9 +50,13 @@ def test_parse_plss_table_per_row_config(parsed):
     assert rows[(1, '154n97w15')]['lots'] == ['L1', 'L2', 'L3']
     # Per-row qq_depth.1 override: quarters, not quarter-quarters.
     assert rows[(2, '154n97w01')]['qqs'] == ['NW']
-    assert rows[(3, '10s5e03')]['qqs'] == [
-        'NENE', 'NWNE', 'SENE', 'SWNE', 'NENW', 'NWNW', 'SENW', 'SWNW',
-        'NESE', 'NWSE', 'SESE', 'SWSE', 'NESW', 'NWSW', 'SESW', 'SWSW']
+    # Per-row layout mandate is bug-exact with the reference's one
+    # working mandate path (.parse(layout=...), plss_parse.py:354):
+    # the marker walk runs layout-agnostic, so a mandated TRS_desc on
+    # this sec-first doc pairs desc->sec and emits the same error row
+    # the reference does (verified vs the library in
+    # test_differential.test_forced_layout_reference_semantics).
+    assert rows[(3, 'XXXzXXXzXX')]['qqs'] == []
 
 
 def test_stringify_and_uid(parsed):
