@@ -116,14 +116,42 @@ def q_tile_assign_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G8: per-(trs, qq) composited raster tiles; the per-tile image
-    count is SQL-checkable, pixel checksums are covered by tests."""
-    from pytrs_spark.pipeline import run_raster
+    """G8 through the G10 checkpointed runner (lineage.py): the first
+    invocation ABORTS after 3 of 8 tile-key buckets (the fail_after
+    crash hook), the second resumes from the lineage table and
+    completes; the returned rows are the read-back of the committed
+    output.  The oracle hash therefore gates the resume semantics
+    (partial run + restart == one clean run), not just the happy
+    path.  Buckets key on trs so every tile's images co-bucket and
+    compositing stays bucket-independent."""
+    import tempfile
+    from pytrs_spark.lineage import run_checkpointed
+    from pytrs_spark.raster import materialize_tiles
+    from pytrs_spark.spatial.grid import with_anchor
+    from pytrs_spark.spatial.join import assign_tiles_local, spatial_join
     polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
     images = _points_from_orders(spark, sf_dir) \
         .withColumn('bytes', F.lit(None).cast('binary'))
-    tiles = run_raster(images, polygons, tile_px=16, patch_px=4)
-    return tiles.select('trs', 'qq', 'n_images')
+    assigned = assign_tiles_local(
+        spatial_join(with_anchor(images), polygons))
+    # Left on /tmp deliberately: the returned DataFrame lazily reads
+    # these files (a few KB of tiles; the OS owns /tmp cleanup).
+    workdir = tempfile.mkdtemp(prefix='q_raster_ckpt_')
+    out_path, lin_path = f'{workdir}/tiles', f'{workdir}/lineage'
+
+    def proc(part):
+        return materialize_tiles(part, images, tile_px=16, patch_px=4)
+
+    try:
+        # The crash hook COMMITS 3 buckets then raises mid-run.
+        run_checkpointed(spark, assigned, proc, out_path, lin_path,
+                         id_col='trs', n_buckets=8, fail_after=3)
+    except RuntimeError:
+        pass
+    n2 = run_checkpointed(spark, assigned, proc, out_path, lin_path,
+                          id_col='trs', n_buckets=8)
+    assert n2 == 5, n2
+    return spark.read.parquet(out_path).select('trs', 'qq', 'n_images')
 
 
 _ORACLE_RASTER = f"""
@@ -507,6 +535,17 @@ def q_quick_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "doc_id long, raw_desc string")
     tracts = parse_documents(docs, text_col='raw_desc')
     return Q.quick_desc(tracts).select('orig_index', 'quick_desc')
+
+
+def q_quick_desc_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: quick_desc_short -- the max_len-capped line sink
+    (tract.py:1086-1102); max_len=14 exercises both the truncated
+    ('...' suffix) and the kept-as-is branch."""
+    docs = spark.createDataFrame([(0, _SORT_CORPUS)],
+                                 "doc_id long, raw_desc string")
+    tracts = parse_documents(docs, text_col='raw_desc')
+    return Q.quick_desc_short(tracts, max_len=14) \
+        .select('orig_index', 'quick_desc')
 
 
 def q_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2231,6 +2270,7 @@ _RAW_QUERIES = {
         'filter_errors': q_filter_errors,
         'dedup_lots_qqs': q_dedup_lots_qqs,
         'quick_desc': q_quick_desc,
+        'quick_desc_short': q_quick_desc_short,
         'membership': q_membership,
         'list_trs': q_list_trs,
         'sort_grouped': q_sort_grouped,
@@ -2340,6 +2380,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (0, '154n97w14: NE/4'), (1, '154n97w01: S2N2'),
               (2, '154n97w05: SW/4'), (3, '153n98w36: ALL')
+            ) AS g(orig_index, quick_desc)""",
+        'quick_desc_short': """
+            SELECT * FROM (VALUES
+              (0, '154n97w14: ...'), (1, '154n97w01: ...'),
+              (2, '154n97w05: ...'), (3, '153n98w36: ALL')
             ) AS g(orig_index, quick_desc)""",
         'membership': ("SELECT trs FROM (VALUES ('154n97w01'), "
                        "('154n97w14')) AS g(trs)"),

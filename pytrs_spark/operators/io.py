@@ -208,13 +208,36 @@ def stringify_tracts(df: DataFrame, attributes, doc_col: str = None,
     if include_uid:
         if doc_col is None:
             raise ValueError('include_uid requires doc_col')
-        # Doc numbers come from a global sort over DISTINCT doc ids
-        # only (docs << tracts; the result broadcast-joins back), never
-        # a whole-dataset single-task window.  The per-doc sub/total
-        # windows partition by doc and scale normally.
-        doc_nums = (df.select(doc_col).distinct()
-                    .withColumn('_doc_num', F.row_number().over(
-                        Window.orderBy(doc_col))))
+        # Doc numbers = global rank of the doc id, computed WITHOUT a
+        # single-partition window: range-partition the distinct doc
+        # ids (partition i's ids all sort before partition i+1's),
+        # rank within each partition, then add per-partition offsets
+        # (one tiny count-per-partition collect -- n_partitions rows,
+        # never data rows).  The sink stays distributed for large
+        # exports; the per-doc sub/total windows below partition by
+        # doc and scale normally.
+        distinct = df.select(doc_col).distinct()
+        nparts = max(df.sparkSession.sparkContext.defaultParallelism,
+                     1)
+        ranged = (distinct.repartitionByRange(nparts, doc_col)
+                  .withColumn('_pid', F.spark_partition_id()))
+        ranged = ranged.persist()
+        counts = {r['_pid']: r['n'] for r in
+                  ranged.groupBy('_pid').agg(
+                      F.count('*').alias('n')).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                           for x in (pid, offsets[pid])]),
+            F.col('_pid')) if offsets else F.lit(0)
+        doc_nums = ranged.select(
+            doc_col,
+            (F.row_number().over(
+                Window.partitionBy('_pid').orderBy(doc_col))
+             + off_expr).alias('_doc_num'))
         df = df.join(F.broadcast(doc_nums), doc_col)
         wdoc = Window.partitionBy(doc_col)
         worder = wdoc.orderBy('orig_index')

@@ -279,6 +279,21 @@ def quick_desc(df: DataFrame, delim: str = ': ') -> DataFrame:
         .alias('quick_desc'), 'orig_index').orderBy('orig_index')
 
 
+def quick_desc_short(df: DataFrame, delim: str = ': ',
+                     max_len: int = 30) -> DataFrame:
+    """quick_desc lines capped at ``max_len`` chars, over-long lines
+    truncated to ``max_len - 3`` + '...' (tract.py:1086-1102 /
+    containers.py:1537-1572 snapshot_inside).  Native expressions --
+    the cap applies per row, fully distributed."""
+    qd = F.concat(F.col('trs'), F.lit(delim), F.col('desc'))
+    line = F.when(
+        F.length(qd) > max_len,
+        F.concat(F.substring(qd, 1, max(max_len - 3, 0)),
+                 F.lit('...'))).otherwise(qd)
+    return df.select(line.alias('quick_desc'),
+                     'orig_index').orderBy('orig_index')
+
+
 def sort_grouped(df: DataFrame, attributes, sort_key: str = 'i,s,r,t',
                  reverse: bool = False,
                  order_col: str = 'orig_index',
@@ -396,7 +411,8 @@ def tracts_to_str(df: DataFrame, attributes,
 
 
 def pretty_desc_lines(df: DataFrame, word_sec: str = 'Sec ',
-                      order_col: str = 'orig_index') -> DataFrame:
+                      order_col: str = 'orig_index',
+                      justify_linebreaks: str = None) -> DataFrame:
     """The lines of the reference's ``pretty_desc``
     (containers.py:1588-1636): tracts grouped into consecutive *runs*
     of the same Twp/Rge in current order (runs -- NOT a global group-by:
@@ -430,9 +446,15 @@ def pretty_desc_lines(df: DataFrame, word_sec: str = 'Sec ',
         F.first(pretty, ignorenulls=False).alias('line')) \
         .select('_run', F.lit(0).alias('_sub'), '_ord', 'line')
     sec = F.lpad(F.col('sec_num').cast('string'), 2, '0')
+    # Linebreaks WITHIN a tract desc re-justify under the line above
+    # (containers.py:1600-1615): default indent is len(word_sec) + 4
+    # ('Sec NN: '), overridable via justify_linebreaks ('' = none).
+    jst = ' ' * (len(word_sec) + 4) if justify_linebreaks is None \
+        else justify_linebreaks
+    desc_j = F.replace(F.col('desc'), F.lit('\n'), F.lit('\n' + jst))
     body = runs.select(
         '_run', F.lit(1).alias('_sub'), F.col(order_col).alias('_ord'),
-        F.concat(F.lit(word_sec), sec, F.lit(': '), F.col('desc'))
+        F.concat(F.lit(word_sec), sec, F.lit(': '), desc_j)
         .alias('line'))
     return header.unionByName(body) \
         .withColumn('line_no', F.row_number().over(
@@ -441,9 +463,11 @@ def pretty_desc_lines(df: DataFrame, word_sec: str = 'Sec ',
 
 
 def pretty_desc(df: DataFrame, word_sec: str = 'Sec ',
-                order_col: str = 'orig_index') -> str:
+                order_col: str = 'orig_index',
+                justify_linebreaks: str = None) -> str:
     """The reference's ``pretty_desc`` string (driver-side sink)."""
-    rows = pretty_desc_lines(df, word_sec, order_col) \
+    rows = pretty_desc_lines(df, word_sec, order_col,
+                             justify_linebreaks) \
         .orderBy('line_no').collect()
     return '\n'.join(r['line'] for r in rows)
 

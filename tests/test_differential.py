@@ -392,6 +392,32 @@ def test_sinks_match_reference(spark):
     assert Q.pretty_desc(tracts, word_sec='Section ') \
         == tl.pretty_desc(word_sec='Section ')
 
+    # quick_desc_short: default cap, custom cap, and a cap short
+    # enough to truncate every line.
+    for max_len in (30, 18, 12):
+        mine = '\n'.join(
+            r['quick_desc'] for r in
+            Q.quick_desc_short(tracts, max_len=max_len).collect())
+        assert mine == tl.quick_desc_short(max_len=max_len), max_len
+
+    # pretty_desc(justify_linebreaks=...): only linebreaks WITHIN a
+    # tract desc re-justify.  Parse preprocessing flattens newlines,
+    # so build tracts with embedded '\n' directly on both sides.
+    ref_tracts = pytrs.TractList(
+        [pytrs.Tract('NE/4 less\nthe well pad', '154n97w14'),
+         pytrs.Tract('Lots 1 - 3,\nS/2N/2', '154n97w01'),
+         pytrs.Tract('ALL', '153n98w36')])
+    rows = [(i, t.trs, t.desc, t.twprge, 154 if i < 2 else 153,
+             'n', 97 if i < 2 else 98, 'w', int(t.sec))
+            for i, t in enumerate(ref_tracts)]
+    manual = spark.createDataFrame(
+        rows, 'orig_index long, trs string, desc string, '
+              'twprge string, twp_num int, twp_ns string, '
+              'rge_num int, rge_ew string, sec_num int')
+    for jst in (None, '', '\t', '  '):
+        assert Q.pretty_desc(manual, justify_linebreaks=jst) \
+            == ref_tracts.pretty_desc(justify_linebreaks=jst), repr(jst)
+
 
 def test_forced_layout_reference_semantics():
     """Forced (user-dictated) layout -- bug-exact parity (round 4).

@@ -88,3 +88,24 @@ def test_csv_roundtrip(spark, tmp_path, parsed):
     again = spark.read.option('header', 'true').csv(dst)
     assert again.count() == 4
     assert set(again.columns) == {'uid', 'trs', 'desc', 'lots', 'qqs'}
+
+
+def test_uid_sink_has_no_single_partition_exchange(spark):
+    """The UID doc-numbering must stay distributed: global doc rank =
+    range-partitioned local rank + per-partition offset, so the plan
+    contains NO SinglePartition exchange (the old Window.orderBy form
+    collapsed the whole export to one task)."""
+    df = spark.range(0, 1000, 1, 8).select(
+        (F.col('id') / 10).cast('long').alias('doc_id'),
+        F.concat(F.lit('154n97w'),
+                 F.lpad((F.col('id') % 36 + 1).cast('string'), 2, '0')
+                 ).alias('trs'),
+        F.col('id').alias('orig_index'))
+    out = stringify_tracts(df, ['trs'], doc_col='doc_id',
+                           include_uid=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'SinglePartition' not in plan, plan
+    # And the numbering is still the dense global rank of doc_id.
+    rows = out.select('uid').distinct().collect()
+    nums = sorted({int(r['uid'].split('.')[0]) for r in rows})
+    assert nums == list(range(1, 101))

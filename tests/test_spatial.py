@@ -214,3 +214,33 @@ def test_skew_slice_lands_in_dense_section(spark, images, polygons):
         f"trs = '{datagen.DENSE_TWP}n{datagen.DENSE_RGE}w"
         f"{datagen.DENSE_SEC}'").count()
     assert dense >= int(N_IMAGES * datagen.SKEW_FRACTION_DEFAULT)
+
+
+def test_fused_prep_over_cap_falls_back_to_shuffle(spark, polygons,
+                                                   images):
+    """A polygon layer whose size estimate exceeds the prep cap must
+    NEVER be collected to the driver: the fused path estimates
+    rows x ring-bytes with one skinny agg, then hands off to the
+    shuffle-join + streaming winner reduction -- with assignments
+    identical to the broadcast-index path."""
+    from pytrs_spark.spatial.grid import with_anchor
+    from pytrs_spark.spatial.join import assign_tiles_fused
+
+    baseline = {tuple(r) for r in
+                assign_images_to_tiles(images, polygons,
+                                       payload_cols=())
+                .select('image_id', 'trs', 'qq').collect()}
+
+    # Fresh layer object: the prep memo sticks to the DataFrame, so
+    # the capped decision must not poison the shared fixture.
+    fresh = polygon_layer_from_descs(datagen.gen_descs(spark))
+    points = with_anchor(images)
+    out = assign_tiles_fused(points, fresh, payload_cols=(),
+                             max_prep_bytes=1)
+    got = {tuple(r) for r in
+           out.select('image_id', 'trs', 'qq').collect()}
+    assert got == baseline
+    # The guard must have refused the driver collect: the memo holds
+    # the shuffle marker, never the collected-prep tuple.
+    from pytrs_spark.spatial.join import JOIN_RES
+    assert fresh._fused_prep[JOIN_RES] == '_shuffle'
