@@ -542,6 +542,27 @@ def main():
                               nprobe=4).collect()}
     ann_ivf_recall_clustered = round(
         len(ctruth & cgot) / max(len(ctruth), 1), 3)
+    # nprobe='auto' (sample-calibrated to recall 0.9): on the uniform
+    # corpus the cells are structureless so the calibration widens
+    # the probe honestly; on the clustered corpus it stays narrow.
+    queries['ann_ivf_auto'] = round(_median_time(
+        lambda: ivf_topk(emb, q, k=10, n_cells=32,
+                         nprobe='auto').count(), runs=RUNS), 3)
+    auto_got = {(r['query_id'], r['vec_id'])
+                for r in ivf_topk(emb, q, k=10, n_cells=32,
+                                  nprobe='auto').collect()}
+    ann_ivf_auto_recall = round(
+        len(truth & auto_got) / max(len(truth), 1), 3)
+    cauto = {(r['query_id'], r['vec_id'])
+             for r in ivf_topk(cemb, cq, k=10, n_cells=32,
+                               nprobe='auto').collect()}
+    ann_ivf_auto_recall_clustered = round(
+        len(ctruth & cauto) / max(len(ctruth), 1), 3)
+    _npkey = (32, 10, 0.9, 'vec_id', 'embedding', 8192)
+    ann_ivf_auto_nprobe = getattr(emb, '_auto_nprobe_cache',
+                                  {}).get(_npkey)
+    ann_ivf_auto_nprobe_clustered = getattr(
+        cemb, '_auto_nprobe_cache', {}).get(_npkey)
     # PQ (ADC over m-byte codes + exact re-rank): wall + recall on
     # both corpora.  Codes are 8 B/vector vs 512 B raw here (dim-64
     # float64) -- the compression is the scale story; recall comes from
@@ -595,6 +616,11 @@ def main():
         'ann_lsh_recall_at_10_noprobe': ann_lsh_recall_noprobe,
         'ann_ivf_recall_at_10': ann_ivf_recall,
         'ann_ivf_recall_at_10_clustered': ann_ivf_recall_clustered,
+        'ann_ivf_auto_recall_at_10': ann_ivf_auto_recall,
+        'ann_ivf_auto_recall_at_10_clustered':
+            ann_ivf_auto_recall_clustered,
+        'ann_ivf_auto_nprobe': ann_ivf_auto_nprobe,
+        'ann_ivf_auto_nprobe_clustered': ann_ivf_auto_nprobe_clustered,
         'ann_pq_recall_at_10': ann_pq_recall,
         'ann_pq_recall_at_10_clustered': ann_pq_recall_clustered,
         'ann_ivfpq_recall_at_10': ann_ivfpq_recall,

@@ -544,11 +544,67 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
                     .alias('cell')))
 
 
+def _auto_nprobe(C: np.ndarray, X: np.ndarray, k: int = 10,
+                 target: float = 0.9, n_queries: int = 256) -> int:
+    """Sample-calibrated nprobe: the smallest probe count whose
+    estimated recall@k meets ``target``, measured ON THE TRAINING
+    SAMPLE (driver-side numpy, one matmul -- microseconds next to a
+    Spark job).
+
+    Why: on structureless (iid-uniform) corpora the coarse
+    quantizer's cells carry no neighborhood information, so recall ~
+    scan fraction and any FIXED nprobe silently under-recalls
+    (measured 0.55 at nprobe=4/n_cells=32 on the uniform bench corpus
+    vs 0.963 clustered).  Calibration makes the scan fraction follow
+    the data: small probes when cells are informative, honest
+    wide probes when they are not.
+
+    Method: take ``n_queries`` sample rows as queries, brute-force
+    their true top-k within the sample, and find each true
+    neighbor's cell's rank in the query's cell-similarity order;
+    recall(nprobe) = fraction of true neighbors whose cell rank <
+    nprobe.  Deterministic (sample and quantizer both are)."""
+    n_cells = len(C)
+    nq = min(n_queries, len(X))
+    Q = X[:nq]
+    order = np.argsort(-(Q @ X.T), axis=1)[:, :min(k, len(X))]
+    cell_of = np.argmax(X @ C.T, axis=1)       # ties -> lowest id,
+    qcell_rank = np.argsort(-(Q @ C.T), axis=1)  # same as _cell_udf
+    rows = np.arange(nq)[:, None]
+    pos = np.empty((nq, n_cells), dtype=np.int64)
+    pos[rows, qcell_rank] = np.arange(n_cells)[None, :]
+    nb_pos = pos[rows, cell_of[order]]
+    total = nb_pos.size
+    for nprobe in range(1, n_cells + 1):
+        if (nb_pos < nprobe).sum() / total >= target:
+            return nprobe
+    return n_cells
+
+
+def _calibrated_nprobe(corpus: DataFrame, C: np.ndarray, id_col: str,
+                       vec_col: str, k: int, target: float,
+                       train_sample: int = 8192) -> int:
+    """Memoized :func:`_auto_nprobe` over the corpus's stable
+    training sample (same caching contract as the quantizer)."""
+    cache = getattr(corpus, '_auto_nprobe_cache', None)
+    if cache is None:
+        cache = {}
+        corpus._auto_nprobe_cache = cache
+    key = (len(C), k, target, id_col, vec_col, train_sample)
+    n = cache.get(key)
+    if n is None:
+        X = _stable_norm_sample(corpus, id_col, vec_col, train_sample)
+        n = _auto_nprobe(C, X, k=k, target=target)
+        cache[key] = n
+    return n
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, nprobe: int = 4,
              index: DataFrame = None,
              id_col='vec_id', vec_col='embedding',
-             qid_col='query_id', qvec_col='embedding') -> DataFrame:
+             qid_col='query_id', qvec_col='embedding',
+             target_recall: float = 0.9) -> DataFrame:
     """IVF approximate top-k: a deterministic coarse quantizer
     partitions the corpus into ``n_cells`` inverted lists; each query
     probes its ``nprobe`` nearest cells and exact-cosine re-ranks only
@@ -562,8 +618,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ``index``: a prebuilt (persisted) :func:`ivf_index` with the SAME
     n_cells.  Without it every call re-runs the full corpus
     assignment pass -- the dominant cost for query-many serving.
+
+    ``nprobe='auto'`` calibrates the probe count to ``target_recall``
+    on the training sample (see :func:`_auto_nprobe`): informative
+    cells keep the scan fraction small; structureless corpora get the
+    wide probe they actually need instead of a silent recall floor.
     """
     C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    if nprobe == 'auto':
+        nprobe = _calibrated_nprobe(corpus, C, id_col, vec_col,
+                                    k=k, target=target_recall)
     probe = _cell_udf(C, min(nprobe, len(C)))
     if index is not None:
         cb = index.select('vec_id', F.col(vec_col).alias('_cv'),
@@ -860,7 +924,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                m: int = 4, nbits: int = 8, rerank: int = 64,
                index: DataFrame = None,
                id_col='vec_id', vec_col='embedding',
-               qid_col='query_id', qvec_col='embedding') -> DataFrame:
+               qid_col='query_id', qvec_col='embedding',
+               target_recall: float = 0.9) -> DataFrame:
     """IVF-PQ: the composed production shape for 10^12-vector corpora.
 
     The IVF coarse quantizer bounds the scan FRACTION (each query
@@ -882,6 +947,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
     B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
+    if nprobe == 'auto':
+        nprobe = _calibrated_nprobe(corpus, C, id_col, vec_col,
+                                    k=k, target=target_recall)
     probe = _cell_udf(C, min(nprobe, len(C)))
     if index is not None:
         cb = index

@@ -348,3 +348,62 @@ def test_rerank_pool_join_broadcasts_bounded_side(spark):
     import re
     for m in re.finditer(r'Exchange hashpartitioning\(([^)]*)\)', plan):
         assert 'embedding' not in m.group(1), m.group(0)
+
+
+def test_auto_nprobe_calibrates_to_corpus_shape(spark):
+    """nprobe='auto' must pick a SMALL probe count on clustered data
+    (cells are informative) and a WIDE one on iid-uniform data (cells
+    are noise), hitting recall@10 >= 0.9 on both -- the fixed-nprobe
+    silent recall floor is the failure mode this removes."""
+    import numpy as np
+
+    from pytrs_spark.operators.ann import (
+        _auto_nprobe,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_cells, n = 16, 16, 600
+    centers = rng.standard_normal((n_cells, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    lab = rng.integers(0, n_cells, n)
+    clustered = centers[lab] + 0.15 * rng.standard_normal((n, dim))
+    uniform = rng.standard_normal((n, dim))
+
+    picks = {}
+    for name, X in (('clustered', clustered), ('uniform', uniform)):
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+            'vec_id long, embedding array<double>')
+        q = df.filter(F.col('vec_id') < 6).select(
+            F.col('vec_id').alias('query_id'), 'embedding')
+        got = ivf_topk(df, q, k=10, n_cells=n_cells, nprobe='auto')
+        truth = {(r['query_id'], r['vec_id']) for r in
+                 brute_force_topk(df, q, k=10).collect()}
+        hits = {(r['query_id'], r['vec_id']) for r in got.collect()}
+        recall = len(truth & hits) / len(truth)
+        assert recall >= 0.9, (name, recall)
+        picks[name] = df._auto_nprobe_cache[
+            (n_cells, 10, 0.9, 'vec_id', 'embedding', 8192)]
+    # The calibration must follow the data shape: structureless cells
+    # need strictly wider probes than informative ones.
+    assert picks['uniform'] > picks['clustered'], picks
+    assert picks['clustered'] <= n_cells // 4, picks
+
+
+def test_auto_nprobe_kernel_monotone_and_bounded():
+    """recall target 1.0 never exceeds n_cells; higher targets never
+    pick fewer probes."""
+    import numpy as np
+
+    from pytrs_spark.operators.ann import _auto_nprobe
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((300, 8))
+    X /= np.linalg.norm(X, axis=1)[:, None]
+    C = X[:10].copy()
+    picks = [_auto_nprobe(C, X, k=5, target=t)
+             for t in (0.5, 0.8, 0.95, 1.0)]
+    assert picks == sorted(picks)
+    assert 1 <= picks[0] and picks[-1] <= 10
