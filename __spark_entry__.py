@@ -98,6 +98,7 @@ FROM named
 """
 
 
+
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: parse -> polygon layer -> cell join -> PIP -> tile."""
     polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
@@ -113,6 +114,101 @@ def q_tile_assign_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = _points_from_orders(spark, sf_dir)
     tiles = assign_images_to_tiles(points, polygons, salt=4)
     return tiles.select('image_id', 'trs', 'qq')
+
+
+_ZBITS = 8
+_ZBOX = (datagen.X0 + 0.21 * (datagen.X1 - datagen.X0),
+         datagen.Y0 + 0.33 * (datagen.Y1 - datagen.Y0),
+         datagen.X0 + 0.47 * (datagen.X1 - datagen.X0),
+         datagen.Y0 + 0.58 * (datagen.Y1 - datagen.Y0))
+# The phash-derived anchor x is nearly constant at test scale (the
+# orderkey*MULT product never wraps 2^62, so the high-bit u is ~0),
+# which would make the even Morton bits a trivial gate.  The z-order
+# queries therefore spread BOTH axes from independent low-31-bit
+# multiplier mixes -- exact integer parity in Spark and DuckDB.
+_ZMULT_X, _ZMULT_Y = 2654435761, 1597334677
+
+
+def _spread_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    n = F.lit(2147483648)
+
+    def axis(mult, lo, hi):
+        u = ((F.col('o_orderkey') * F.lit(mult)) % n).cast('double') \
+            / F.lit(2147483648.0)
+        return F.lit(lo) + u * F.lit(hi - lo)
+
+    return orders.select(
+        F.concat(F.lit('img'), F.col('o_orderkey')).alias('image_id'),
+        axis(_ZMULT_X, datagen.X0, datagen.X1).alias('x'),
+        axis(_ZMULT_Y, datagen.Y0, datagen.Y1).alias('y'))
+
+
+_ORACLE_ZXY = f"""
+  SELECT 'img' || o_orderkey AS image_id,
+         {datagen.X0!r} + ((o_orderkey * {_ZMULT_X}) % 2147483648)
+           / 2147483648.0 * {datagen.X1 - datagen.X0!r} AS x,
+         {datagen.Y0!r} + ((o_orderkey * {_ZMULT_Y}) % 2147483648)
+           / 2147483648.0 * {datagen.Y1 - datagen.Y0!r} AS y
+  FROM orders
+"""
+
+# G14 Morton-key oracle: quantize to the 8-bit grid and interleave
+# bit-by-bit with plain shift/mask arithmetic (one term per bit --
+# structurally nothing like the engine's magic-number spread).
+_ZITERMS = ' + '.join(
+    f"(((qx >> {i}) & 1) * {1 << (2 * i)})"
+    f" + (((qy >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8))
+_ORACLE_ZKEY = f"""
+WITH xy AS ({_ORACLE_ZXY}),
+q AS (
+  SELECT image_id,
+         LEAST(GREATEST(CAST(FLOOR((x - {datagen.X0!r})
+            / {datagen.X1 - datagen.X0!r} * 256) AS BIGINT), 0), 255)
+           AS qx,
+         LEAST(GREATEST(CAST(FLOOR((y - {datagen.Y0!r})
+            / {datagen.Y1 - datagen.Y0!r} * 256) AS BIGINT), 0), 255)
+           AS qy
+  FROM xy)
+SELECT image_id, {_ZITERMS} AS zkey FROM q
+"""
+
+# The z-scan oracle is the PLAIN bbox filter: if the zkey-range path
+# returns exactly these rows, the decomposition lost nothing and the
+# residual predicate removed every merged-range false positive.
+_ORACLE_ZSCAN = f"""
+WITH xy AS ({_ORACLE_ZXY})
+SELECT image_id FROM xy
+WHERE x >= {_ZBOX[0]!r} AND x <= {_ZBOX[2]!r}
+  AND y >= {_ZBOX[1]!r} AND y <= {_ZBOX[3]!r}
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14: codegen-native Morton interleave of the quantized anchor
+    grid -- the clustering key OPTIMIZE-ZORDER-style layout sorts by.
+    Gated bit-for-bit against a DuckDB interleave built from shift/
+    mask arithmetic (generated term-by-term, no shared code)."""
+    from pytrs_spark.spatial.cluster import morton_key
+    pts = _spread_points(spark, sf_dir)
+    return pts.select(
+        'image_id',
+        morton_key(F.col('x'), F.col('y'), bits=_ZBITS).alias('zkey'))
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 end to end: a bbox query answered through merged zkey
+    BETWEEN ranges (max_ranges=3 forces false-positive intervals) +
+    the exact residual predicate, over a z-clustered layout.  The
+    oracle is the plain bbox filter -- equality proves the range
+    decomposition loses no rows and the residual removes every
+    false positive."""
+    from pytrs_spark.spatial.cluster import bbox_scan, zorder_cluster
+    pts = _spread_points(spark, sf_dir)
+    t = zorder_cluster(pts, bits=12, partitions=8)
+    return bbox_scan(t, *_ZBOX, bits=12, max_ranges=3) \
+        .select('image_id')
 
 
 def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,6 +2398,8 @@ _RAW_QUERIES = {
         'tile_pyramid': q_tile_pyramid,
         'kring_density': q_kring_density,
         'tile_centroid': q_tile_centroid,
+        'zorder_key': q_zorder_key,
+        'zorder_scan': q_zorder_scan,
         'dedup_keep_one': q_dedup_keep_one,
         'sessionize': q_sessionize,
         'session_stats': q_session_stats,
@@ -2422,6 +2520,8 @@ def oracle_sql() -> dict[str, str]:
         'tile_pyramid': _ORACLE_PYRAMID,
         'kring_density': _ORACLE_KRING,
         'tile_centroid': _ORACLE_CENTROID,
+        'zorder_key': _ORACLE_ZKEY,
+        'zorder_scan': _ORACLE_ZSCAN,
         'dedup_keep_one': _ORACLE_KEEP_ONE,
         'sessionize': _ORACLE_SESSIONIZE,
         'session_stats': _ORACLE_SESSION_STATS,
