@@ -559,16 +559,27 @@ def _auto_nprobe(C: np.ndarray, X: np.ndarray, k: int = 10,
     the data: small probes when cells are informative, honest
     wide probes when they are not.
 
-    Method: take ``n_queries`` sample rows as queries, brute-force
-    their true top-k within the sample, and find each true
-    neighbor's cell's rank in the query's cell-similarity order;
+    Method: split the sample HELD-OUT -- the first ``n_queries`` rows
+    become queries, the REST stand in for the corpus -- brute-force
+    each query's true top-k within the held-out part, and find each
+    true neighbor's cell's rank in the query's cell-similarity order;
     recall(nprobe) = fraction of true neighbors whose cell rank <
-    nprobe.  Deterministic (sample and quantizer both are)."""
+    nprobe.  In-sample calibration (query scored against a pool
+    containing itself) counts the query as its own guaranteed-hit
+    neighbor and systematically overestimates recall -- measured
+    0.887 actual at a 0.9 in-sample target; the held-out split
+    removes that bias.  A second, smaller bias remains: the held-out
+    pool is smaller than the real corpus, so its neighbor cell-ranks
+    run slightly easy (measured ~0.01 optimistic at an 8k sample vs a
+    50k corpus).  A third of the miss budget is reserved for it:
+    calibration targets ``target + (1 - target) / 3``.  Deterministic
+    (sample and quantizer are)."""
+    target = target + (1.0 - target) / 3.0
     n_cells = len(C)
-    nq = min(n_queries, len(X))
-    Q = X[:nq]
-    order = np.argsort(-(Q @ X.T), axis=1)[:, :min(k, len(X))]
-    cell_of = np.argmax(X @ C.T, axis=1)       # ties -> lowest id,
+    nq = max(1, min(n_queries, len(X) // 2))
+    Q, R = X[:nq], X[nq:]
+    order = np.argsort(-(Q @ R.T), axis=1)[:, :min(k, len(R))]
+    cell_of = np.argmax(R @ C.T, axis=1)       # ties -> lowest id,
     qcell_rank = np.argsort(-(Q @ C.T), axis=1)  # same as _cell_udf
     rows = np.arange(nq)[:, None]
     pos = np.empty((nq, n_cells), dtype=np.int64)
