@@ -414,6 +414,9 @@ def main():
         lambda: textops.repetition_metrics(docs.select('doc_id', 'text'))
         .select(F.max(F.xxhash64(F.round('top_2gram_char_frac', 6))))
         .collect(), runs=RUNS), 3)
+    queries['tfidf_top_terms'] = round(_median_time(
+        lambda: textops.tfidf_top_terms(docs)
+        .select(F.max(F.xxhash64('term'))).collect(), runs=RUNS), 3)
 
     # Deterministic hash sampling: codegen-native filter over the
     # biggest table we have (lineitem-scale via the images parquet is
@@ -476,6 +479,22 @@ def main():
         'total': 64, 'rows_matched': nz,
     }
 
+    # G15 radius join: 25 centers x the full point cloud, broadcast
+    # cell-disk join, exact refinement -- point side never shuffles.
+    from pytrs_spark.spatial.radius import radius_join as _rjoin
+    _rc = spark.range(25).select(
+        F.col('id').alias('center_id'),
+        (F.lit(EXTENT[0]) + ((F.col('id') * 2246822519) % 2147483648)
+         .cast('double') / 2147483648.0
+         * (EXTENT[2] - EXTENT[0])).alias('cx'),
+        (F.lit(EXTENT[1]) + ((F.col('id') * 3266489917) % 2147483648)
+         .cast('double') / 2147483648.0
+         * (EXTENT[3] - EXTENT[1])).alias('cy'))
+    _rpts = spark.read.parquet(zdir)     # 20M z-clustered points
+    queries['radius_join_20m'] = round(_median_time(
+        lambda: _rjoin(_rpts.withColumnRenamed('pid', 'image_id'),
+                       _rc, 3.0).count(), runs=RUNS), 3)
+
     # Event-stream relational ops over the events table (all
     # single-exchange window/agg compositions; see BENCH.md plan
     # audits and the 50M-row scale probe).
@@ -483,6 +502,20 @@ def main():
                                               sessionize)
     events = spark.read.parquet(f'{SF_DIR}/events.parquet').persist()
     events.count()
+    # T22/T23 sketches + exact quantiles at 50M synthetic rows (the
+    # events table is small at sf0.1; sketch/quantile cost is about
+    # row volume, so probe at scale like sample_hash does).
+    from pytrs_spark.operators.stats import cms_sketch, quantiles_exact
+    _big = spark.range(50_000_000).select(
+        (F.col('id') % 97_003).alias('k'),
+        ((F.col('id') * 1299709 % 9973).cast('double') / 7.0)
+        .alias('v'))
+    queries['cms_sketch_50m'] = round(_median_time(
+        lambda: cms_sketch(_big, 'k', depth=4, width=1024)
+        .select(F.sum('n')).collect(), runs=RUNS), 3)
+    queries['quantiles_exact_50m'] = round(_median_time(
+        lambda: quantiles_exact(_big, 'v', (0.25, 0.5, 0.99),
+                                n_bins=1024).count(), runs=RUNS), 3)
     queries['sessionize'] = round(_median_time(
         lambda: sessionize(events)
         .select(F.bit_xor(F.xxhash64('event_id', 'session_id')))

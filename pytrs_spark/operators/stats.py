@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, functions as F
 from .sampling import hash_mix
 
 _RANK_SALT = 23459
+_CMS_SALT = 7919
 
 
 def hll_sketch(df: DataFrame, key_col: str, p: int = 6,
@@ -88,6 +89,181 @@ def hll_estimate(sketch: DataFrame, p: int) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def cms_sketch(df: DataFrame, key_col: str, depth: int = 4,
+               width: int = 256, salt: int = 0) -> DataFrame:
+    """Spec'd Count-Min sketch (Cormode & Muthukrishnan 2005) of a
+    key column's frequency distribution, as a mergeable DataFrame
+    ``(d, register, n)`` -- at most ``depth * width`` rows.
+
+    Like :func:`hll_sketch`, the hash family is the documented
+    ``sampling.hash_mix`` (row d uses salt ``salt + d * 7919``), so
+    the sketch is BIT-IDENTICAL on any engine / partitioning and the
+    DuckDB oracle re-derives every register count exactly -- which
+    ``count_min_sketch()`` (Spark's builtin, engine-internal binary
+    blob) cannot offer.
+
+    Point estimate: ``freq(k) <= min_d n[d][mix_d(k) % width]``
+    (one-sided: never under-counts).  Error: with prob ``1 - 2^-depth``
+    the overcount is ``<= e/width * N``.
+
+    Scale shape: the explode-by-depth happens map-side and the
+    partial agg reduces each partition to ``<= depth * width`` rows
+    before the shuffle -- raw keys never shuffle.  Sketches for
+    shards / days merge by union + sum (:func:`cms_merge`) without
+    re-reading data, the same contract as HLL.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError('need depth >= 1 and width >= 2')
+    rows = F.explode(F.array(*[F.struct(
+        F.lit(d).alias('d'),
+        (hash_mix(key_col, salt + d * _CMS_SALT) % width)
+        .cast('int').alias('register')) for d in range(depth)]))
+    return (df.select(rows.alias('r'))
+            .groupBy(F.col('r.d').alias('d'),
+                     F.col('r.register').alias('register'))
+            .agg(F.count('*').alias('n')))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union CMS sketches (same depth/width/salt) into one: counts
+    add register-wise."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy('d', 'register').agg(F.sum('n').alias('n'))
+
+
+def cms_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
+               depth: int = 4, width: int = 256,
+               salt: int = 0) -> DataFrame:
+    """Frequency upper-bound per key: join each key's ``depth``
+    registers against the sketch and take the min count.  The sketch
+    side is at most ``depth * width`` rows -- always broadcast; the
+    key side never shuffles."""
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[F.struct(
+            F.lit(d).alias('d'),
+            (hash_mix(key_col, salt + d * _CMS_SALT) % width)
+            .cast('int').alias('register')) for d in range(depth)]))
+        .alias('p')).select(key_col, 'p.d', 'p.register')
+    return (probes.join(F.broadcast(sketch), ['d', 'register'], 'left')
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col('n'), F.lit(0)))
+                 .alias('freq_est')))
+
+
+def quantiles_exact(df: DataFrame, col: str, qs,
+                    n_bins: int = 1024,
+                    collect_limit: int = 65536) -> DataFrame:
+    """EXACT distributed quantiles without ever sorting (or even
+    shuffling) the raw data: the scale path that ``F.percentile``
+    (full sort per group) and ``approx_percentile`` (inexact) both
+    miss.  Iterative histogram narrowing (Munro-Paterson style
+    multi-pass selection):
+
+    Pass 1: min / max / count (one agg job).
+    Pass 2..d: fixed-width histogram over the live value range of
+      each still-unresolved rank -> the driver locates the sub-bin
+      containing the rank (cumsum over <= n_bins driver rows) and
+      recurses into it.  Each pass shrinks the candidate range by
+      ~n_bins x, so d <= log_{n_bins}(n / collect_limit) -- 2 passes
+      resolve 10^12 rows with the defaults.
+    Final pass: once a rank's range holds <= collect_limit rows,
+      aggregate that slice BY VALUE (the shuffle carries one row per
+      distinct value, never raw rows) and walk to the exact rank.
+
+    Rank spec (matches the DuckDB oracle): the k-th smallest value
+    with ``k = floor(q * (n - 1)) + 1`` (1-based, lower discrete
+    quantile) -- the result is always an actual data value, so float
+    determinism is trivial.  NULLs are excluded, matching SQL.
+
+    Binning is monotone (IEEE subtract/divide/floor preserve order),
+    so narrowing can never exclude the true rank value; a heavy
+    duplicate that stops the range from shrinking resolves via the
+    exact equal-bounds branch.  Returns ``(q, value)``, len(qs) rows.
+    """
+    qs = sorted(float(q) for q in qs)
+    if not qs or qs[0] < 0.0 or qs[-1] > 1.0:
+        raise ValueError('quantiles must lie in [0, 1]')
+    spark = df.sparkSession
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast('double').alias('v'))
+    base = base.persist()
+    try:
+        stats = base.agg(
+            F.min('v').alias('lo'), F.max('v').alias('hi'),
+            F.count('*').alias('n')).collect()[0]
+        n, lo, hi = stats['n'], stats['lo'], stats['hi']
+        if n == 0:
+            return spark.createDataFrame(
+                [(q, None) for q in qs], 'q double, value double')
+        def _bin_expr(vlo: float, vhi: float):
+            width = (vhi - vlo) / n_bins
+            return F.least(
+                F.greatest(
+                    F.floor((F.col('v') - F.lit(vlo)) / F.lit(width)),
+                    F.lit(0)),
+                F.lit(n_bins - 1)).cast('int'), width
+
+        out = []
+        # Slices keyed by their bin PATH (the chain of "level-i bin ==
+        # r_i" tests): the predicate defines the slice exactly; the
+        # nominal float bounds only seed the next level's binning
+        # (clamped, monotone, total -- float edge error cannot move a
+        # row out of its counted slice).  Ranks sharing a slice share
+        # ONE histogram / collect job per level.
+        # path -> (pred, vlo, vhi, cnt, shrunk, [(q, rank-in-slice)])
+        live = {(): (F.lit(True), lo, hi, n, True,
+                     [(q, int(math.floor(q * (n - 1))) + 1)
+                      for q in qs])}
+        while live:
+            nxt = {}
+            for path, (pred, vlo, vhi, cnt, shrunk, ranks) in \
+                    live.items():
+                if cnt <= collect_limit or vlo == vhi or not shrunk:
+                    vals = (base.filter(pred)
+                            .groupBy('v').agg(F.count('*').alias('c'))
+                            .orderBy('v').collect())
+                    for q, k in ranks:
+                        c = 0
+                        for r in vals:
+                            c += r['c']
+                            if c >= k:
+                                out.append((q, float(r['v'])))
+                                break
+                    continue
+                b, width = _bin_expr(vlo, vhi)
+                hist = (base.filter(pred)
+                        .groupBy(b.alias('bin'))
+                        .agg(F.count('*').alias('c'))
+                        .orderBy('bin').collect())
+                cum_at = {}
+                cum = 0
+                for r in hist:
+                    cum_at[r['bin']] = cum
+                    cum += r['c']
+                cnt_at = {r['bin']: r['c'] for r in hist}
+                for q, k in ranks:
+                    tgt = None
+                    for r in hist:
+                        if cum_at[r['bin']] + r['c'] >= k:
+                            tgt = r['bin']
+                            break
+                    sub = path + (tgt,)
+                    if sub not in nxt:
+                        nxt[sub] = (pred & (b == tgt),
+                                    vlo + tgt * width,
+                                    vlo + (tgt + 1) * width,
+                                    cnt_at[tgt], cnt_at[tgt] < cnt, [])
+                    nxt[sub][5].append((q, k - cum_at[tgt]))
+            live = nxt
+        return spark.createDataFrame(
+            sorted(out), 'q double, value double')
+    finally:
+        base.unpersist()
 
 
 def histogram(df: DataFrame, col: str, lo: float, hi: float,

@@ -1325,3 +1325,47 @@ def char_entropy_col(text_col='text', decimals: int = 6):
         return pd.Series(np.round(out, decimals))
     return udf(F.col(text_col) if isinstance(text_col, str)
                else text_col)
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = 'text',
+                    id_col: str = 'doc_id', k: int = 3) -> DataFrame:
+    """T21: top-``k`` TF-IDF terms per document -- the standard
+    keyword/topic signal a training-data pipeline uses for corpus
+    diagnostics and domain balancing.
+
+    Definitions (the DuckDB oracle re-derives all of them from SQL):
+
+        tf(d, t)  = occurrences of term t in doc d
+                    (tokens: lower, split on runs outside [a-z0-9'])
+        dfreq(t)  = number of docs containing t at least once
+        idf(t)    = ln((N + 1) / (dfreq + 1)) + 1      (smoothed,
+                    sklearn's smooth_idf convention -- never 0/0,
+                    never negative)
+        score     = tf * idf, ties broken by term ascending
+
+    Scale shape: explode -> (doc, term) partial-agg groupBy (map-side
+    combine eats the token fan-out); document frequency is a second
+    groupBy of the ALREADY-distinct (doc, term) pairs (never re-reads
+    text); the tf |x| idf equi-join shuffles on ``term`` (AQE handles
+    stopword-ish hot terms); per-doc top-k runs under Spark's
+    WindowGroupLimit pushdown (k rows per group per partition cross
+    the exchange, never whole groups).  Raw text rides exactly one
+    map stage.
+    """
+    if k < 1:
+        raise ValueError(f'k must be >= 1, got {k}')
+    from .query import topk_per_group
+
+    n_docs = df.count()
+    tf = (df.select(id_col, F.explode(tokens_col(F.col(text_col)))
+                    .alias('term'))
+          .groupBy(id_col, 'term').agg(F.count('*').alias('tf')))
+    dfreq = tf.groupBy('term').agg(F.count('*').alias('dfreq'))
+    idf = F.log((F.lit(float(n_docs + 1)))
+                / (F.col('dfreq') + F.lit(1.0))) + F.lit(1.0)
+    scored = (tf.join(dfreq, 'term')
+              .withColumn('score', F.col('tf') * idf))
+    return (topk_per_group(scored, id_col, 'score', k,
+                           tie_cols=('term',))
+            .select(id_col, 'term', 'tf', 'dfreq',
+                    F.round('score', 6).alias('score'), 'rank'))

@@ -17,6 +17,13 @@ OPTIMIZE ZORDER; implemented here with nothing but native column
 expressions (the key build is pure whole-stage codegen: shifts, ands,
 ors -- no UDF anywhere).
 
+Usage contract: WRITE the clustered frame (parquet/Iceberg) and run
+:func:`bbox_scan` on the read-back.  Scanning the unmaterialized
+frame is still correct but Catalyst pushes each BETWEEN leg through
+the ``zkey`` alias, duplicating the (self-composed, ~16x-per-step)
+interleave tree per leg -- past Janino's 64KB method limit the whole
+stage silently drops out of codegen.
+
 Pieces:
 - :func:`morton_key` -- the interleave as a native Column.
 - :func:`zorder_cluster` -- repartitionByRange + sortWithinPartitions

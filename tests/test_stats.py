@@ -93,3 +93,113 @@ def test_char_entropy_known_values(spark):
                               char_entropy_col('text').alias('e'))
            .collect()}
     assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 0.0, 5: 0.0}
+
+
+# --- Count-Min sketch (T22) -------------------------------------------
+
+def _freq_table(spark):
+    """Deterministic skewed frequencies: key k appears (k % 7) + 1
+    times, keys 0..199."""
+    df = spark.range(200).select(
+        F.explode(F.sequence(F.lit(1), F.col('id') % 7 + 1)).alias('_'),
+        F.col('id').alias('k'))
+    true = {k: (k % 7) + 1 for k in range(200)}
+    return df, true
+
+
+def test_cms_never_undercounts_and_bounds(spark):
+    from pytrs_spark.operators.stats import cms_lookup, cms_sketch
+    df, true = _freq_table(spark)
+    n_total = sum(true.values())
+    sk = cms_sketch(df, 'k', depth=4, width=64)
+    # Every depth row partitions ALL events: per-d totals == N.
+    per_d = {r['d']: r['s'] for r in
+             sk.groupBy('d').agg(F.sum('n').alias('s')).collect()}
+    assert per_d == {d: n_total for d in range(4)}
+    keys = df.select('k').distinct()
+    est = {r['k']: r['freq_est'] for r in
+           cms_lookup(sk, keys, 'k', depth=4, width=64).collect()}
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # CMS guarantee: overcount <= e/width * N with prob 1 - 2^-depth;
+    # allow the full bound plus slack for the 1/16 tail.
+    import math
+    bound = math.e / 64 * n_total
+    over = [est[k] - t for k, t in true.items()]
+    assert sum(o <= bound for o in over) >= 0.9 * len(over)
+
+
+def test_cms_merge_equals_whole(spark):
+    from pytrs_spark.operators.stats import cms_merge, cms_sketch
+    df, _ = _freq_table(spark)
+    a = df.filter(F.col('k') < 100)
+    b = df.filter(F.col('k') >= 100)
+    whole = {(r['d'], r['register']): r['n'] for r in
+             cms_sketch(df, 'k', depth=3, width=32).collect()}
+    merged = {(r['d'], r['register']): r['n'] for r in
+              cms_merge(cms_sketch(a, 'k', depth=3, width=32),
+                        cms_sketch(b, 'k', depth=3, width=32)).collect()}
+    assert merged == whole
+
+
+def test_cms_rejects_bad_params(spark):
+    from pytrs_spark.operators.stats import cms_sketch
+    df = spark.range(3).withColumnRenamed('id', 'k')
+    with pytest.raises(ValueError):
+        cms_sketch(df, 'k', depth=0)
+    with pytest.raises(ValueError):
+        cms_sketch(df, 'k', width=1)
+
+
+# --- exact multi-pass quantiles (T23) ---------------------------------
+
+def _rank_value(vals, q):
+    import math
+    s = sorted(vals)
+    return s[int(math.floor(q * (len(s) - 1)))]
+
+
+def test_quantiles_exact_matches_full_sort(spark):
+    from pytrs_spark.operators.stats import quantiles_exact
+    # deterministic pseudo-random doubles incl. duplicates
+    df = spark.range(5000).select(
+        (((F.col('id') * 1299709) % 9973).cast('double') / 7.0)
+        .alias('v'))
+    vals = [r['v'] for r in df.collect()]
+    qs = (0.0, 0.1, 0.5, 0.9, 0.99, 1.0)
+    # collect_limit far below n forces >= 2 narrowing passes
+    got = dict((r['q'], r['value']) for r in quantiles_exact(
+        df, 'v', qs, n_bins=16, collect_limit=100).collect())
+    for q in qs:
+        assert got[q] == _rank_value(vals, q), q
+
+
+def test_quantiles_heavy_duplicate_converges(spark):
+    from pytrs_spark.operators.stats import quantiles_exact
+    # 90% of rows are a single value: the containing bin never
+    # shrinks -> the shrunk=False branch must resolve exactly.
+    df = spark.range(2000).select(
+        F.when(F.col('id') % 10 < 9, F.lit(42.0))
+        .otherwise(F.col('id').cast('double')).alias('v'))
+    vals = [r['v'] for r in df.collect()]
+    got = dict((r['q'], r['value']) for r in quantiles_exact(
+        df, 'v', (0.5, 0.95), n_bins=8, collect_limit=50).collect())
+    assert got[0.5] == _rank_value(vals, 0.5) == 42.0
+    assert got[0.95] == _rank_value(vals, 0.95)
+
+
+def test_quantiles_edge_inputs(spark):
+    from pytrs_spark.operators.stats import quantiles_exact
+    empty = spark.range(0).select(F.col('id').cast('double').alias('v'))
+    rows = quantiles_exact(empty, 'v', (0.5,)).collect()
+    assert rows[0]['value'] is None
+    one = spark.range(5).select(F.lit(7.0).alias('v'))
+    rows = quantiles_exact(one, 'v', (0.0, 1.0)).collect()
+    assert [r['value'] for r in rows] == [7.0, 7.0]
+    nulls = spark.range(10).select(
+        F.when(F.col('id') < 5, F.col('id').cast('double')).alias('v'))
+    rows = quantiles_exact(nulls, 'v', (1.0,)).collect()
+    assert rows[0]['value'] == 4.0     # nulls excluded
+    with pytest.raises(ValueError):
+        quantiles_exact(one, 'v', (1.5,))
