@@ -2496,6 +2496,60 @@ WHERE ranked.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT) + 1
 """
 
 
+# --- T24 boilerplate strip --------------------------------------------
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24: cross-document boilerplate line removal (CCNet-style).
+    Every doc gets a deterministic shared footer + a per-doc unique
+    line appended; the operator must strip the footer (and any
+    naturally repeated lines) from every doc while the unique lines
+    and line order survive.  Oracle re-derives the frequent-line set
+    and the rebuild in SQL."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    docs2 = docs.select(
+        'doc_id',
+        F.concat('text', F.lit('\nSHARED FOOTER v1.0\nunique-'),
+                 F.col('doc_id').cast('string')).alias('text'))
+    return textops.boilerplate_strip(docs2, min_docs=5)
+
+
+_ORACLE_BOILER = """
+WITH docs2 AS (
+  SELECT doc_id,
+         text || chr(10) || 'SHARED FOOTER v1.0' || chr(10)
+              || 'unique-' || doc_id AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(parts))) - 1 AS pos,
+         unnest(parts) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+        FROM docs2)
+),
+boiler AS (
+  SELECT key FROM (
+    SELECT DISTINCT doc_id, trim(line) AS key
+    FROM lines WHERE length(trim(line)) >= 1
+  ) GROUP BY key HAVING COUNT(*) >= 5
+),
+kept AS (
+  SELECT * FROM lines WHERE trim(line) NOT IN (SELECT key FROM boiler)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n FROM lines GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       t.n - COALESCE(r.n_kept, 0) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # --- T21 TF-IDF top terms ---------------------------------------------
 
 
@@ -2593,6 +2647,7 @@ _RAW_QUERIES = {
         'cms_lookup': q_cms_lookup,
         'quantiles_exact': q_quantiles_exact,
         'tfidf_terms': q_tfidf_terms,
+        'boilerplate': q_boilerplate,
         # -- driver-verified green in CORRECTNESS_r03 --
         'tile_assign': q_tile_assign,
         'tile_assign_salted': q_tile_assign_salted,
@@ -2654,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
         'cms_lookup': _ORACLE_CMS_LOOKUP,
         'quantiles_exact': _ORACLE_QUANTILES,
         'tfidf_terms': _ORACLE_TFIDF,
+        'boilerplate': _ORACLE_BOILER,
         'tile_assign': _ORACLE_TILE,
         'tile_assign_salted': _ORACLE_TILE,
         'raster_tiles': _ORACLE_RASTER,

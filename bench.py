@@ -417,6 +417,12 @@ def main():
     queries['tfidf_top_terms'] = round(_median_time(
         lambda: textops.tfidf_top_terms(docs)
         .select(F.max(F.xxhash64('term'))).collect(), runs=RUNS), 3)
+    _footered = docs.select(
+        'doc_id', F.concat('text', F.lit('\nSHARED FOOTER v1.0'))
+        .alias('text'))
+    queries['boilerplate_strip'] = round(_median_time(
+        lambda: textops.boilerplate_strip(_footered, min_docs=5)
+        .select(F.max(F.xxhash64('text'))).collect(), runs=RUNS), 3)
 
     # Deterministic hash sampling: codegen-native filter over the
     # biggest table we have (lineitem-scale via the images parquet is

@@ -1369,3 +1369,64 @@ def tfidf_top_terms(df: DataFrame, text_col: str = 'text',
                            tie_cols=('term',))
             .select(id_col, 'term', 'tf', 'dfreq',
                     F.round('score', 6).alias('score'), 'rank'))
+
+
+def boilerplate_strip(df: DataFrame, text_col: str = 'text',
+                      id_col: str = 'doc_id', min_docs: int = 2,
+                      min_chars: int = 1) -> DataFrame:
+    """T24: strip cross-document boilerplate lines -- any line whose
+    TRIMMED form appears in >= ``min_docs`` distinct documents (and is
+    >= ``min_chars`` long) is removed from every document, preserving
+    the order of the surviving lines.  The CCNet/CC-derived-corpus
+    cleanup step: navbars, cookie banners, license footers repeat
+    across pages and poison LLM training data.
+
+    Returns (id_col, clean text, n_kept, n_removed); documents whose
+    lines are all boilerplate (or that were empty) come back with
+    ``text`` = '' so no input row is ever lost.
+
+    Scale shape: lines ride ONE posexplode map stage; the frequent-
+    line table is built from (line-hash, doc) pairs ALREADY distinct
+    per doc (map-side combine collapses in-doc repeats first) and is
+    corpus-bounded (only lines crossing the threshold survive); the
+    removal is a left_anti equi-join on the 8-byte line hash -- AQE
+    broadcasts it when small, and a hot boilerplate hash costs
+    nothing extra (anti-join build side holds each key once).
+    Reassembly is one partial-agg groupBy of (pos, line) structs.
+    Raw text never shuffles twice: only (hash, id) and the surviving
+    (id, pos, line) rows move.
+    """
+    if min_docs < 2:
+        raise ValueError(f'min_docs must be >= 2, got {min_docs}')
+    lines = (df.select(
+        id_col,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit('')),
+                             '\n')).alias('pos', 'line'))
+        .withColumn('_key', F.xxhash64(F.trim('line'))))
+    eligible = F.length(F.trim('line')) >= min_chars
+    boiler = (lines.filter(eligible)
+              .select('_key', id_col).distinct()
+              .groupBy('_key').agg(F.count('*').alias('_docs'))
+              .filter(F.col('_docs') >= min_docs)
+              .select('_key'))
+    # A key in ``boiler`` implies the line was eligible (equal trimmed
+    # text => equal trimmed length), so one anti-join covers all
+    # lines: ineligible (short/blank) lines can never match a boiler
+    # key and are always kept.
+    kept = lines.join(boiler, '_key', 'left_anti')
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct('pos', 'line'))),
+                            lambda s: s['line']), '\n').alias('text'),
+                    F.count('*').alias('n_kept')))
+    totals = (lines.groupBy(id_col)
+              .agg(F.count('*').alias('_n_lines')))
+    return (totals.join(rebuilt, id_col, 'left')
+            .select(id_col,
+                    F.coalesce('text', F.lit('')).alias('text'),
+                    F.coalesce('n_kept', F.lit(0)).alias('n_kept'),
+                    (F.col('_n_lines')
+                     - F.coalesce('n_kept', F.lit(0)))
+                    .alias('n_removed')))
