@@ -2496,6 +2496,62 @@ WHERE ranked.rn = CAST(floor(qs.q * (n.c - 1)) AS BIGINT) + 1
 """
 
 
+# --- G16 perceptual-hash image near-dup --------------------------------
+
+_PH_OFFSET = 10_000_000_000
+
+
+def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 62-bit image fingerprints + planted near-dups:
+    every base image has a twin with phash bits 0 and 2 flipped
+    (Hamming 2).  62 bits = two 31-bit multiplier mixes, so the
+    arithmetic is exact in both engines (bigint multiply in DuckDB
+    errors on 64-bit wrap instead of wrapping)."""
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet') \
+        .filter(F.col('o_orderkey') % 7 == 0)
+    n = F.lit(2147483648)
+    hi = (F.col('o_orderkey') * F.lit(2654435761)) % n
+    lo = (F.col('o_orderkey') * F.lit(1597334677)) % n
+    ph = hi * n + lo
+    base = orders.select(F.col('o_orderkey').alias('image_id'),
+                         ph.alias('phash'))
+    twin = orders.select(
+        (F.col('o_orderkey') + F.lit(_PH_OFFSET)).alias('image_id'),
+        ph.bitwiseXOR(F.lit(5)).alias('phash'))
+    return base.unionByName(twin)
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16: perceptual-hash near-duplicate image pairs (Hamming <= 4
+    over the images' phash) via the exact-recall pigeonhole band
+    join -- visually-near-identical frame dedup for a 10^12-image
+    corpus with one (int64, int64) shuffle.  Oracle: brute-force
+    all-pairs xor + bit_count."""
+    corpus = _phash_corpus(spark, sf_dir)
+    return textops.hamming_near_dup_pairs(
+        corpus, id_col='image_id', hash_col='phash', max_hamming=4)
+
+
+_ORACLE_IMGDUP = f"""
+WITH ph AS (
+  SELECT o_orderkey AS image_id,
+         ((o_orderkey * 2654435761) % 2147483648) * 2147483648
+           + ((o_orderkey * 1597334677) % 2147483648) AS phash
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+corpus AS (
+  SELECT image_id, phash FROM ph
+  UNION ALL
+  SELECT image_id + {_PH_OFFSET}, xor(phash, 5) FROM ph
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM corpus a, corpus b
+WHERE a.image_id < b.image_id
+  AND bit_count(xor(a.phash, b.phash)) <= 4
+"""
+
+
 # --- T24 boilerplate strip --------------------------------------------
 
 
@@ -2648,6 +2704,7 @@ _RAW_QUERIES = {
         'quantiles_exact': q_quantiles_exact,
         'tfidf_terms': q_tfidf_terms,
         'boilerplate': q_boilerplate,
+        'image_near_dup': q_image_near_dup,
         # -- driver-verified green in CORRECTNESS_r03 --
         'tile_assign': q_tile_assign,
         'tile_assign_salted': q_tile_assign_salted,
@@ -2710,6 +2767,7 @@ def oracle_sql() -> dict[str, str]:
         'quantiles_exact': _ORACLE_QUANTILES,
         'tfidf_terms': _ORACLE_TFIDF,
         'boilerplate': _ORACLE_BOILER,
+        'image_near_dup': _ORACLE_IMGDUP,
         'tile_assign': _ORACLE_TILE,
         'tile_assign_salted': _ORACLE_TILE,
         'raster_tiles': _ORACLE_RASTER,

@@ -424,6 +424,27 @@ def main():
         lambda: textops.boilerplate_strip(_footered, min_docs=5)
         .select(F.max(F.xxhash64('text'))).collect(), runs=RUNS), 3)
 
+    # G16 phash near-dup at 10M images: 62-bit deterministic
+    # fingerprints, 1-in-50 planted twins 2 bits away.  max_hamming=2
+    # -> 3 bands of ~21 bits: buckets stay O(10) rows at this density
+    # so the exact-recall join never goes quadratic.
+    _n31 = F.lit(2147483648)
+
+    def _ph62(k):
+        return (k * 2654435761) % _n31 * _n31 + (k * 1597334677) % _n31
+
+    # id % 50 == 0 rows carry their NEIGHBOR's hash 2 bits flipped,
+    # so (id, id+1) is a guaranteed Hamming-2 pair.
+    _ph = spark.range(10_000_000).select(
+        F.col('id').alias('image_id'),
+        F.when(F.col('id') % 50 == 0,
+               _ph62(F.col('id') + 1).bitwiseXOR(F.lit(5)))
+        .otherwise(_ph62(F.col('id'))).alias('phash'))
+    queries['phash_near_dup_10m'] = round(_median_time(
+        lambda: textops.hamming_near_dup_pairs(
+            _ph, id_col='image_id', hash_col='phash',
+            max_hamming=2).count(), runs=RUNS), 3)
+
     # Deterministic hash sampling: codegen-native filter over the
     # biggest table we have (lineitem-scale via the images parquet is
     # spatial; use documents x a range blowup for a text-side count).

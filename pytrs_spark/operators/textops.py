@@ -776,6 +776,29 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
     fingerprint, cf. Manku et al., WWW'07 -- the r+1-band pigeonhole
     trick is theirs).
     """
+    sh = docs.select(F.col(id_col).alias('id'),
+                     simhash_col(F.col(text_col)).alias('sh'))
+    return hamming_near_dup_pairs(
+        sh, id_col='id', hash_col='sh', max_hamming=max_hamming,
+        bands=bands, max_bucket=max_bucket, drop_stats=drop_stats)
+
+
+def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
+                           hash_col: str = 'sh',
+                           max_hamming: int = 3,
+                           bands: int = None,
+                           max_bucket: int = None,
+                           drop_stats: dict = None) -> DataFrame:
+    """All id pairs whose 64-bit hash values differ in at most
+    ``max_hamming`` bits -- the banded pigeonhole Hamming join
+    :func:`simhash_near_dup_pairs` documents, factored over ANY int64
+    fingerprint column.  The image-side use is perceptual-hash
+    near-duplicate detection (`phash` in the images table): visually
+    near-identical images produce phashes within a few bits, so the
+    same exact-recall machinery dedups a 10^12-image corpus with one
+    (int64, int64) shuffle.  Output ``(id_a, id_b, hamming)``,
+    id_a < id_b.
+    """
     if bands is None:
         bands = max_hamming + 1
     if bands != max_hamming + 1:
@@ -786,8 +809,8 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
     if not 1 <= bands <= 64:
         raise ValueError('need 1 <= max_hamming + 1 <= 64')
 
-    sh = docs.select(F.col(id_col).alias('id'),
-                     simhash_col(F.col(text_col)).alias('sh'))
+    sh = hashes.select(F.col(id_col).alias('id'),
+                       F.col(hash_col).cast('long').alias('sh'))
     reps = sh.groupBy('sh').agg(F.min('id').alias('rep_id'))
     member = sh.join(reps, 'sh').select('id', 'rep_id', 'sh')
 

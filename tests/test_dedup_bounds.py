@@ -177,3 +177,26 @@ def test_connected_components_empty_and_determinism(spark):
     b = sorted(map(tuple, connected_components(
         pairs.repartition(5)).collect()))
     assert a == b == [(3, 3), (7, 3), (9, 3), (20, 20), (21, 20)]
+
+
+def test_hamming_near_dup_over_raw_fingerprints(spark):
+    """G16: the banded Hamming join factored over an arbitrary int64
+    column (phash-style image dedup) -- planted twins + an identical
+    group, verified against brute force."""
+    import itertools
+    rows = [(1, 0b1010100), (2, 0b1010101),     # hamming 1
+            (3, 0b1010100),                     # identical to 1
+            (4, -42), (5, -42 ^ 0b11),          # negative hashes
+            (6, 1 << 62)]                       # isolated
+    df = spark.createDataFrame(rows, 'image_id long, phash long')
+    got = {(r['id_a'], r['id_b']): r['hamming'] for r in
+           textops.hamming_near_dup_pairs(
+               df, id_col='image_id', hash_col='phash',
+               max_hamming=2).collect()}
+    brute = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin((ha ^ hb) & ((1 << 64) - 1)).count('1')
+        if d <= 2:
+            brute[(min(ia, ib), max(ia, ib))] = d
+    assert got == brute
+    assert got[(1, 3)] == 0 and got[(4, 5)] == 2
