@@ -2552,6 +2552,169 @@ WHERE a.image_id < b.image_id
 """
 
 
+# --- G16b image keep-one (phash pairs -> components -> policy) ---------
+
+
+def q_image_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16 composed end-to-end: phash Hamming pairs -> transitive
+    connected components -> min-id representative per visually-near-
+    identical image cluster.  The full image-dedup POLICY a training
+    pipeline runs (keep rows where kept).  Oracle re-derives the
+    closure with a recursive CTE over brute-force pairs."""
+    corpus = _phash_corpus(spark, sf_dir)
+    pairs = textops.hamming_near_dup_pairs(
+        corpus, id_col='image_id', hash_col='phash', max_hamming=4)
+    return textops.keep_one(corpus, pairs, id_col='image_id') \
+        .select('image_id', 'component_id', 'kept')
+
+
+_ORACLE_IMG_KEEP = f"""
+WITH RECURSIVE ph AS (
+  SELECT o_orderkey AS image_id,
+         ((o_orderkey * 2654435761) % 2147483648) * 2147483648
+           + ((o_orderkey * 1597334677) % 2147483648) AS phash
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+corpus AS (
+  SELECT image_id, phash FROM ph
+  UNION ALL
+  SELECT image_id + {_PH_OFFSET}, xor(phash, 5) FROM ph
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM corpus a, corpus b
+  WHERE a.image_id < b.image_id
+    AND bit_count(xor(a.phash, b.phash)) <= 4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+),
+comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+SELECT corpus.image_id,
+       COALESCE(comp.c, corpus.image_id) AS component_id,
+       COALESCE(comp.c, corpus.image_id) = corpus.image_id AS kept
+FROM corpus LEFT JOIN comp ON comp.id = corpus.image_id
+"""
+
+
+# --- G17 bbox overlap join ---------------------------------------------
+
+
+def q_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G17: rectangle-rectangle overlap join with exact intersection
+    area -- two deterministic box layers derived from the orders
+    anchors (different modulus filters + extent formulas), paired by
+    the cell-grid reference-point join (each pair emitted exactly
+    once with NO distinct).  Oracle: brute-force interval theta-join."""
+    from pytrs_spark.spatial.grid import anchor_xy
+    from pytrs_spark.spatial.overlap import bbox_overlap_join
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    phash = (F.col('o_orderkey') * F.lit(_PHASH_MULT)) % F.lit(_PHASH_MOD)
+    x, y = anchor_xy(phash.cast('long'))
+    pts = orders.select(F.col('o_orderkey').alias('k'),
+                        x.alias('x'), y.alias('y'))
+    k = F.col('k')
+    left = pts.filter(k % 13 == 0).select(
+        F.col('k').alias('id_l'),
+        (F.col('x') - (0.3 + (k % 7) * 0.35)).alias('xmin'),
+        (F.col('y') - (0.3 + (k % 5) * 0.35)).alias('ymin'),
+        (F.col('x') + (0.3 + (k % 7) * 0.35)).alias('xmax'),
+        (F.col('y') + (0.3 + (k % 5) * 0.35)).alias('ymax'))
+    right = pts.filter(k % 17 == 3).select(
+        F.col('k').alias('id_r'),
+        (F.col('x') - (0.2 + (k % 6) * 0.3)).alias('xmin'),
+        (F.col('y') - (0.2 + (k % 9) * 0.15)).alias('ymin'),
+        (F.col('x') + (0.2 + (k % 6) * 0.3)).alias('xmax'),
+        (F.col('y') + (0.2 + (k % 9) * 0.15)).alias('ymax'))
+    out = bbox_overlap_join(left, right, broadcast_right=True)
+    return out.select('id_l', 'id_r',
+                      F.round('overlap_area', 6).alias('overlap_area'))
+
+
+_ORACLE_BBOX = f"""
+WITH pts AS (
+  SELECT o_orderkey AS k,
+         {datagen.X0} + (((o_orderkey * {_PHASH_MULT}) % {_PHASH_MOD})
+            // 2147483648) / 2147483648.0 * {datagen.X1 - datagen.X0} AS x,
+         {datagen.Y0} + (((o_orderkey * {_PHASH_MULT}) % {_PHASH_MOD})
+            % 2147483648) / 2147483648.0 * {datagen.Y1 - datagen.Y0} AS y
+  FROM orders
+),
+bl AS (
+  SELECT k AS id_l,
+         x - (0.3 + (k % 7) * 0.35) AS xmin,
+         y - (0.3 + (k % 5) * 0.35) AS ymin,
+         x + (0.3 + (k % 7) * 0.35) AS xmax,
+         y + (0.3 + (k % 5) * 0.35) AS ymax
+  FROM pts WHERE k % 13 = 0
+),
+br AS (
+  SELECT k AS id_r,
+         x - (0.2 + (k % 6) * 0.3) AS xmin,
+         y - (0.2 + (k % 9) * 0.15) AS ymin,
+         x + (0.2 + (k % 6) * 0.3) AS xmax,
+         y + (0.2 + (k % 9) * 0.15) AS ymax
+  FROM pts WHERE k % 17 = 3
+)
+SELECT bl.id_l, br.id_r,
+       round((least(bl.xmax, br.xmax) - greatest(bl.xmin, br.xmin))
+           * (least(bl.ymax, br.ymax) - greatest(bl.ymin, br.ymin)), 6)
+         AS overlap_area
+FROM bl JOIN br
+  ON greatest(bl.xmin, br.xmin) < least(bl.xmax, br.xmax)
+ AND greatest(bl.ymin, br.ymin) < least(bl.ymax, br.ymax)
+"""
+
+
+# --- T25 bigram LM score -----------------------------------------------
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25: corpus-trained bigram language-model fluency score per
+    document (mean log2 add-k conditional probability, k=0.5) -- the
+    KenLM-style quality-filter signal.  Oracle re-derives tokenizing,
+    bigram/unigram counts, vocabulary size, and the smoothed mean in
+    SQL."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return textops.bigram_lm_score(docs, 'text', 'doc_id', k=0.5)
+
+
+_ORACLE_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+')
+           AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(t) AS tok FROM toks)),
+scored AS (
+  SELECT b.doc_id,
+         log2((n12 + 0.5) / (n1 + 0.5 * vocab)) AS lp
+  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT d.doc_id, round(s.score, 4) AS lm_score
+FROM documents d
+LEFT JOIN (SELECT doc_id, avg(lp) AS score FROM scored
+           GROUP BY doc_id) s USING (doc_id)
+"""
+
+
 # --- T24 boilerplate strip --------------------------------------------
 
 
@@ -2705,6 +2868,9 @@ _RAW_QUERIES = {
         'tfidf_terms': q_tfidf_terms,
         'boilerplate': q_boilerplate,
         'image_near_dup': q_image_near_dup,
+        'image_keep_one': q_image_keep_one,
+        'bbox_overlap': q_bbox_overlap,
+        'lm_score': q_lm_score,
         # -- driver-verified green in CORRECTNESS_r03 --
         'tile_assign': q_tile_assign,
         'tile_assign_salted': q_tile_assign_salted,
@@ -2768,6 +2934,9 @@ def oracle_sql() -> dict[str, str]:
         'tfidf_terms': _ORACLE_TFIDF,
         'boilerplate': _ORACLE_BOILER,
         'image_near_dup': _ORACLE_IMGDUP,
+        'image_keep_one': _ORACLE_IMG_KEEP,
+        'bbox_overlap': _ORACLE_BBOX,
+        'lm_score': _ORACLE_LM,
         'tile_assign': _ORACLE_TILE,
         'tile_assign_salted': _ORACLE_TILE,
         'raster_tiles': _ORACLE_RASTER,

@@ -445,6 +445,35 @@ def main():
             _ph, id_col='image_id', hash_col='phash',
             max_hamming=2).count(), runs=RUNS), 3)
 
+    # T25 bigram LM score over the documents corpus (tokenize once,
+    # two vocabulary-bounded count groupBys, gram-key rejoin).
+    queries['lm_score'] = round(_median_time(
+        lambda: textops.bigram_lm_score(docs.select('doc_id', 'text'))
+        .select(F.max(F.xxhash64('lm_score'))).collect(), runs=RUNS), 3)
+
+    # G17 bbox overlap join at 1M x 10k boxes: reference-point
+    # emission (no distinct) over the cell-grid equi-join.
+    from pytrs_spark.spatial.overlap import bbox_overlap_join
+    _bl = spark.range(1_000_000).select(
+        F.col('id').alias('id_l'),
+        ((F.col('id') * 37) % 6000 / 2.0 - 1500.0).alias('xmin'),
+        ((F.col('id') * 91) % 6000 / 2.0 - 1500.0).alias('ymin'))
+    _bl = _bl.select('id_l', 'xmin', 'ymin',
+                     (F.col('xmin') + 0.4 + (F.col('id_l') % 5) * 0.2)
+                     .alias('xmax'),
+                     (F.col('ymin') + 0.4 + (F.col('id_l') % 3) * 0.2)
+                     .alias('ymax'))
+    _br = spark.range(10_000).select(
+        F.col('id').alias('id_r'),
+        ((F.col('id') * 53) % 6000 / 2.0 - 1500.0).alias('xmin'),
+        ((F.col('id') * 17) % 6000 / 2.0 - 1500.0).alias('ymin'))
+    _br = _br.select('id_r', 'xmin', 'ymin',
+                     (F.col('xmin') + 2.5).alias('xmax'),
+                     (F.col('ymin') + 2.5).alias('ymax'))
+    queries['bbox_overlap_1m'] = round(_median_time(
+        lambda: bbox_overlap_join(_bl, _br, broadcast_right=True)
+        .count(), runs=RUNS), 3)
+
     # Deterministic hash sampling: codegen-native filter over the
     # biggest table we have (lineitem-scale via the images parquet is
     # spatial; use documents x a range blowup for a text-side count).

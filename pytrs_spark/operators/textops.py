@@ -854,15 +854,34 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
             .drop('_bsize')
     left = banded.alias('l')
     right = banded.alias('r')
+
+    def _band_of(side: str, i: int):
+        return (F.shiftrightunsigned(F.col(side), offsets[i])
+                .bitwiseAND(F.lit(_mask(widths[i]))))
+
+    # Exactly-once emission without a distinct(): a pair whose hashes
+    # agree on k of the bands meets in all k buckets; only the LEAST
+    # matching band reports it.  "No earlier band matched" is a pure
+    # codegen conjunction over the recomputed band values, so dedup
+    # costs zero exchanges (the old distinct() shuffled the full
+    # pre-verify candidate set -- at 10M hashes that was ~60M rows
+    # for ~600k survivors).
+    first_band = [
+        (F.col('band') <= i) | (_band_of('sh_a', i) != _band_of('sh_b', i))
+        for i in range(bands - 1)
+    ]
+    cond = F.lit(True)
+    for c in first_band:
+        cond = cond & c
     near_reps = (
         left.join(right, ['band', 'bucket'])
         .filter(F.col('l.id') < F.col('r.id'))
         .select(F.col('l.id').alias('rep_a'), F.col('l.sh').alias('sh_a'),
-                F.col('r.id').alias('rep_b'), F.col('r.sh').alias('sh_b'))
-        .distinct()
+                F.col('r.id').alias('rep_b'), F.col('r.sh').alias('sh_b'),
+                'band')
         .withColumn('hamming', F.bit_count(
             F.col('sh_a').bitwiseXOR(F.col('sh_b'))))
-        .filter(F.col('hamming') <= max_hamming)
+        .filter((F.col('hamming') <= max_hamming) & cond)
         .select('rep_a', 'rep_b', 'hamming'))
 
     # Cross-group expansion: members inherit their reps' distance
@@ -1196,6 +1215,61 @@ def repetition_metrics(df: DataFrame, text_col='text',
         .alias('dup_line_char_frac'),
         F.coalesce('top_2gram_char_frac', F.lit(0.0))
         .alias('top_2gram_char_frac'))
+
+
+def bigram_lm_score(docs: DataFrame, text_col='text', id_col='doc_id',
+                    k: float = 0.5, decimals: int = 4) -> DataFrame:
+    """Corpus-trained bigram language-model score per document: the
+    mean log2 add-k-smoothed conditional probability of each token
+    given its predecessor,
+
+        score(d) = avg over bigrams (w1,w2) of
+                   log2((C(w1,w2) + k) / (C(w1,.) + k*V)),
+
+    with C(*) counted over the WHOLE corpus and V = distinct token
+    count -- the classic KenLM-style fluency/quality filter signal
+    (low score = token sequences the corpus itself finds improbable:
+    gibberish, boilerplate soup, wrong-language text).  Documents
+    with fewer than two tokens score null.
+
+    Shape at scale: the text tokenizes once into a (doc, w1, w2)
+    bigram stream (codegen ``slice``/``arrays_zip``, no lambda); the
+    two count tables are partial-agg groupBys over bigram/unigram
+    keys (map-side combine collapses repeated grams before the
+    shuffle); scoring re-joins the stream to the count tables on the
+    gram key -- AQE broadcasts them when they fit and absorbs
+    stopword-key skew otherwise; V rides a one-row broadcast
+    crossJoin.  The per-doc mean is one more partial agg.  At 100 TB
+    persist the bigram stream (it is consumed three times) or
+    pre-aggregate (doc_id, w1, w2, n) first; counts tables are
+    vocabulary-bounded, never corpus-bounded.  Rounded to
+    ``decimals`` so the float log2/avg is oracle-comparable.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    toks = docs.select(
+        F.col(id_col).alias('doc_id'),
+        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9']+"), 0)
+        .alias('_t'))
+    big = (toks.withColumn('_n', F.size('_t'))
+           .filter(F.col('_n') >= 2)
+           .select('doc_id', F.explode(F.arrays_zip(
+               F.slice('_t', 1, F.col('_n') - 1).alias('w1'),
+               F.slice('_t', 2, F.col('_n') - 1).alias('w2')))
+               .alias('p'))
+           .select('doc_id', 'p.w1', 'p.w2'))
+    c12 = big.groupBy('w1', 'w2').agg(F.count(F.lit(1)).alias('n12'))
+    c1 = big.groupBy('w1').agg(F.count(F.lit(1)).alias('n1'))
+    v = toks.select(F.explode('_t').alias('tok')) \
+        .agg(F.countDistinct('tok').alias('vocab'))
+    scored = (big.join(c12, ['w1', 'w2']).join(c1, 'w1')
+              .crossJoin(F.broadcast(v))
+              .groupBy('doc_id')
+              .agg(F.round(F.avg(F.log2(
+                  (F.col('n12') + F.lit(k))
+                  / (F.col('n1') + F.lit(k) * F.col('vocab')))),
+                  decimals).alias('lm_score')))
+    return (docs.select(F.col(id_col).alias('doc_id'))
+            .join(scored, 'doc_id', 'left'))
 
 
 # --- connected components over near-dup pair graphs ----------------------
