@@ -2715,6 +2715,191 @@ LEFT JOIN (SELECT doc_id, avg(lp) AS score FROM scored
 """
 
 
+# --- G18 grid DBSCAN ----------------------------------------------------
+
+_DB_EPS, _DB_MINPTS = 0.35, 4
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18: exact grid DBSCAN over a deterministic clustered corpus --
+    64 lattice blobs (3x3 spread) + 10% uniform background derived
+    from the orders keys.  Oracle: brute-force eps-pairs, core count,
+    recursive-CTE closure over the core graph, min-cluster border
+    attach (identical double arithmetic throughout)."""
+    from pytrs_spark.spatial.dbscan import dbscan
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    k = F.col('o_orderkey')
+    # Low-bit Weyl mixes for BOTH jitter axes: the anchor_xy high-bit
+    # lane is ~constant for small sequential keys (k*M << 2^62), which
+    # would collapse the blobs into 1-D lines.
+    u = ((k * F.lit(_PHASH_MULT)) % F.lit(2 ** 31)).cast('double') \
+        / F.lit(2.0 ** 31)
+    v = ((k * F.lit(1597334677)) % F.lit(2 ** 31)).cast('double') \
+        / F.lit(2.0 ** 31)
+    cx = F.lit(datagen.X0 + 3.0) + (k % 8).cast('double') * F.lit(5.5)
+    cy = F.lit(datagen.Y0 + 3.0) \
+        + ((k % 64) / 8).cast('long').cast('double') * F.lit(5.5)
+    bx = F.lit(datagen.X0) + u * F.lit(datagen.X1 - datagen.X0)
+    by = F.lit(datagen.Y0) + v * F.lit(datagen.Y1 - datagen.Y0)
+    pts = orders.filter(k % 3 == 0).select(
+        k.alias('id'),
+        F.when(k % 10 == 0, bx)
+        .otherwise(cx + u * F.lit(3.0) - F.lit(1.5)).alias('x'),
+        F.when(k % 10 == 0, by)
+        .otherwise(cy + v * F.lit(3.0) - F.lit(1.5)).alias('y'))
+    return dbscan(pts, eps=_DB_EPS, min_pts=_DB_MINPTS, point_id='id')
+
+
+_ORACLE_DBSCAN = f"""
+WITH RECURSIVE uv AS (
+  SELECT o_orderkey AS id,
+         ((o_orderkey * {_PHASH_MULT}) % 2147483648) / 2147483648.0 AS u,
+         ((o_orderkey * 1597334677) % 2147483648) / 2147483648.0 AS v
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+pts AS (
+  SELECT id,
+         CASE WHEN id % 10 = 0 THEN
+           {datagen.X0} + u * {datagen.X1 - datagen.X0} ELSE
+           ({datagen.X0 + 3.0} + (id % 8) * 5.5) + u * 3.0 - 1.5 END AS x,
+         CASE WHEN id % 10 = 0 THEN
+           {datagen.Y0} + v * {datagen.Y1 - datagen.Y0} ELSE
+           ({datagen.Y0 + 3.0} + ((id % 64) // 8) * 5.5)
+           + v * 3.0 - 1.5 END AS y
+  FROM uv
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a, pts b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_DB_EPS!r} * {_DB_EPS!r}
+),
+core AS (
+  SELECT ia AS id FROM pairs GROUP BY ia
+  HAVING count(*) >= {_DB_MINPTS}
+),
+ce AS (
+  SELECT ia, ib FROM pairs
+  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+),
+reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ce.ia, t.r FROM ce JOIN reach t ON ce.ib = t.id
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+border AS (
+  SELECT p.ia AS id, min(c.cluster_id) AS cluster_id
+  FROM pairs p JOIN comp c ON p.ib = c.id
+  WHERE p.ia NOT IN (SELECT id FROM core)
+  GROUP BY p.ia
+)
+SELECT pts.id,
+       COALESCE(comp.cluster_id, border.cluster_id) AS cluster_id,
+       CASE WHEN comp.id IS NOT NULL THEN 'core'
+            WHEN border.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts
+LEFT JOIN comp ON comp.id = pts.id
+LEFT JOIN border ON border.id = pts.id
+"""
+
+
+# --- T26 benchmark decontamination --------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26: train/test overlap filter -- corpus docs (doc_id % 13 != 0)
+    sharing any 8-token n-gram with the held-out benchmark slice
+    (doc_id % 13 = 0).  Oracle joins the gram STRINGS (the engine
+    joins xxhash64 keys; counts agree absent a 2^-64 collision)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    corpus = docs.filter(F.col('doc_id') % 13 != 0)
+    bench = docs.filter(F.col('doc_id') % 13 == 0)
+    return textops.decontaminate(corpus, bench, n=8)
+
+
+_ORACLE_DECON = """
+WITH corpus AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+')
+           AS t
+  FROM documents WHERE doc_id % 13 <> 0
+),
+bset AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9'']+')
+           AS t
+  FROM documents WHERE doc_id % 13 = 0
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM corpus WHERE len(t) >= 8)
+),
+bg AS (
+  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM bset WHERE len(t) >= 8)
+),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g)
+         GROUP BY doc_id)
+SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --- T27 PII masking -----------------------------------------------------
+
+
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27: regex PII scrub + per-kind counts.  Deterministic PII
+    (email/phone/SSN/IPv4 built from doc_id) is appended to every
+    document so the masking provably fires; oracle runs the IDENTICAL
+    pattern strings through DuckDB's RE2 (parity pinned by
+    tests/test_pii_decontam.py)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    d = F.col('doc_id')
+    txt = F.concat(
+        F.coalesce(F.col('text'), F.lit('')),
+        F.lit(' contact u'), d.cast('string'),
+        F.lit('@ex'), (d % 7).cast('string'),
+        F.lit('.org call 555-'),
+        F.lpad((d % 1000).cast('string'), 3, '0'), F.lit('-'),
+        F.lpad((d % 10000).cast('string'), 4, '0'),
+        F.lit(' ip 10.'), (d % 256).cast('string'),
+        F.lit('.0.'), ((d * 7) % 256).cast('string'),
+        F.lit(' ssn 123-45-'),
+        F.lpad((d % 10000).cast('string'), 4, '0'))
+    return textops.mask_pii(docs.select('doc_id', txt.alias('text')))
+
+
+def _pii_oracle() -> str:
+    masked = "txt"
+    sel = []
+    for kind, pat, repl in textops.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        sel.append(f"len(regexp_extract_all(txt, '{p}')) AS n_{kind}")
+        masked = f"regexp_replace({masked}, '{p}', '{repl}', 'g')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact u' || doc_id || '@ex'
+         || (doc_id % 7) || '.org call 555-'
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+         || ' ssn 123-45-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+  FROM documents
+)
+SELECT doc_id, {masked} AS masked, {', '.join(sel)} FROM d
+"""
+
+
+_ORACLE_PII = _pii_oracle()
+
+
 # --- T24 boilerplate strip --------------------------------------------
 
 
@@ -2871,6 +3056,9 @@ _RAW_QUERIES = {
         'image_keep_one': q_image_keep_one,
         'bbox_overlap': q_bbox_overlap,
         'lm_score': q_lm_score,
+        'dbscan': q_dbscan,
+        'decontaminate': q_decontaminate,
+        'mask_pii': q_mask_pii,
         # -- driver-verified green in CORRECTNESS_r03 --
         'tile_assign': q_tile_assign,
         'tile_assign_salted': q_tile_assign_salted,
@@ -2937,6 +3125,9 @@ def oracle_sql() -> dict[str, str]:
         'image_keep_one': _ORACLE_IMG_KEEP,
         'bbox_overlap': _ORACLE_BBOX,
         'lm_score': _ORACLE_LM,
+        'dbscan': _ORACLE_DBSCAN,
+        'decontaminate': _ORACLE_DECON,
+        'mask_pii': _ORACLE_PII,
         'tile_assign': _ORACLE_TILE,
         'tile_assign_salted': _ORACLE_TILE,
         'raster_tiles': _ORACLE_RASTER,

@@ -474,6 +474,42 @@ def main():
         lambda: bbox_overlap_join(_bl, _br, broadcast_right=True)
         .count(), runs=RUNS), 3)
 
+    # G18 grid DBSCAN at 200k points (64 lattice blobs + 10% uniform
+    # background, the CORRECTNESS corpus shape at bench scale): pair
+    # stream + core count + component rounds + border attach.
+    from pytrs_spark.spatial.dbscan import dbscan as _dbscan
+    _dk = F.col('id') + 1
+    _du = ((_dk * 2654435761) % (2 ** 31)).cast('double') / 2.0 ** 31
+    _dv = ((_dk * 1597334677) % (2 ** 31)).cast('double') / 2.0 ** 31
+    _dcx = F.lit(datagen.X0 + 3.0) + (_dk % 8).cast('double') * 5.5
+    _dcy = (F.lit(datagen.Y0 + 3.0)
+            + ((_dk % 64) / 8).cast('long').cast('double') * 5.5)
+    _dbx = F.lit(datagen.X0) + _du * (datagen.X1 - datagen.X0)
+    _dby = F.lit(datagen.Y0) + _dv * (datagen.Y1 - datagen.Y0)
+    _dpts = spark.range(200_000).select(
+        _dk.alias('id'),
+        F.when(_dk % 10 == 0, _dbx).otherwise(_dcx + _du * 3.0 - 1.5)
+        .alias('x'),
+        F.when(_dk % 10 == 0, _dby).otherwise(_dcy + _dv * 3.0 - 1.5)
+        .alias('y'))
+    queries['dbscan_200k'] = round(_median_time(
+        lambda: _dbscan(_dpts, eps=0.12, min_pts=4, res=9).groupBy('role')
+        .count().collect(), runs=RUNS), 3)
+
+    # T26 decontamination: corpus vs a held-out benchmark slice, 8-gram
+    # hash keys, benchmark side broadcast.
+    queries['decontaminate'] = round(_median_time(
+        lambda: textops.decontaminate(
+            docs.filter(F.col('doc_id') % 13 != 0),
+            docs.filter(F.col('doc_id') % 13 == 0), n=8)
+        .agg(F.sum('n_hits')).collect(), runs=RUNS), 3)
+
+    # T27 PII masking: pure-codegen regexp count+replace chain.
+    queries['mask_pii'] = round(_median_time(
+        lambda: textops.mask_pii(docs)
+        .agg(F.sum('n_email'), F.max(F.xxhash64('masked'))).collect(),
+        runs=RUNS), 3)
+
     # Deterministic hash sampling: codegen-native filter over the
     # biggest table we have (lineitem-scale via the images parquet is
     # spatial; use documents x a range blowup for a text-side count).

@@ -1380,6 +1380,105 @@ def keep_one(docs: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
                         F.col('component_id') == F.col(id_col)))
 
 
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 8,
+                  text_col: str = 'text', id_col: str = 'doc_id',
+                  bench_text_col: str = 'text') -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing
+    at least one ``n``-token n-gram with the held-out benchmark set
+    (the standard train/test-overlap filter run before training --
+    same n-gram-overlap rule GPT-3/PaLM/Llama report, n=8..13).
+
+    Returns ``(id_col, n_hits, contaminated)`` -- one row per input
+    doc; ``n_hits`` = how many DISTINCT benchmark n-grams the doc
+    contains (0 for clean docs).
+
+    Scale shape: both sides tokenize once (codegen
+    ``regexp_extract_all``) and emit n-gram keys via a native
+    ``transform``/``slice`` window sweep -- no Python, no quadratic
+    blowup.  The keys are 8-byte ``xxhash64`` values, so the join
+    shuffles (id, long) rows, never gram text (collision odds over G
+    grams ~ G^2/2^65 -- at 10^10 distinct grams that is ~0.003 extra
+    hits corpus-WIDE, and deterministic).  Doc-side grams dedupe
+    per-doc BEFORE the shuffle (``array_distinct`` inside the row);
+    the benchmark side collapses to its distinct gram set, which is
+    benchmark-bounded (small), so AQE broadcasts it and the corpus
+    side never shuffles at all.  Count = one partial agg; clean docs
+    rejoin via a left join against the (hits-only) count table.
+    """
+    if n < 1:
+        raise ValueError(f'n must be >= 1, got {n}')
+
+    def gram_hashes(tcol):
+        toks = F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(tcol), F.lit(''))),
+            F.lit(r"[a-z0-9']+"), 0)
+        m = F.size(toks) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), ' ')))
+        # sequence(1, m) with m < 1 would DESCEND (1, 0, ...); short
+        # docs have no n-gram at all.
+        return F.array_distinct(
+            F.when(m >= 1, grams).otherwise(F.array().cast('array<long>')))
+
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(gram_hashes(text_col)).alias('_g'))
+    bench_grams = (bench.select(
+        F.explode(gram_hashes(bench_text_col)).alias('_g'))
+        .distinct())
+    hits = (doc_grams.join(bench_grams, '_g')
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias('n_hits')))
+    return (docs.select(id_col)
+            .join(hits, id_col, 'left')
+            .select(id_col,
+                    F.coalesce('n_hits', F.lit(0)).alias('n_hits'),
+                    (F.coalesce('n_hits', F.lit(0)) > 0)
+                    .alias('contaminated')))
+
+
+#: (kind, pattern, replacement) -- applied in order.  Patterns stay in
+#: the RE2-compatible subset (no backrefs / lookaround) so the exact
+#: same strings run under Java regex (Spark) and RE2 (DuckDB oracle),
+#: and are mutually disjoint on any one span (SSN 3-2-4 never parses
+#: as phone 3-3-4; '@' breaks phone/IP digit runs) so count-then-mask
+#: is order-independent.
+PII_PATTERNS = [
+    ('email', r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     '<EMAIL>'),
+    ('ssn', r"\b\d{3}-\d{2}-\d{4}\b", '<SSN>'),
+    ('phone', r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", '<PHONE>'),
+    ('ipv4', r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", '<IP>'),
+]
+
+
+def mask_pii(docs: DataFrame, text_col: str = 'text',
+             id_col: str = 'doc_id') -> DataFrame:
+    """Regex PII scrubbing -- the pre-training redaction pass: mask
+    emails, SSNs, US-style phone numbers, and IPv4 addresses with
+    typed placeholder tokens, and report per-kind match counts (the
+    per-doc PII-density signal quality filters threshold on).
+
+    Returns ``(id_col, masked, n_email, n_ssn, n_phone, n_ipv4)``.
+
+    Scale shape: pure whole-stage codegen -- a ``regexp_count`` per
+    kind on the original text plus a sequential ``regexp_replace``
+    chain; no UDF, no shuffle, fully pushdown-compatible.  Counts are
+    taken on the ORIGINAL text (the patterns cannot overlap each
+    other's spans, so count-before-mask == count-during-mask).
+    """
+    masked = F.coalesce(F.col(text_col), F.lit(''))
+    cols = [F.col(id_col)]
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.coalesce(F.col(text_col), F.lit('')),
+                           F.lit(pat)).alias(f'n_{kind}'))
+        masked = F.regexp_replace(masked, pat, repl)
+    return docs.select(*cols, masked.alias('masked'), *counts)
+
+
 def char_entropy_col(text_col='text', decimals: int = 6):
     """Shannon entropy (bits/char) of the codepoint distribution per
     document -- the gibberish / compression-artifact quality signal
