@@ -1274,8 +1274,64 @@ def bigram_lm_score(docs: DataFrame, text_col='text', id_col='doc_id',
 
 # --- connected components over near-dup pair graphs ----------------------
 
+def _checkpoint_fresh(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that does NOT inherit the source plan's
+    size-estimate statistics.
+
+    Spark 4's ``localCheckpoint`` snapshots the source plan's
+    ``Statistics`` into the new ``LogicalRDD`` (``originStats``).  In
+    an iterative loop whose round plan self-joins the carried table,
+    each generation inherits the previous round's JOIN-PRODUCT
+    estimate and the next round squares it again: sizeInBytes grows
+    doubly-exponentially, and by ~round 20 the BigInteger stats
+    arithmetic itself kills the driver (measured on the 200k-point
+    DBSCAN core graph: per-round wall 1.3 s -> 11.5 s -> OOM at 1 GiB
+    heap; 'BigInteger would overflow supported range' at 48 GiB).
+    The plan TREE stays flat -- only the stats recurse.
+
+    Fix: rebuild the checkpointed LogicalRDD with ``originStats``
+    empty (public case-class ``copy``), so every generation reports
+    the conservative default estimate and per-round stats are
+    CONSTANT.  AQE still broadcast-plans small label tables at
+    runtime from actual shuffle sizes, so nothing is lost.  Fail-safe:
+    any reflection hiccup falls back to the plain checkpoint (correct,
+    just stats-inheriting).
+    """
+    ck = df.localCheckpoint()
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        node = jdf.queryExecution().analyzed()
+        jvm = spark._jvm
+        none = jvm.scala.Option.empty()
+        fresh = node.copy(node.output(), node.rdd(),
+                          node.outputPartitioning(),
+                          node.outputOrdering(), node.isStreaming(),
+                          node.stream(), jdf.sparkSession(), none, none)
+        jnew = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            jdf.sparkSession(), fresh)
+        return DataFrame(jnew, spark)
+    except Exception:  # noqa: BLE001 -- optimization only
+        return ck
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free a superseded label generation's checkpoint blocks.
+
+    ``localCheckpoint`` persists MEMORY_AND_DISK blocks that are only
+    garbage-collected when Python drops the last reference AND the
+    JVM ContextCleaner gets around to it; an iterative loop otherwise
+    accumulates one generation per round in the block manager.
+    Best-effort: failures are ignored (the GC path still applies).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
-                         max_iters: int = 25,
+                         max_iters: int = 50,
                          stats: dict = None) -> DataFrame:
     """Resolve a pairwise near-duplicate graph into dedup clusters:
     (doc_id, component_id) where component_id = the smallest doc id
@@ -1286,27 +1342,34 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     transitivity -- pairwise keep-one alone can drop both endpoints of
     an unseen A-C pair when A-B and B-C were found.
 
-    Algorithm: min-label propagation with pointer jumping --
-    per iteration every vertex takes the min of (its label, its
-    neighbors' labels), then labels contract one hop
-    (``comp = comp[comp]``), giving O(log diameter) convergence
-    instead of O(diameter).  Near-dup graphs are union-of-cliques-ish
-    (diameter rarely > 3), so 2-4 iterations are typical; the loop
-    stops at the measured fixpoint and raises past ``max_iters``
-    (25 doublings covers any graph this engine could hold).
+    Algorithm: min-label propagation + pointer jumping + edge
+    CONTRACTION -- per iteration every vertex takes the min of (its
+    label, its neighbors' labels), labels compress one hop
+    (``comp = comp[comp]``), and the edge set is rewritten through
+    the new labels with intra-supernode edges dropped.  Contraction
+    is what makes the bound O(log diameter) on EVERY graph shape:
+    without it the min floods one graph hop per round (jumping only
+    compresses the already-labeled tree, never the frontier), which
+    is O(diameter) -- measured 35+ rounds on a 200k-point DBSCAN core
+    graph vs 7 with contraction.  Near-dup clique graphs converge in
+    2-4 rounds either way; the loop stops at the measured fixpoint
+    and raises past ``max_iters``.
 
-    Scale shape: each iteration is two skinny shuffles (edge join +
-    min agg) over (long, long) rows.  The label generations are cut
-    over with ``localCheckpoint`` (eager), not ``persist``: an
-    iterative DataFrame loop that only persists keeps NESTING the
-    logical plan, and Catalyst re-analysis goes super-linear after
-    ~10 rounds (measured: a 50k-edge chain graph burned minutes of
-    pure driver/analyzer CPU before the fix, seconds after).
-    Checkpointing truncates the plan so per-round cost stays
-    constant.  On a real cluster localCheckpoint trades fault
-    tolerance of the (skinny) label table for speed; a lost executor
-    restarts the job from the last label generation at worst.
-    Deterministic: min() everywhere, no tie-breaks needed.
+    Scale shape: each iteration is a handful of skinny shuffles
+    (edge join + min agg + contraction distinct) over (long, long)
+    rows, and the contracted edge set SHRINKS geometrically, so late
+    rounds are near-free.  The label/edge generations are cut over
+    with ``localCheckpoint`` (eager), not ``persist``: an iterative
+    DataFrame loop that only persists keeps NESTING the logical plan,
+    and Catalyst re-analysis goes super-linear after ~10 rounds
+    (measured: a 50k-edge chain graph burned minutes of pure
+    driver/analyzer CPU before the fix, seconds after).  Each
+    generation's checkpoint is stats-stripped (``_checkpoint_fresh``)
+    and the superseded generation's blocks are freed eagerly.  On a
+    real cluster localCheckpoint trades fault tolerance of the
+    (skinny) tables for speed; a lost executor restarts the job from
+    the last generation at worst.  Deterministic: min() everywhere,
+    no tie-breaks needed.
 
     ``stats``: optional dict; on return ``stats['iterations']`` holds
     the number of propagation rounds run to reach the fixpoint
@@ -1316,9 +1379,14 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
                         F.col(id_b).alias('dst'))
            .unionByName(pairs.select(F.col(id_b).alias('src'),
                                      F.col(id_a).alias('dst'))))
-    edges = sym.distinct().persist()
+    # Checkpoint (not just persist) the initial edge set too: the
+    # contraction loop below replaces it per round, and every generation
+    # must be plan-truncated + stats-stripped + unpersistable the same
+    # way.
+    edges = _checkpoint_fresh(sym.distinct())
     labels = (edges.select(F.col('src').alias('id')).distinct()
-              .withColumn('comp', F.col('id')).localCheckpoint())
+              .withColumn('comp', F.col('id')))
+    labels = _checkpoint_fresh(labels)
     for it in range(max_iters):
         # neighbor-min: every vertex offers its component to its
         # neighbors; take the min of self and offers.
@@ -1336,14 +1404,43 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
                         .alias('t'), 'comp', 'left')
                   .select(F.col('id'),
                           F.least('comp', 'comp2').alias('comp')))
-        new_labels = jumped.localCheckpoint()   # eager; truncates plan
+        # eager checkpoint truncates the plan; _checkpoint_fresh also
+        # strips the inherited stats estimate (see its docstring: the
+        # self-join estimate would otherwise compound
+        # doubly-exponentially across generations)
+        new_labels = _checkpoint_fresh(jumped)
         changed = (new_labels.alias('n')
                    .join(labels.alias('o'), 'id')
                    .filter(F.col('n.comp') != F.col('o.comp'))
                    .count())
+        _unpersist_checkpoint(labels)   # superseded generation
         labels = new_labels
+        # Edge CONTRACTION: rewrite the (shrinking) edge set through
+        # the new labels and drop intra-supernode edges.  Without it
+        # the min floods ONE graph hop per round (pointer jumping only
+        # compresses already-labeled trees, it cannot help the
+        # frontier), so high-diameter geometric graphs -- DBSCAN core
+        # graphs, meshes -- cost O(diameter) rounds (measured: the
+        # 200k-point bench corpus needed 35+).  Contracted, a labeled
+        # region is ONE supernode, the flood moves a supernode hop per
+        # round, regions double in radius -> O(log diameter) rounds
+        # (same corpus: 8), and the per-round shuffle shrinks with the
+        # edge set instead of staying full-size.
+        if changed > 0:
+            new_edges = _checkpoint_fresh(
+                edges
+                .join(labels.select(F.col('id').alias('src'),
+                                    F.col('comp').alias('_cs')), 'src')
+                .join(labels.select(F.col('id').alias('dst'),
+                                    F.col('comp').alias('_cd')), 'dst')
+                .filter(F.col('_cs') != F.col('_cd'))
+                .select(F.col('_cs').alias('src'),
+                        F.col('_cd').alias('dst'))
+                .distinct())
+            _unpersist_checkpoint(edges)
+            edges = new_edges
         if changed == 0:
-            edges.unpersist()
+            _unpersist_checkpoint(edges)
             if stats is not None:
                 stats['iterations'] = it + 1
             return labels.select(F.col('id').alias('doc_id'),
