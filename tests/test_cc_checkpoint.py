@@ -1,0 +1,85 @@
+"""Regression tests for the iterative-checkpoint hygiene in
+``connected_components`` (the round-4 driver-killer).
+
+Spark 4's ``localCheckpoint`` snapshots the source plan's size
+estimate into the new ``LogicalRDD`` (``originStats``); in a loop
+whose round plan self-joins the carried table, each generation
+inherits the previous round's join-product estimate and the next
+round squares it again -- doubly-exponential ``sizeInBytes`` until the
+BigInteger stats arithmetic kills the driver (measured ~round 20 on
+the 200k-point DBSCAN core graph).  ``_checkpoint_fresh`` strips the
+inherited stats; these tests pin that behavior and the loop's bounded
+round count on a high-diameter geometric graph shape.
+"""
+
+from pyspark.sql import functions as F
+
+from pytrs_spark.operators.textops import (_checkpoint_fresh,
+                                           connected_components)
+
+
+def _size_in_bytes(df):
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes()))
+
+
+def test_checkpoint_fresh_strips_inherited_stats(spark):
+    base = spark.range(1000).select('id', (F.col('id') % 7).alias('k'))
+    ck0 = _checkpoint_fresh(base)
+    # one self-join round: the plain checkpoint INHERITS the join
+    # product; the fresh checkpoint must not.
+    joined = ck0.alias('a').join(
+        ck0.select(F.col('k'), F.col('id').alias('id2')).alias('b'), 'k')
+    inherited = joined.localCheckpoint()
+    stripped = _checkpoint_fresh(joined)
+    s_join = _size_in_bytes(joined)
+    assert _size_in_bytes(inherited) == s_join   # the Spark 4 behavior
+    assert _size_in_bytes(stripped) != s_join    # the fix
+    # and the fix must not change the data
+    assert stripped.count() == inherited.count()
+    a = sorted(tuple(r) for r in stripped.collect())
+    b = sorted(tuple(r) for r in inherited.collect())
+    assert a == b
+
+
+def test_checkpoint_stats_bounded_across_generations(spark):
+    """Iterating fresh checkpoints through self-joins keeps the size
+    estimate CONSTANT per generation (the inherited variant grows
+    ~quadratically per round and would overflow past ~20)."""
+    df = _checkpoint_fresh(
+        spark.range(100).select('id', (F.col('id') % 5).alias('k')))
+    first = None
+    for _ in range(4):
+        j = df.alias('a').join(
+            df.select('id', F.col('k').alias('k2')).alias('b'), 'id') \
+            .select('id', 'k')
+        df = _checkpoint_fresh(j)
+        s = _size_in_bytes(df)
+        if first is None:
+            first = s
+        assert s == first
+
+
+def test_cc_geometric_grid_bounded_rounds(spark):
+    """A 40x40 4-neighbor grid graph (diameter 78): pure min-label
+    flooding needs ~diameter rounds; contraction + jumping must stay
+    log-bounded.  Also pins exact min-id labels on a known graph."""
+    n = 40
+    cells = spark.range(n * n).select(
+        (F.col('id') % n).alias('x'), (F.col('id') / n).cast('long')
+        .alias('y'), F.col('id').alias('v'))
+    right = cells.filter(F.col('x') < n - 1).select(
+        F.col('v').alias('id_a'), (F.col('v') + 1).alias('id_b'))
+    down = cells.filter(F.col('y') < n - 1).select(
+        F.col('v').alias('id_a'), (F.col('v') + n).alias('id_b'))
+    edges = right.unionByName(down)
+    st = {}
+    comp = connected_components(edges, stats=st)
+    rows = comp.agg(F.countDistinct('component_id').alias('nc'),
+                    F.min('component_id').alias('mn'),
+                    F.max('component_id').alias('mx'),
+                    F.count('*').alias('nv')).collect()[0]
+    assert rows['nc'] == 1 and rows['mn'] == 0 and rows['mx'] == 0
+    assert rows['nv'] == n * n
+    # diameter 78; contraction keeps rounds ~log2: allow generous slack
+    assert st['iterations'] <= 14, st
