@@ -53,17 +53,36 @@ from .radius import radius_join
 DBSCAN_RES = 8
 
 
+#: Above this many points the eps-pair stage stops broadcasting the
+#: cell-disk side (the "centers" of the self-join are the WHOLE corpus
+#: -- broadcasting it is the polygon-layer trap at planetary scale)
+#: and degrades to the always-correct cell equi-join.
+BROADCAST_MAX_POINTS = 2_000_000
+
+
 def dbscan(points: DataFrame, eps: float, min_pts: int,
            res: int = DBSCAN_RES, point_id: str = 'id',
-           broadcast: bool = True) -> DataFrame:
+           broadcast: bool | str = 'auto') -> DataFrame:
     """Cluster ``points`` (``(point_id, x, y)``) with exact DBSCAN.
 
     Returns ``(point_id, cluster_id, role)`` -- one row per input
     point; ``role`` in {'core','border','noise'}; ``cluster_id`` is
     the smallest member core id (null for noise).
+
+    ``broadcast``: the eps-pair radius self-join can broadcast the
+    cell-disk side (fastest when the corpus fits an executor) or
+    shuffle both sides on the cell key (the only shape that works at
+    10^12 points, since the "centers" here ARE the corpus).
+    ``'auto'`` (default) counts the skinny id column once and
+    broadcasts only under ``BROADCAST_MAX_POINTS`` -- the same
+    size-gated-broadcast convention as the fused-assign polygon guard
+    and the jaccard bitmap-verify guard.
     """
     if min_pts < 1:
         raise ValueError(f'min_pts must be >= 1, got {min_pts}')
+    if broadcast == 'auto':
+        broadcast = (points.select(point_id).limit(
+            BROADCAST_MAX_POINTS + 1).count() <= BROADCAST_MAX_POINTS)
     centers = points.select(F.col(point_id).alias('_c'),
                             F.col('x').alias('cx'),
                             F.col('y').alias('cy'))

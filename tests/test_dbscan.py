@@ -92,7 +92,7 @@ def test_chain_merges_through_cores(spark):
     assert all(v[1] == 'core' for v in got.values())
 
 
-@pytest.mark.parametrize('broadcast', [True, False])
+@pytest.mark.parametrize('broadcast', [True, False, 'auto'])
 @pytest.mark.parametrize('seed,eps,min_pts', [(7, 0.4, 4), (11, 0.7, 3)])
 def test_random_vs_bruteforce(spark, seed, eps, min_pts, broadcast):
     rng = np.random.RandomState(seed)
