@@ -238,7 +238,11 @@ def stringify_tracts(df: DataFrame, attributes, doc_col: str = None,
             (F.row_number().over(
                 Window.partitionBy('_pid').orderBy(doc_col))
              + off_expr).alias('_doc_num'))
-        df = df.join(F.broadcast(doc_nums), doc_col)
+        # No broadcast hint: doc_nums is one row per distinct doc in
+        # the export (same size class as df itself), so forcing a
+        # broadcast is a driver/executor-memory trap on large exports.
+        # AQE still broadcasts it at runtime when it measures small.
+        df = df.join(doc_nums, doc_col)
         wdoc = Window.partitionBy(doc_col)
         worder = wdoc.orderBy('orig_index')
         cols.append(uid_col(
