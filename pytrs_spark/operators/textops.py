@@ -1384,6 +1384,7 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     # must be plan-truncated + stats-stripped + unpersistable the same
     # way.
     edges = _checkpoint_fresh(sym.distinct())
+    n_edges = edges.count()
     labels = (edges.select(F.col('src').alias('id')).distinct()
               .withColumn('comp', F.col('id')))
     labels = _checkpoint_fresh(labels)
@@ -1409,12 +1410,7 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
         # self-join estimate would otherwise compound
         # doubly-exponentially across generations)
         new_labels = _checkpoint_fresh(jumped)
-        changed = (new_labels.alias('n')
-                   .join(labels.alias('o'), 'id')
-                   .filter(F.col('n.comp') != F.col('o.comp'))
-                   .count())
-        _unpersist_checkpoint(labels)   # superseded generation
-        labels = new_labels
+        old_labels, labels = labels, new_labels
         # Edge CONTRACTION: rewrite the (shrinking) edge set through
         # the new labels and drop intra-supernode edges.  Without it
         # the min floods ONE graph hop per round (pointer jumping only
@@ -1424,9 +1420,9 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
         # 200k-point bench corpus needed 35+).  Contracted, a labeled
         # region is ONE supernode, the flood moves a supernode hop per
         # round, regions double in radius -> O(log diameter) rounds
-        # (same corpus: 8), and the per-round shuffle shrinks with the
+        # (same corpus: 7), and the per-round shuffle shrinks with the
         # edge set instead of staying full-size.
-        if changed > 0:
+        if n_edges > 0:
             new_edges = _checkpoint_fresh(
                 edges
                 .join(labels.select(F.col('id').alias('src'),
@@ -1438,7 +1434,23 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
                         F.col('_cd').alias('dst'))
                 .distinct())
             _unpersist_checkpoint(edges)
+            _unpersist_checkpoint(old_labels)
             edges = new_edges
+            # While contracted edges remain, the loop is PROVABLY not
+            # converged (a cross-supernode edge either reduces a label
+            # next round or is dropped by the next contraction), so
+            # the convergence probe is a cheap count over the freshly
+            # materialized skinny edge set -- not a label-table join.
+            n_edges = edges.count()
+            continue
+        # Edges are gone: only pointer-jump settling remains (members
+        # catching up to their representative's final label, 1-2
+        # rounds).  Now probe label stability directly.
+        changed = (labels.alias('n')
+                   .join(old_labels.alias('o'), 'id')
+                   .filter(F.col('n.comp') != F.col('o.comp'))
+                   .count())
+        _unpersist_checkpoint(old_labels)
         if changed == 0:
             _unpersist_checkpoint(edges)
             if stats is not None:
