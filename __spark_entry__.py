@@ -2900,6 +2900,45 @@ SELECT doc_id, {masked} AS masked, {', '.join(sel)} FROM d
 _ORACLE_PII = _pii_oracle()
 
 
+# --- T28 sequence packing -------------------------------------------------
+
+_PACK_C, _PACK_SHARDS = 256, 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28: GPT-style sequence packing of the documents corpus into
+    256-token windows across 8 spec'd-hash shards.  Oracle re-derives
+    the shard mix, the running token offsets, and the window spans in
+    raw SQL (identical int64 div arithmetic)."""
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return textops.pack_sequences(docs, _PACK_C, n_shards=_PACK_SHARDS)
+
+
+_ORACLE_PACK = _mix_ctes(0) + f"""
+, tok AS (
+  SELECT d.doc_id, CAST(mix.h % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len(regexp_extract_all(lower(coalesce(d.text, '')),
+                                     '[a-z0-9'']+')) AS BIGINT) AS n
+  FROM documents d JOIN mix USING (doc_id)
+), nz AS (
+  SELECT * FROM tok WHERE n > 0
+), off AS (
+  SELECT doc_id, shard, n,
+         CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS s
+  FROM nz
+)
+SELECT shard, ch AS chunk_id, doc_id,
+       GREATEST(0, ch * {_PACK_C} - s) AS begin_tok,
+       LEAST(n, (ch + 1) * {_PACK_C} - s) AS end_tok,
+       LEAST(n, (ch + 1) * {_PACK_C} - s)
+         - GREATEST(0, ch * {_PACK_C} - s) AS n_tok
+FROM off, unnest(generate_series(s // {_PACK_C},
+                                 (s + n - 1) // {_PACK_C})) AS t(ch)
+"""
+
+
 # --- T24 boilerplate strip --------------------------------------------
 
 
@@ -3059,6 +3098,7 @@ _RAW_QUERIES = {
         'dbscan': q_dbscan,
         'decontaminate': q_decontaminate,
         'mask_pii': q_mask_pii,
+        'pack_sequences': q_pack_sequences,
         # -- driver-verified green in CORRECTNESS_r03 --
         'tile_assign': q_tile_assign,
         'tile_assign_salted': q_tile_assign_salted,
@@ -3128,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         'dbscan': _ORACLE_DBSCAN,
         'decontaminate': _ORACLE_DECON,
         'mask_pii': _ORACLE_PII,
+        'pack_sequences': _ORACLE_PACK,
         'tile_assign': _ORACLE_TILE,
         'tile_assign_salted': _ORACLE_TILE,
         'raster_tiles': _ORACLE_RASTER,

@@ -532,6 +532,11 @@ def main():
         .agg(F.sum('n_email'), F.max(F.xxhash64('masked'))).collect(),
         runs=RUNS), 3)
 
+    # T28 sequence packing: window running-sum + native span explode.
+    queries['pack_sequences'] = round(_median_time(
+        lambda: textops.pack_sequences(docs, 256, n_shards=8)
+        .agg(F.count(F.lit(1)), F.sum('n_tok')).collect(), runs=RUNS), 3)
+
     # Deterministic hash sampling: codegen-native filter over the
     # biggest table we have (lineitem-scale via the images parquet is
     # spatial; use documents x a range blowup for a text-side count).

@@ -1588,6 +1588,65 @@ def mask_pii(docs: DataFrame, text_col: str = 'text',
     return docs.select(*cols, masked.alias('masked'), *counts)
 
 
+def pack_sequences(docs: DataFrame, context_len: int,
+                   n_shards: int = 64, text_col: str = 'text',
+                   id_col: str = 'doc_id') -> DataFrame:
+    """GPT-style sequence packing: concatenate each shard's token
+    stream in deterministic doc-id order and chop it into fixed
+    ``context_len`` windows (the standard pretraining layout -- no
+    padding waste, documents split across window boundaries).
+
+    Returns one span row per (doc, window) intersection:
+    ``(shard, chunk_id, id_col, begin_tok, end_tok, n_tok)`` --
+    ``begin_tok``/``end_tok`` are token offsets INSIDE the doc (end
+    exclusive, house tokenizer ``[a-z0-9']+`` over lowered text), so
+    window ``(shard, chunk_id)``'s content is exactly its spans
+    concatenated in ``id_col`` order, and every window except each
+    shard's last holds exactly ``context_len`` tokens.  Zero-token
+    docs cannot appear in any window and are dropped (documented).
+
+    Scale shape: shard = spec'd ``hash_mix(id) % n_shards``
+    (reproducible on any cluster layout, oracle-derivable in SQL);
+    ONE shuffle to shard-partition, one window sort per shard for the
+    running token offset (shards are the parallelism unit -- size
+    n_shards to the cluster, exactly like a distributed writer's
+    output files), then the chunk span explodes natively with
+    ``sequence`` (≤ n_tok/context_len + 1 rows per doc).  All offsets
+    are exact int64 `div` arithmetic -- no doubles, no UDF, no
+    driver state.
+    """
+    from .sampling import hash_mix
+    if context_len < 1:
+        raise ValueError(f'context_len must be >= 1, got {context_len}')
+    if n_shards < 1:
+        raise ValueError(f'n_shards must be >= 1, got {n_shards}')
+    low = F.lower(F.coalesce(F.col(text_col), F.lit('')))
+    toks = (docs.select(
+        F.col(id_col),
+        (hash_mix(F.col(id_col)) % n_shards).cast('int').alias('shard'),
+        F.regexp_count(low, F.lit(r"[a-z0-9']+")).cast('long')
+        .alias('_n'))
+        .filter(F.col('_n') > 0))
+    w = (Window.partitionBy('shard').orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    C = int(context_len)
+    spans = toks.withColumn(
+        '_s', F.coalesce(F.sum('_n').over(w), F.lit(0)))
+    first = F.expr(f'_s div {C}')
+    last = F.expr(f'(_s + _n - 1) div {C}')
+    return (spans
+            .select('shard', id_col, '_s', '_n',
+                    F.explode(F.sequence(first, last)).alias('chunk_id'))
+            .select('shard', 'chunk_id', F.col(id_col),
+                    F.greatest(F.lit(0).cast('long'),
+                               F.col('chunk_id') * C - F.col('_s'))
+                    .alias('begin_tok'),
+                    F.least(F.col('_n'),
+                            (F.col('chunk_id') + 1) * C - F.col('_s'))
+                    .alias('end_tok'))
+            .withColumn('n_tok', F.col('end_tok') - F.col('begin_tok')))
+
+
 def char_entropy_col(text_col='text', decimals: int = 6):
     """Shannon entropy (bits/char) of the codepoint distribution per
     document -- the gibberish / compression-artifact quality signal
