@@ -805,6 +805,24 @@ def main():
     ann_ivfpq_recall_clustered = round(
         len(ctruth & civfpq) / max(len(ctruth), 1), 3)
 
+    # IVF-PQ with the held-out-calibrated nprobe: the composed path's
+    # answer to structureless corpora (fixed nprobe=4 under-recalls
+    # there exactly like plain IVF).
+    queries['ann_ivfpq_auto'] = round(_median_time(
+        lambda: ivfpq_topk(emb, q, k=10, n_cells=32, nprobe='auto',
+                           m=8, rerank=64).count(), runs=RUNS), 3)
+    apq_got = {(r['query_id'], r['vec_id'])
+               for r in ivfpq_topk(emb, q, k=10, n_cells=32,
+                                   nprobe='auto', m=8,
+                                   rerank=64).collect()}
+    ann_ivfpq_auto_recall = round(
+        len(truth & apq_got) / max(len(truth), 1), 3)
+    capq = {(r['query_id'], r['vec_id'])
+            for r in ivfpq_topk(cemb, cq, k=10, n_cells=32,
+                                nprobe='auto', m=8, rerank=64).collect()}
+    ann_ivfpq_auto_recall_clustered = round(
+        len(ctruth & capq) / max(len(ctruth), 1), 3)
+
     queries['dedup_embedding'] = round(_median_time(
         lambda: embedding_near_dup_pairs(emb, threshold=0.4).count(),
         runs=RUNS), 3)
@@ -835,6 +853,9 @@ def main():
         'ann_pq_recall_at_10_clustered': ann_pq_recall_clustered,
         'ann_ivfpq_recall_at_10': ann_ivfpq_recall,
         'ann_ivfpq_recall_at_10_clustered': ann_ivfpq_recall_clustered,
+        'ann_ivfpq_auto_recall_at_10': ann_ivfpq_auto_recall,
+        'ann_ivfpq_auto_recall_at_10_clustered':
+            ann_ivfpq_auto_recall_clustered,
         'zorder_files': zorder_files,
     }
     print(json.dumps(result))
