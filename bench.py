@@ -53,8 +53,9 @@ def _settle():
 
 
 def _median_time(fn, runs=RUNS):
-    _settle()
-    fn()   # untimed warm-up: JIT, page faults, broadcast builds
+    fn()        # untimed warm-up: JIT, page faults, broadcast builds
+    _settle()   # AFTER the warm-up, so its garbage is collected
+    #             before -- not inside -- the first timed window
     times = []
     for _ in range(runs):
         t0 = time.time()
@@ -129,10 +130,22 @@ def scaling_child():
         assign_images_to_tiles(images, polygons, payload_cols=()) \
             .select(F.max(F.xxhash64('image_id', 'trs', 'qq'))).collect()
 
-    run()   # warm workers; not timed
+    global _ACTIVE_SPARK
+    _ACTIVE_SPARK = spark
+    run()       # warm workers; not timed
+    _settle()   # collect warm-up garbage before the steal window opens
+    # Time the runs inline (NOT via _median_time, which would add a
+    # second untimed warm-up pass): the steal annotation must cover
+    # EXACTLY the timed window, or a storm landing in an untimed pass
+    # mislabels a clean sample (and vice versa).
     st0 = _steal_jiffies()
     t0 = time.time()
-    wall = _median_time(run)
+    times = []
+    for _ in range(RUNS):
+        t1 = time.time()
+        run()
+        times.append(time.time() - t1)
+    wall = statistics.median(times)
     elapsed = time.time() - t0
     # Stolen-core estimate over the timed window (jiffies are 10 ms):
     # annotates how contended this sample was so scaling_main can pick
@@ -496,24 +509,11 @@ def main():
         lambda: bbox_overlap_join(_bl, _br, broadcast_right=True)
         .count(), runs=RUNS), 3)
 
-    # G18 grid DBSCAN at 200k points (64 lattice blobs + 10% uniform
-    # background, the CORRECTNESS corpus shape at bench scale): pair
-    # stream + core count + component rounds + border attach.
+    # G18 grid DBSCAN at 200k points (shared blob corpus -- the same
+    # generator the scale probe runs): pair stream + core count +
+    # component rounds + border attach.
     from pytrs_spark.spatial.dbscan import dbscan as _dbscan
-    _dk = F.col('id') + 1
-    _du = ((_dk * 2654435761) % (2 ** 31)).cast('double') / 2.0 ** 31
-    _dv = ((_dk * 1597334677) % (2 ** 31)).cast('double') / 2.0 ** 31
-    _dcx = F.lit(datagen.X0 + 3.0) + (_dk % 8).cast('double') * 5.5
-    _dcy = (F.lit(datagen.Y0 + 3.0)
-            + ((_dk % 64) / 8).cast('long').cast('double') * 5.5)
-    _dbx = F.lit(datagen.X0) + _du * (datagen.X1 - datagen.X0)
-    _dby = F.lit(datagen.Y0) + _dv * (datagen.Y1 - datagen.Y0)
-    _dpts = spark.range(200_000).select(
-        _dk.alias('id'),
-        F.when(_dk % 10 == 0, _dbx).otherwise(_dcx + _du * 3.0 - 1.5)
-        .alias('x'),
-        F.when(_dk % 10 == 0, _dby).otherwise(_dcy + _dv * 3.0 - 1.5)
-        .alias('y'))
+    _dpts = datagen.gen_blob_points(spark, 200_000)
     queries['dbscan_200k'] = round(_median_time(
         lambda: _dbscan(_dpts, eps=0.12, min_pts=4, res=9).groupBy('role')
         .count().collect(), runs=RUNS), 3)

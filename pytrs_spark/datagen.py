@@ -219,3 +219,33 @@ def gen_descs(spark: SparkSession) -> DataFrame:
                 rows.append((doc_id, _doc_text(twp, rge, block, style)))
                 doc_id += 1
     return spark.createDataFrame(rows, "doc_id long, raw_desc string")
+
+
+def gen_blob_points(spark: SparkSession, n_rows: int):
+    """Deterministic clustered point cloud for the density operators
+    (G18 DBSCAN bench + `scripts/dbscan_scale_probe.py` share this
+    single definition): 64 lattice blobs (8x8 grid of 5.5-spaced
+    centers, 3x3 uniform spread) plus 10% uniform background over the
+    full plane extent, all pure column arithmetic -- no driver
+    materialization, identical at any parallelism.
+
+    Returns ``(id, x, y)`` with ``id`` in 1..n_rows.
+    """
+    from pyspark.sql import functions as F
+    k = F.col('id') + 1
+    # Low-bit Weyl mixes for BOTH jitter axes: a high-bit lane is
+    # ~constant for small sequential keys and would collapse the
+    # blobs into 1-D lines.
+    u = ((k * 2654435761) % (2 ** 31)).cast('double') / 2.0 ** 31
+    v = ((k * 1597334677) % (2 ** 31)).cast('double') / 2.0 ** 31
+    cx = F.lit(X0 + 3.0) + (k % 8).cast('double') * 5.5
+    cy = (F.lit(Y0 + 3.0)
+          + ((k % 64) / 8).cast('long').cast('double') * 5.5)
+    bx = F.lit(X0) + u * (X1 - X0)
+    by = F.lit(Y0) + v * (Y1 - Y0)
+    return spark.range(n_rows).select(
+        k.alias('id'),
+        F.when(k % 10 == 0, bx).otherwise(cx + u * 3.0 - 1.5)
+        .alias('x'),
+        F.when(k % 10 == 0, by).otherwise(cy + v * 3.0 - 1.5)
+        .alias('y'))

@@ -1311,8 +1311,25 @@ def _checkpoint_fresh(df: DataFrame) -> DataFrame:
         jnew = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
             jdf.sparkSession(), fresh)
         return DataFrame(jnew, spark)
-    except Exception:  # noqa: BLE001 -- optimization only
+    except Exception as ex:  # noqa: BLE001 -- degraded, not fatal
+        # The fallback is CORRECT but re-enters the documented
+        # stats-inheritance blowup past ~15 iterative rounds -- warn
+        # once so a Spark-upgrade-induced reflection break is visible
+        # instead of resurfacing as a mystery driver OOM.
+        global _CKPT_STRIP_WARNED
+        if not _CKPT_STRIP_WARNED:
+            _CKPT_STRIP_WARNED = True
+            warnings.warn(
+                'checkpoint stats-strip failed '
+                f'({type(ex).__name__}: {ex}); iterative loops fall '
+                'back to stats-inheriting checkpoints, which blow up '
+                'the size estimate past ~15 rounds -- check the '
+                'LogicalRDD.copy reflection against this Spark '
+                'version', RuntimeWarning)
         return ck
+
+
+_CKPT_STRIP_WARNED = False
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:
@@ -1457,6 +1474,10 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
                 stats['iterations'] = it + 1
             return labels.select(F.col('id').alias('doc_id'),
                                  F.col('comp').alias('component_id'))
+    # free the final generations before raising: a driver that catches
+    # and retries must not accumulate orphaned checkpoint blocks
+    _unpersist_checkpoint(edges)
+    _unpersist_checkpoint(labels)
     raise RuntimeError(
         f'connected_components did not converge in {max_iters} '
         f'iterations -- graph diameter beyond 2^{max_iters}?')
@@ -1604,6 +1625,11 @@ def pack_sequences(docs: DataFrame, context_len: int,
     concatenated in ``id_col`` order, and every window except each
     shard's last holds exactly ``context_len`` tokens.  Zero-token
     docs cannot appear in any window and are dropped (documented).
+
+    Precondition: ``id_col`` must be UNIQUE (it is the document key).
+    In-shard order is ``ORDER BY id_col``, so duplicate ids would make
+    the tie order -- and therefore every downstream offset --
+    partition-layout-dependent; dedupe first (T1/T16) if unsure.
 
     Scale shape: shard = spec'd ``hash_mix(id) % n_shards``
     (reproducible on any cluster layout, oracle-derivable in SQL);

@@ -34,19 +34,9 @@ from pytrs_spark.spatial.dbscan import dbscan
 
 
 def build_points(spark, n: int):
-    """Deterministic 64-blob + 10% background cloud (bench shape)."""
-    k = F.col('id') + 1
-    u = ((k * 2654435761) % (2 ** 31)).cast('double') / 2.0 ** 31
-    v = ((k * 1597334677) % (2 ** 31)).cast('double') / 2.0 ** 31
-    cx = F.lit(datagen.X0 + 3.0) + (k % 8).cast('double') * 5.5
-    cy = (F.lit(datagen.Y0 + 3.0)
-          + ((k % 64) / 8).cast('long').cast('double') * 5.5)
-    bx = F.lit(datagen.X0) + u * (datagen.X1 - datagen.X0)
-    by = F.lit(datagen.Y0) + v * (datagen.Y1 - datagen.Y0)
-    return spark.range(n).select(
-        k.alias('id'),
-        F.when(k % 10 == 0, bx).otherwise(cx + u * 3.0 - 1.5).alias('x'),
-        F.when(k % 10 == 0, by).otherwise(cy + v * 3.0 - 1.5).alias('y'))
+    """Shared deterministic blob corpus (``datagen.gen_blob_points``
+    -- the SAME definition the bench's dbscan_200k stage uses)."""
+    return datagen.gen_blob_points(spark, n)
 
 
 def main():
