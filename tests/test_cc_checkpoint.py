@@ -60,6 +60,36 @@ def test_checkpoint_stats_bounded_across_generations(spark):
         assert s == first
 
 
+def test_checkpoint_fresh_fallback_warns_once(spark, monkeypatch):
+    """If the LogicalRDD.copy reflection breaks (e.g. a Spark upgrade
+    renames the case-class fields), ``_checkpoint_fresh`` must degrade
+    to the plain (stats-inheriting) checkpoint -- correct data -- and
+    warn exactly once so the regression is visible, not a mystery
+    driver OOM twenty rounds later."""
+    import warnings
+
+    import pytest
+
+    import pytrs_spark.operators.textops as t
+
+    def _boom(*_a, **_k):
+        raise RuntimeError('injected reflection break')
+
+    # Fail the final wrap step inside the strip's try block.
+    monkeypatch.setattr(t, 'DataFrame', _boom)
+    monkeypatch.setattr(t, '_CKPT_STRIP_WARNED', False)
+    base = spark.range(10)
+    with pytest.warns(RuntimeWarning, match='stats-strip failed'):
+        out = t._checkpoint_fresh(base)
+    assert out.count() == 10  # degraded, not broken
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        out2 = t._checkpoint_fresh(base)
+    assert out2.count() == 10
+    assert not [w for w in caught
+                if 'stats-strip failed' in str(w.message)]
+
+
 def test_cc_geometric_grid_bounded_rounds(spark):
     """A 40x40 4-neighbor grid graph (diameter 78): pure min-label
     flooding needs ~diameter rounds; contraction + jumping must stay
