@@ -783,10 +783,40 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
         bands=bands, max_bucket=max_bucket, drop_stats=drop_stats)
 
 
+def _hamming_pick_blocks(n_keys: int, k: int) -> int:
+    """Smallest block count ``m`` (Manku et al., WWW'07) whose anchor
+    keys keep expected bucket occupancy <= 8 at ``n_keys`` distinct
+    hashes, with the table count C(m, k) capped at 64.
+
+    Each of the C(m, k) tables keys on the m-k blocks OUTSIDE one
+    k-subset, an anchor of ~64*(m-k)/m bits: raising m buys
+    exponentially more buckets for a polynomial table-count price.
+    m = k+1 (single-block anchors, ~64/(k+1) bits) is the classic
+    minimum and stays the pick for small corpora -- the extra tables
+    only pay once the single-block buckets are dense enough to make
+    the candidate self-join quadratic.
+    """
+    from math import comb
+    best = k + 1
+    for m in range(k + 1, 65):
+        if comb(m, k) > 64:
+            break
+        best = m
+        base_w, extra = divmod(64, m)
+        n_base = m - extra          # blocks of width base_w
+        take = m - k                # anchor = m-k narrowest blocks
+        min_anchor = (take * base_w if take <= n_base
+                      else n_base * base_w + (take - n_base) * (base_w + 1))
+        if n_keys <= 8 * (1 << min(min_anchor, 62)):
+            return m
+    return best
+
+
 def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
                            hash_col: str = 'sh',
                            max_hamming: int = 3,
                            bands: int = None,
+                           n_blocks: int = None,
                            max_bucket: int = None,
                            drop_stats: dict = None) -> DataFrame:
     """All id pairs whose 64-bit hash values differ in at most
@@ -798,41 +828,90 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
     same exact-recall machinery dedups a 10^12-image corpus with one
     (int64, int64) shuffle.  Output ``(id_a, id_b, hamming)``,
     id_a < id_b.
+
+    ``n_blocks`` is the Manku et al. (WWW'07) block count ``m``: the
+    64 bits split into m contiguous blocks and each of the C(m, k)
+    tables (k = ``max_hamming``) keys on the m-k blocks outside one
+    k-subset.  Two hashes within Hamming k differ in at most k
+    blocks, so at least one table's anchor matches -- recall is
+    exactly 1 for every m >= k+1.  What m buys is bucket count: the
+    m = k+1 minimum anchors a single ~64/(k+1)-bit block (2^21
+    buckets at k=2), so candidate pairs grow as n^2 / 2^21 -- fine to
+    a few million distinct hashes, quadratic beyond.  m = 4 at k = 2
+    widens anchors to 32 bits (2^32 buckets) for 6 tables instead of
+    3, flattening the same corpus back to ~linear.  Default
+    (``n_blocks=None`` with ``bands`` unset) picks m from the
+    measured key count (one ``approx_count_distinct`` pass,
+    occupancy <= 8 target); the legacy ``bands`` parameter pins the
+    single-block m = k+1 layout.
     """
-    if bands is None:
-        bands = max_hamming + 1
-    if bands != max_hamming + 1:
-        raise ValueError(
-            'bands must equal max_hamming + 1 (the exact-recall '
-            'pigeonhole split); got bands=%r, max_hamming=%r'
-            % (bands, max_hamming))
-    if not 1 <= bands <= 64:
-        raise ValueError('need 1 <= max_hamming + 1 <= 64')
+    k = max_hamming
+    if bands is not None:
+        if bands != k + 1:
+            raise ValueError(
+                'bands must equal max_hamming + 1 (the exact-recall '
+                'pigeonhole split); got bands=%r, max_hamming=%r'
+                % (bands, k))
+        if n_blocks is not None and n_blocks != bands:
+            raise ValueError(
+                'bands (legacy single-block layout) and n_blocks '
+                'cannot disagree; got bands=%r, n_blocks=%r'
+                % (bands, n_blocks))
+        n_blocks = bands
+    if not 0 <= k <= 63:
+        raise ValueError('need 0 <= max_hamming <= 63')
 
     sh = hashes.select(F.col(id_col).alias('id'),
                        F.col(hash_col).cast('long').alias('sh'))
+    if n_blocks is None:
+        n_keys = sh.agg(
+            F.approx_count_distinct('sh').alias('n')).first()['n']
+        n_blocks = _hamming_pick_blocks(n_keys, k)
+    from math import comb
+    if not k + 1 <= n_blocks <= 64:
+        raise ValueError('need max_hamming + 1 <= n_blocks <= 64; '
+                         'got n_blocks=%r' % (n_blocks,))
+    if comb(n_blocks, k) > 512:
+        raise ValueError(
+            'C(n_blocks, max_hamming) = %d tables is past the 512 '
+            'explode cap; lower n_blocks'
+            % comb(n_blocks, k))
     reps = sh.groupBy('sh').agg(F.min('id').alias('rep_id'))
     member = sh.join(reps, 'sh').select('id', 'rep_id', 'sh')
 
-    # Contiguous band split: widths differ by at most 1 and cover all
-    # 64 bits exactly once.
-    base_w, extra = divmod(64, bands)
-    widths = [base_w + (1 if i < extra else 0) for i in range(bands)]
-    offsets = [sum(widths[:i]) for i in range(bands)]
+    # Contiguous block split: widths differ by at most 1 and cover
+    # all 64 bits exactly once.
+    from itertools import combinations
+    base_w, extra = divmod(64, n_blocks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     def _mask(w: int) -> int:
         # int64 two's-complement wrap: a full-width (w=64) band's mask
         # is all ones = -1 (lit(2^64-1) would overflow LongType).
         m = (1 << w) - 1
         return m - (1 << 64) if m > 0x7FFFFFFFFFFFFFFF else m
 
-    band_vals = [
-        F.shiftrightunsigned(F.col('sh'), offsets[i])
-        .bitwiseAND(F.lit(_mask(widths[i])))
-        for i in range(bands)
-    ]
+    def _block(col, i: int):
+        return (F.shiftrightunsigned(col, offsets[i])
+                .bitwiseAND(F.lit(_mask(widths[i]))))
+
+    # One table per (m-k)-subset of blocks; its key packs the
+    # anchor blocks' bits into one long (anchor width <= 64, so the
+    # packing is injective and key equality == all-blocks equality).
+    anchors = [tuple(sorted(set(range(n_blocks)) - set(drop)))
+               for drop in combinations(range(n_blocks), k)]
+    anchors.sort()
+
+    def _anchor_key(col, anchor):
+        key = _block(col, anchor[0])
+        for b in anchor[1:]:
+            key = F.shiftleft(key, widths[b]).bitwiseOR(_block(col, b))
+        return key
+
+    table_keys = [_anchor_key(F.col('sh'), a) for a in anchors]
     banded = reps.select(
         F.col('rep_id').alias('id'), 'sh',
-        F.posexplode(F.array(*band_vals)).alias('band', 'bucket'))
+        F.posexplode(F.array(*table_keys)).alias('band', 'bucket'))
     if max_bucket is not None:
         w = Window.partitionBy('band', 'bucket')
         banded = banded.withColumn('_bsize', F.count('*').over(w))
@@ -855,20 +934,19 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
     left = banded.alias('l')
     right = banded.alias('r')
 
-    def _band_of(side: str, i: int):
-        return (F.shiftrightunsigned(F.col(side), offsets[i])
-                .bitwiseAND(F.lit(_mask(widths[i]))))
-
     # Exactly-once emission without a distinct(): a pair whose hashes
-    # agree on k of the bands meets in all k buckets; only the LEAST
-    # matching band reports it.  "No earlier band matched" is a pure
-    # codegen conjunction over the recomputed band values, so dedup
-    # costs zero exchanges (the old distinct() shuffled the full
-    # pre-verify candidate set -- at 10M hashes that was ~60M rows
-    # for ~600k survivors).
+    # agree on several tables' anchors meets in all those buckets;
+    # only the LEAST matching table reports it.  "No earlier table
+    # matched" is a pure codegen conjunction over the recomputed
+    # anchor keys (injective packing makes key equality equal
+    # all-blocks equality), so dedup costs zero exchanges (the old
+    # distinct() shuffled the full pre-verify candidate set -- at 10M
+    # hashes that was ~60M rows for ~600k survivors).
     first_band = [
-        (F.col('band') <= i) | (_band_of('sh_a', i) != _band_of('sh_b', i))
-        for i in range(bands - 1)
+        (F.col('band') <= t)
+        | (_anchor_key(F.col('sh_a'), anchors[t])
+           != _anchor_key(F.col('sh_b'), anchors[t]))
+        for t in range(len(anchors) - 1)
     ]
     cond = F.lit(True)
     for c in first_band:

@@ -200,3 +200,43 @@ def test_hamming_near_dup_over_raw_fingerprints(spark):
             brute[(min(ia, ib), max(ia, ib))] = d
     assert got == brute
     assert got[(1, 3)] == 0 and got[(4, 5)] == 2
+
+
+def test_hamming_multiblock_parity_and_picker(spark):
+    """The Manku multi-block layout (n_blocks > k+1) must emit the
+    exact same pair set as the classic k+1 single-block split --
+    recall is pigeonhole-exact for every m >= k+1, and the
+    least-matching-table dedup must stay exactly-once."""
+    import random
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) - (1 << 63) for _ in range(200)]
+    rows = [(i, h) for i, h in enumerate(base)]
+    # Planted twins 2 bits away + one identical clone.
+    rows += [(1000 + i, base[i] ^ 0b101) for i in range(0, 200, 10)]
+    rows += [(2000, base[0])]
+    df = spark.createDataFrame(rows, 'image_id long, phash long')
+
+    def pairs(**kw):
+        return sorted(map(tuple, textops.hamming_near_dup_pairs(
+            df, id_col='image_id', hash_col='phash',
+            max_hamming=2, **kw).collect()))
+
+    classic = pairs(n_blocks=3)
+    assert classic == pairs(n_blocks=4) == pairs(n_blocks=8) \
+        == pairs()                       # auto-picked m agrees too
+    assert (0, 2000, 0) in classic and (0, 1000, 2) in classic
+
+    # Picker: small corpora stay on the classic minimum; huge key
+    # counts push m up without busting the 64-table cap.
+    from math import comb
+    from pytrs_spark.operators.textops import _hamming_pick_blocks
+    assert _hamming_pick_blocks(1000, 2) == 3
+    big = _hamming_pick_blocks(10_000_000_000, 2)
+    assert big > 3 and comb(big, 2) <= 64
+
+    with pytest.raises(ValueError):
+        pairs(n_blocks=2)                # < k+1
+    with pytest.raises(ValueError):
+        pairs(bands=3, n_blocks=8)       # disagreeing layouts
+    with pytest.raises(ValueError):
+        pairs(n_blocks=64)               # C(64,2) past the cap
