@@ -785,16 +785,29 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
 
 def _hamming_pick_blocks(n_keys: int, k: int) -> int:
     """Smallest block count ``m`` (Manku et al., WWW'07) whose anchor
-    keys keep expected bucket occupancy <= 8 at ``n_keys`` distinct
+    keys keep expected bucket occupancy <= 256 at ``n_keys`` distinct
     hashes, with the table count C(m, k) capped at 64.
 
     Each of the C(m, k) tables keys on the m-k blocks OUTSIDE one
     k-subset, an anchor of ~64*(m-k)/m bits: raising m buys
     exponentially more buckets for a polynomial table-count price.
     m = k+1 (single-block anchors, ~64/(k+1) bits) is the classic
-    minimum and stays the pick for small corpora -- the extra tables
-    only pay once the single-block buckets are dense enough to make
-    the candidate self-join quadratic.
+    minimum and stays the pick far longer than intuition suggests --
+    the extra tables only pay once the single-block buckets are dense
+    enough that the quadratic candidate self-join dominates.
+
+    The occupancy-256 switch point is measured, not taste (BENCH.md,
+    20M/60M-image A/B): a banded row riding the (band, bucket)
+    shuffle costs ~50x what a join-output candidate row costs to
+    evaluate (pure codegen bit_count + conjunction, no exchange), so
+    at 60M keys / occupancy 29 forcing m=4 was a 224.6 s -> 354.3 s
+    REGRESSION.  Stepping m->m+1 adds ~C(m+1,k)-C(m,k) shuffled rows
+    per key and removes ~C(m,k)*occ/2 candidate rows per key; with
+    the ~50x ratio the first step at k=2 breaks even around occ
+    ~100-300.  256 sits in that band, and puts the k=2 switch at
+    ~5x10^8 distinct hashes (m=4's 32-bit anchors then hold occupancy
+    ~200 up to 10^12 keys -- the corpus size where the classic layout
+    would need 7x10^5-deep buckets and ~10^18 candidate pairs).
     """
     from math import comb
     best = k + 1
@@ -807,7 +820,7 @@ def _hamming_pick_blocks(n_keys: int, k: int) -> int:
         take = m - k                # anchor = m-k narrowest blocks
         min_anchor = (take * base_w if take <= n_base
                       else n_base * base_w + (take - n_base) * (base_w + 1))
-        if n_keys <= 8 * (1 << min(min_anchor, 62)):
+        if n_keys <= 256 * (1 << min(min_anchor, 56)):
             return m
     return best
 
@@ -836,14 +849,15 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
     blocks, so at least one table's anchor matches -- recall is
     exactly 1 for every m >= k+1.  What m buys is bucket count: the
     m = k+1 minimum anchors a single ~64/(k+1)-bit block (2^21
-    buckets at k=2), so candidate pairs grow as n^2 / 2^21 -- fine to
-    a few million distinct hashes, quadratic beyond.  m = 4 at k = 2
-    widens anchors to 32 bits (2^32 buckets) for 6 tables instead of
-    3, flattening the same corpus back to ~linear.  Default
-    (``n_blocks=None`` with ``bands`` unset) picks m from the
-    measured key count (one ``approx_count_distinct`` pass,
-    occupancy <= 8 target); the legacy ``bands`` parameter pins the
-    single-block m = k+1 layout.
+    buckets at k=2), so candidate pairs grow as n^2 / 2^21 --
+    quadratic once buckets are deep.  m = 4 at k = 2 widens anchors
+    to 32 bits (2^32 buckets) for 6 tables instead of 3, flattening
+    a 10^9+-key corpus back to ~linear.  Default (``n_blocks=None``
+    with ``bands`` unset) picks m from the measured key count (one
+    ``approx_count_distinct`` pass, occupancy <= 256 target -- the
+    measured shuffle-vs-candidate break-even, see
+    ``_hamming_pick_blocks``); the legacy ``bands`` parameter pins
+    the single-block m = k+1 layout.
     """
     k = max_hamming
     if bands is not None:

@@ -1,7 +1,11 @@
 """Scale probe for the perceptual-hash image near-dup join (G16,
 ``textops.hamming_near_dup_pairs``) on executor-generated phashes.
 
-    PYTHONPATH=/root/repo python scripts/phash_scale_probe.py [n_images]
+    PYTHONPATH=/root/repo python scripts/phash_scale_probe.py [n_images] [n_blocks]
+
+``n_blocks`` pins the Manku table layout (3 = the legacy
+single-block k+1 split at max_hamming=2); omit it for the
+key-count-calibrated auto pick.
 
 The corpus is the bench's ``phash_near_dup_10m`` shape at any size:
 62-bit deterministic fingerprints from pure column arithmetic (no
@@ -46,6 +50,7 @@ def gen_phashes(spark, n: int):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else None
     cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
     spark = (SparkSession.builder.master(f'local[{cpus}]')
              .config('spark.sql.shuffle.partitions', cpus)
@@ -58,7 +63,8 @@ def main():
 
     t0 = time.time()
     pairs = textops.hamming_near_dup_pairs(
-        ph, id_col='image_id', hash_col='phash', max_hamming=2)
+        ph, id_col='image_id', hash_col='phash', max_hamming=2,
+        n_blocks=n_blocks)
     agg = pairs.agg(
         F.count('*').alias('n_pairs'),
         F.sum(F.when((F.col('hamming') == 2)
@@ -73,7 +79,8 @@ def main():
     assert agg['n_planted_found'] == n_planted, (
         'exact-recall violation: planted %d, found %d'
         % (n_planted, agg['n_planted_found']))
-    print({'n_images': n, 'cpus': cpus, 'wall_s': round(wall, 2),
+    print({'n_images': n, 'cpus': cpus, 'n_blocks': n_blocks or 'auto',
+           'wall_s': round(wall, 2),
            'images_per_sec': round(n / wall),
            'n_pairs': agg['n_pairs'], 'n_planted': n_planted,
            'n_planted_found': agg['n_planted_found'],
