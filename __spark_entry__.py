@@ -1921,6 +1921,49 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 point-in-interval join: events x synthetic campaign
+    windows (derived deterministically from orders), keyed by a user
+    bucket.  Spark side = time-bucketized equi-join (intervals
+    explode to covering buckets via native sequence, each point
+    meets them in its ONE bucket -- exactly-once, no distinct);
+    oracle = the plain BETWEEN theta-join DuckDB can afford at this
+    scale."""
+    from pytrs_spark.operators.events import interval_join
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC, micros
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    start = base + (F.col('o_orderkey') * 40009 % 10_000_000) \
+        * 1_000_000
+    iv = orders.filter(F.col('o_orderkey') % 97 == 0).select(
+        F.col('o_orderkey').alias('interval_id'),
+        (F.col('o_orderkey') % 8).alias('grp'),
+        F.timestamp_micros(start).alias('start_ts'),
+        F.timestamp_micros(
+            start + (60 + F.col('o_orderkey') % 7200) * 1_000_000)
+        .alias('end_ts'))
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        'event_id', 'user_id', 'ts',
+        (F.col('user_id') % 8).alias('grp'))
+    out = interval_join(pts, iv, keys=['grp'])
+    return out.select('event_id', 'user_id', 'interval_id')
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT o_orderkey AS interval_id, o_orderkey % 8 AS grp,
+         make_timestamp(1704067200000000
+             + (o_orderkey * 40009 % 10000000) * 1000000) AS start_ts,
+         make_timestamp(1704067200000000
+             + (o_orderkey * 40009 % 10000000) * 1000000
+             + (60 + o_orderkey % 7200) * 1000000) AS end_ts
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT e.event_id, e.user_id, iv.interval_id
+FROM events e JOIN iv ON e.user_id % 8 = iv.grp
+  AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+"""
+
+
 def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec'd HyperLogLog sketch of distinct users (p=6, 64
     registers) -- the oracle re-implements the documented mix +
@@ -3062,6 +3105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # driver files covers every query.  scripts/check_correctness.py
 # always sweeps all entries regardless of order.
 _RAW_QUERIES = {
+        # -- new in round 4 --
+        'interval_join': q_interval_join,
         # -- no driver-verified row yet (r03 snapshot predates) --
         'quick_desc_short': q_quick_desc_short,
         'zorder_key': q_zorder_key,
@@ -3272,6 +3317,7 @@ def oracle_sql() -> dict[str, str]:
         'sessionize': _ORACLE_SESSIONIZE,
         'session_stats': _ORACLE_SESSION_STATS,
         'asof_join': _ORACLE_ASOF,
+        'interval_join': _ORACLE_INTERVAL_JOIN,
         'hll_registers': _ORACLE_HLL,
         'histogram': _ORACLE_HISTOGRAM,
         'funnel': _ORACLE_FUNNEL,

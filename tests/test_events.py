@@ -150,3 +150,67 @@ def test_rolling_sum_days_keyed(spark):
     # user 7's window carries day 1 into day 3; user 8 is isolated
     assert got[(7, '2024-01-03')] == 30.0
     assert got[(8, '2024-01-03')] == 100.0
+
+
+# ---------------------------------------------------------------- E14
+
+def _naive_interval_pairs(points, intervals, keyed):
+    out = set()
+    for pid, pk, pts in points:
+        for iid, ik, s, e in intervals:
+            if s <= pts <= e and (not keyed or pk == ik):
+                out.add((pid, iid))
+    return out
+
+
+def test_interval_join_matches_naive(spark):
+    from pytrs_spark.operators.events import interval_join
+    pts = [(i, i % 3, _ts(i * 37)) for i in range(60)]
+    ivs = [(j, j % 3, _ts(j * 150), _ts(j * 150 + 40 + 60 * j))
+           for j in range(12)]
+    pdf = spark.createDataFrame(
+        pts, 'point_id long, grp long, ts timestamp')
+    idf = spark.createDataFrame(
+        ivs, 'interval_id long, grp long, start_ts timestamp, '
+             'end_ts timestamp')
+    for keys, keyed in ((['grp'], True), ((), False)):
+        i2 = idf.drop('grp') if not keyed else idf
+        got = {(r['point_id'], r['interval_id'])
+               for r in interval_join(pdf, i2, keys=keys).collect()}
+        assert got == _naive_interval_pairs(pts, ivs, keyed), keys
+
+
+def test_interval_join_closed_bounds_and_malformed(spark):
+    from pytrs_spark.operators.events import interval_join
+    pdf = spark.createDataFrame(
+        [(1, _ts(100)), (2, _ts(200)), (3, _ts(150)), (4, _ts(201))],
+        'point_id long, ts timestamp')
+    idf = spark.createDataFrame(
+        [(10, _ts(100), _ts(200)),    # closed: both boundary points in
+         (11, _ts(300), _ts(250)),    # end < start: dropped
+         (12, None, _ts(400))],       # null start: dropped
+        'interval_id long, start_ts timestamp, end_ts timestamp')
+    got = {(r['point_id'], r['interval_id'])
+           for r in interval_join(pdf, idf).collect()}
+    assert got == {(1, 10), (2, 10), (3, 10)}
+
+
+def test_interval_join_bucket_and_collision(spark):
+    from pytrs_spark.operators.events import interval_join
+    # explicit bucket + shuffle path (broadcast off) agree with auto;
+    # colliding payload column names get the _iv suffix.
+    pdf = spark.createDataFrame(
+        [(i, _ts(i * 11), float(i)) for i in range(40)],
+        'point_id long, ts timestamp, value double')
+    idf = spark.createDataFrame(
+        [(j, _ts(j * 60), _ts(j * 60 + 90), float(-j))
+         for j in range(6)],
+        'interval_id long, start_ts timestamp, end_ts timestamp, '
+        'value double')
+    auto = interval_join(pdf, idf)
+    assert 'value' in auto.columns and 'value_iv' in auto.columns
+    a = {(r['point_id'], r['interval_id']) for r in auto.collect()}
+    b = {(r['point_id'], r['interval_id'])
+         for r in interval_join(pdf, idf, bucket_s=7.0,
+                                broadcast_intervals=False).collect()}
+    assert a == b and len(a) > 0
