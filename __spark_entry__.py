@@ -2506,6 +2506,80 @@ GROUP BY p.user_id
 """
 
 
+# --- T31 Bloom filter --------------------------------------------------
+
+_BLOOM_WORDS, _BLOOM_DEPTH = 64, 4
+_BLOOM_NBITS = _BLOOM_WORDS * 32
+
+
+def q_bloom_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31: spec'd Bloom filter over the purchasing users, as a
+    (word, bits) DataFrame of 32-bit register words -- bit-identical
+    vs a DuckDB re-derivation from the documented hash_mix family.
+    The mergeable, engine-exchangeable membership sketch Spark's
+    builtin BloomFilter (opaque binary blob) can't give you; at
+    100 TB it broadcasts to pre-filter the big side of a join in its
+    scan stage."""
+    from pytrs_spark.operators.stats import bloom_sketch
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    buyers = ev.filter(F.col('event_type') == 'purchase')
+    return bloom_sketch(buyers, 'user_id', n_words=_BLOOM_WORDS,
+                        depth=_BLOOM_DEPTH)
+
+
+_ORACLE_BLOOM = f"""
+WITH pos AS (
+  {' UNION ALL '.join(
+      f'''SELECT CAST({_mix_sql('user_id', d * 104729)}
+              % {_BLOOM_NBITS} AS BIGINT) AS pos
+          FROM events WHERE event_type = 'purchase' '''
+      for d in range(_BLOOM_DEPTH))}
+)
+SELECT CAST(pos // 32 AS INT) AS word,
+       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+FROM pos GROUP BY 1
+"""
+
+
+def q_bloom_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31b: probe every distinct event user against the
+    purchasing-users Bloom sketch.  No false negatives (every buyer
+    reads 1); false positives land exactly where the shared hash
+    family puts them, so the oracle reproduces them bit-for-bit --
+    the membership CONTRACT is gated, not just the registers."""
+    from pytrs_spark.operators.stats import bloom_contains, bloom_sketch
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    buyers = ev.filter(F.col('event_type') == 'purchase')
+    sk = bloom_sketch(buyers, 'user_id', n_words=_BLOOM_WORDS,
+                      depth=_BLOOM_DEPTH)
+    probes = ev.select('user_id').distinct()
+    out = bloom_contains(sk, probes, 'user_id',
+                         n_words=_BLOOM_WORDS, depth=_BLOOM_DEPTH)
+    return out.select('user_id',
+                      F.col('might_contain').cast('int')
+                      .alias('might_contain'))
+
+
+_ORACLE_BLOOM_CONTAINS = f"""
+WITH sketch AS ({_ORACLE_BLOOM}),
+probes AS (
+  {' UNION ALL '.join(
+      f'''SELECT user_id,
+          CAST({_mix_sql('user_id', d * 104729)}
+              % {_BLOOM_NBITS} AS BIGINT) AS pos
+          FROM (SELECT DISTINCT user_id FROM events)'''
+      for d in range(_BLOOM_DEPTH))}
+)
+SELECT p.user_id,
+       CAST(MIN(CASE WHEN (COALESCE(s.bits, 0)
+                  & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+             THEN 1 ELSE 0 END) AS INT) AS might_contain
+FROM probes p
+LEFT JOIN sketch s ON CAST(p.pos // 32 AS INT) = s.word
+GROUP BY p.user_id
+"""
+
+
 # --- T23 exact multi-pass quantiles -----------------------------------
 
 _QUANTS = (0.01, 0.25, 0.5, 0.75, 0.99)
@@ -3107,6 +3181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _RAW_QUERIES = {
         # -- new in round 4 --
         'interval_join': q_interval_join,
+        'bloom_registers': q_bloom_registers,
+        'bloom_contains': q_bloom_contains,
         # -- no driver-verified row yet (r03 snapshot predates) --
         'quick_desc_short': q_quick_desc_short,
         'zorder_key': q_zorder_key,
@@ -3318,6 +3394,8 @@ def oracle_sql() -> dict[str, str]:
         'session_stats': _ORACLE_SESSION_STATS,
         'asof_join': _ORACLE_ASOF,
         'interval_join': _ORACLE_INTERVAL_JOIN,
+        'bloom_registers': _ORACLE_BLOOM,
+        'bloom_contains': _ORACLE_BLOOM_CONTAINS,
         'hll_registers': _ORACLE_HLL,
         'histogram': _ORACLE_HISTOGRAM,
         'funnel': _ORACLE_FUNNEL,

@@ -286,3 +286,91 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
                     (F.lit(lo) + (F.col('bin') + 1) * F.lit(width))
                     .alias('hi_edge'),
                     'n'))
+
+
+_BLOOM_SALT = 104729
+
+
+def _pow2():
+    """2^0 .. 2^31 as exact int64 literals: shiftleft() needs a
+    literal shift amount, so bit -> value goes through one codegen
+    element_at over this constant array instead of a float pow.
+    (Built lazily -- Column literals need an active session.)"""
+    return F.array(*[F.lit(1 << i).cast('long') for i in range(32)])
+
+
+def bloom_sketch(df: DataFrame, key_col: str, n_words: int = 256,
+                 depth: int = 4, salt: int = 0) -> DataFrame:
+    """Spec'd Bloom filter (Bloom 1970) over an int64 key column, as
+    a mergeable DataFrame ``(word, bits)`` of 32-bit register words
+    (<= ``n_words`` rows; words no key touched are absent = 0).
+
+    Like :func:`hll_sketch` / :func:`cms_sketch`, the hash family is
+    the documented ``sampling.hash_mix`` (probe ``d`` uses salt
+    ``salt + d * 104729``), so the sketch is BIT-IDENTICAL on any
+    engine / partitioning: the DuckDB oracle re-derives every word,
+    and a sketch built by one system is probe-able by another --
+    which Spark's builtin ``BloomFilter`` (engine-internal binary
+    blob, ``DataFrameStatFunctions``) cannot offer.  Words are 32-bit
+    (held in int64) so every bit value is a small positive integer on
+    every engine -- no sign-bit edge cases at bit 63.
+
+    Membership contract: no false negatives ever; false-positive
+    rate ~ ``(1 - e^(-depth * n / (32 * n_words)))^depth``.  Nulls
+    are dropped (a Bloom filter has no null semantics).
+
+    Scale shape: one map pass; the explode-by-depth collapses
+    map-side (partial ``bit_or``) to <= ``n_words`` rows per
+    partition before the shuffle -- raw keys never shuffle.  Shards /
+    days merge by union + ``bit_or`` (:func:`bloom_merge`) without
+    re-reading data.  The classic 100 TB use: build on the small side
+    of a join, broadcast the <= ``n_words``-row sketch, and pre-filter
+    the big side in its scan stage (:func:`bloom_contains`).
+    """
+    if n_words < 1 or depth < 1:
+        raise ValueError('need n_words >= 1 and depth >= 1')
+    n_bits = n_words * 32
+    probes = F.explode(F.array(*[
+        (hash_mix(key_col, salt + d * _BLOOM_SALT) % n_bits)
+        .alias('p') for d in range(depth)]))
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(probes.alias('pos'))
+            .select((F.col('pos') / 32).cast('int').alias('word'),
+                    F.element_at(_pow2(), (F.col('pos') % 32)
+                                 .cast('int') + 1).alias('v'))
+            .groupBy('word').agg(F.bit_or('v').alias('bits')))
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union Bloom sketches (same n_words/depth/salt) into one:
+    bitwise OR per word."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy('word').agg(F.bit_or('bits').alias('bits'))
+
+
+def bloom_contains(sketch: DataFrame, keys: DataFrame, key_col: str,
+                   n_words: int = 256, depth: int = 4,
+                   salt: int = 0) -> DataFrame:
+    """Probe each key against the sketch: ``might_contain`` is true
+    iff ALL ``depth`` probe bits are set (no false negatives; false
+    positives at the design rate).  The sketch side is at most
+    ``n_words`` rows -- always broadcast; the key side never
+    shuffles, so this composes as a scan-stage pre-filter for joins
+    at any scale."""
+    n_bits = n_words * 32
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[
+            (hash_mix(key_col, salt + d * _BLOOM_SALT) % n_bits)
+            .alias('p') for d in range(depth)])).alias('pos'))
+    hit = (F.coalesce(F.col('bits'), F.lit(0))
+           .bitwiseAND(F.element_at(_pow2(), (F.col('pos') % 32)
+                                    .cast('int') + 1)) != 0) \
+        .cast('int')
+    return (probes
+            .withColumn('word', (F.col('pos') / 32).cast('int'))
+            .join(F.broadcast(sketch), ['word'], 'left')
+            .groupBy(key_col)
+            .agg((F.min(hit) == 1).alias('might_contain')))

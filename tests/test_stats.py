@@ -203,3 +203,72 @@ def test_quantiles_edge_inputs(spark):
     assert rows[0]['value'] == 4.0     # nulls excluded
     with pytest.raises(ValueError):
         quantiles_exact(one, 'v', (1.5,))
+
+
+# ------------------------------------------------------------- Bloom
+
+_M31 = (1 << 31) - 1
+
+
+def _py_mix(k, salt=0):
+    h0 = (k + salt) % _M31
+    h1 = (h0 * 1299709 + 2654435761) % _M31
+    h2 = h1 ^ (h1 >> 16)
+    h3 = (h2 * 1000003 + 12345) % _M31
+    return h3 ^ (h3 >> 8)
+
+
+def _py_bloom(keys, n_words, depth, salt=0):
+    words = {}
+    for k in keys:
+        for d in range(depth):
+            pos = _py_mix(k, salt + d * 104729) % (n_words * 32)
+            words[pos // 32] = words.get(pos // 32, 0) \
+                | (1 << (pos % 32))
+    return words
+
+
+def test_bloom_sketch_bit_identical(spark):
+    from pytrs_spark.operators.stats import bloom_sketch
+    keys = [3, 17, 17, 9999, 123456789, 0]
+    df = spark.createDataFrame([(k,) for k in keys], 'k long')
+    got = {r['word']: r['bits']
+           for r in bloom_sketch(df, 'k', n_words=8, depth=3).collect()}
+    assert got == _py_bloom(set(keys), 8, 3)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from pytrs_spark.operators.stats import bloom_contains, bloom_sketch
+    members = spark.range(0, 2000).withColumnRenamed('id', 'k')
+    sk = bloom_sketch(members, 'k', n_words=512, depth=4)
+    probes = spark.range(0, 4000).withColumnRenamed('id', 'k')
+    rows = {r['k']: r['might_contain']
+            for r in bloom_contains(sk, probes, 'k',
+                                    n_words=512, depth=4).collect()}
+    assert all(rows[k] for k in range(2000))          # no false negs
+    fp = sum(rows[k] for k in range(2000, 4000)) / 2000
+    # design rate ~ (1 - e^(-4*2000/16384))^4 ~ 2.2%; allow slack
+    assert fp < 0.08, fp
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from pytrs_spark.operators.stats import bloom_merge, bloom_sketch
+    a = spark.range(0, 300).withColumnRenamed('id', 'k')
+    b = spark.range(250, 600).withColumnRenamed('id', 'k')
+    merged = {r['word']: r['bits'] for r in bloom_merge(
+        bloom_sketch(a, 'k', n_words=16, depth=4),
+        bloom_sketch(b, 'k', n_words=16, depth=4)).collect()}
+    direct = {r['word']: r['bits'] for r in bloom_sketch(
+        a.unionByName(b), 'k', n_words=16, depth=4).collect()}
+    assert merged == direct
+
+
+def test_bloom_null_keys_dropped(spark):
+    from pytrs_spark.operators.stats import bloom_sketch
+    df = spark.createDataFrame([(1,), (None,)], 'k long')
+    ref = spark.createDataFrame([(1,)], 'k long')
+    got = {(r['word'], r['bits'])
+           for r in bloom_sketch(df, 'k', n_words=4, depth=2).collect()}
+    want = {(r['word'], r['bits'])
+            for r in bloom_sketch(ref, 'k', n_words=4, depth=2).collect()}
+    assert got == want
