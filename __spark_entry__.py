@@ -269,6 +269,87 @@ FROM ({_ORACLE_TILE}) GROUP BY trs, qq
 """
 
 
+def _ramp_images_from_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Deterministic ramp-pixel images: image i gets the datagen
+    (w, h) shape for ``i % 3`` and flat pixels ``(i*997 + k) % 251``,
+    losslessly SGI1-encoded.  251 is prime and none of the pixel
+    counts (768 / 2304 / 9216) divide by it, so every image's pixel
+    sum depends on its seed -- and has the closed form the zonal
+    oracle computes in pure SQL."""
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet') \
+        .select('o_orderkey')
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from pytrs_spark import imagecodec
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf['o_orderkey'].tolist():
+                i = int(i)
+                w = (16, 32, 64)[i % 3]
+                h = (16, 24, 48)[i % 3]
+                flat = ((i * 997 + np.arange(w * h * 3)) % 251) \
+                    .astype(np.uint8)
+                blobs.append(
+                    imagecodec.encode(flat.reshape(h, w, 3), 'png'))
+                ids.append(f'img{i}')
+            yield pd.DataFrame({'image_id': ids, 'bytes': blobs})
+
+    return orders.mapInPandas(gen, 'image_id string, bytes binary')
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19 zonal statistics (Raptor-style raster+vector): per-aliquot
+    aggregates of the DECODED pixels of every image assigned to the
+    tile.  The Spark side genuinely decodes bytes (the SGI1 lossless
+    path) and reduces each image to two longs map-side; the oracle
+    re-derives each image's exact pixel sum from the ramp closed form
+    -- so the decode -> reduce -> join -> aggregate chain is gated
+    NUMERICALLY, not just by row counts."""
+    from pytrs_spark.raster import zonal_pixel_stats
+    polygons = polygon_layer_from_descs(datagen.gen_descs(spark))
+    points = _points_from_orders(spark, sf_dir)
+    assigned = assign_images_to_tiles(points, polygons) \
+        .select('image_id', 'trs', 'qq')
+    images = _ramp_images_from_orders(spark, sf_dir)
+    return zonal_pixel_stats(assigned, images)
+
+
+# Per-image closed form: K pixels of (s + k) % 251, k = 0..K-1.
+# full cycles contribute (K // 251) * 31375 (sum 0..250); the
+# R = K % 251 remainder starts at t = s and either stays below 251
+# (arithmetic run) or wraps once.
+_ORACLE_ZONAL = f"""
+WITH assign AS ({_ORACLE_TILE}),
+px AS (
+  SELECT 'img' || o_orderkey AS image_id,
+         CASE o_orderkey % 3 WHEN 0 THEN 768 WHEN 1 THEN 2304
+              ELSE 9216 END AS k,
+         (o_orderkey * 997) % 251 AS t
+  FROM orders
+), sums AS (
+  SELECT image_id, k,
+         (k // 251) * 31375
+         + CASE WHEN t + (k % 251) <= 251
+             THEN (k % 251) * t + ((k % 251) * ((k % 251) - 1)) // 2
+             ELSE 31375 - (t * (t - 1)) // 2
+                  + (((k % 251) - 251 + t)
+                     * ((k % 251) - 251 + t - 1)) // 2
+           END AS px_sum
+  FROM px
+)
+SELECT a.trs, a.qq, COUNT(*) AS n_images,
+       CAST(SUM(s.k) AS BIGINT) AS n_px,
+       CAST(SUM(s.px_sum) AS BIGINT) AS px_sum,
+       (CAST(SUM(s.px_sum) AS BIGINT) * 1.0)
+         / CAST(SUM(s.k) AS BIGINT) AS px_mean
+FROM assign a JOIN sums s ON a.image_id = s.image_id
+GROUP BY a.trs, a.qq
+"""
+
+
 def q_knn_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=4 nearest section corners per point via ring expansion."""
     points = _points_from_orders(spark, sf_dir)
@@ -3183,6 +3264,7 @@ _RAW_QUERIES = {
         'interval_join': q_interval_join,
         'bloom_registers': q_bloom_registers,
         'bloom_contains': q_bloom_contains,
+        'zonal_stats': q_zonal_stats,
         # -- no driver-verified row yet (r03 snapshot predates) --
         'quick_desc_short': q_quick_desc_short,
         'zorder_key': q_zorder_key,
@@ -3396,6 +3478,7 @@ def oracle_sql() -> dict[str, str]:
         'interval_join': _ORACLE_INTERVAL_JOIN,
         'bloom_registers': _ORACLE_BLOOM,
         'bloom_contains': _ORACLE_BLOOM_CONTAINS,
+        'zonal_stats': _ORACLE_ZONAL,
         'hll_registers': _ORACLE_HLL,
         'histogram': _ORACLE_HISTOGRAM,
         'funnel': _ORACLE_FUNNEL,

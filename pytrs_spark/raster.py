@@ -124,3 +124,71 @@ def materialize_tiles(assignments: DataFrame, images: DataFrame,
 
     return withbytes.groupBy('trs', 'qq').applyInPandas(
         composite, schema=_TILE_SCHEMA)
+
+
+_PX_STATS = T.StructType([
+    T.StructField('n_px', T.LongType()),
+    T.StructField('px_sum', T.LongType()),
+])
+
+
+def decode_pixel_stats(images: DataFrame,
+                       bytes_col: str = 'bytes') -> DataFrame:
+    """Per-image decoded-pixel reductions: adds ``n_px`` (decoded
+    array element count, h*w*3) and ``px_sum`` (exact int64 sum of
+    all channel values).  One Arrow-batched decode pass; each image
+    collapses to two longs IN the scan stage, so the binary column
+    never survives past the map side.  Rows with null ``bytes`` get
+    null stats."""
+
+    @F.pandas_udf(_PX_STATS)
+    def kernel(blobs: pd.Series) -> pd.DataFrame:
+        n_px, px_sum = [], []
+        for blob in blobs:
+            if blob is None:
+                n_px.append(None)
+                px_sum.append(None)
+                continue
+            arr = imagecodec.decode(bytes(blob))
+            n_px.append(arr.size)
+            px_sum.append(int(arr.sum(dtype=np.int64)))
+        return pd.DataFrame({'n_px': n_px, 'px_sum': px_sum})
+
+    res = kernel(F.col(bytes_col))
+    return (images.withColumn('_s', res)
+            .withColumn('n_px', F.col('_s')['n_px'])
+            .withColumn('px_sum', F.col('_s')['px_sum']).drop('_s'))
+
+
+def zonal_pixel_stats(assignments: DataFrame, images: DataFrame,
+                      id_col: str = 'image_id',
+                      bytes_col: str = 'bytes',
+                      keys=('trs', 'qq')) -> DataFrame:
+    """G19: zonal statistics -- per-aliquot aggregate of the decoded
+    pixels of every image assigned to the tile (the raster half of
+    the Raptor VLDB'19 raster+vector pattern: zonal stats over a
+    polygon layer): ``(keys..., n_images, n_px, px_sum, px_mean)``.
+
+    Scale shape: the ONLY stage that touches ``bytes`` is the
+    per-image decode, which reduces each blob to two longs map-side
+    (:func:`decode_pixel_stats` on a two-column projection of the
+    raw table); the assignment join then carries (id, 2 longs) --
+    at 100 TB the binary column never rides a shuffle, the same
+    late-materialization contract as :func:`materialize_tiles`.  The
+    final per-tile aggregate partial-aggregates map-side; its shuffle
+    is bounded by tile count, never image count.  Images with null
+    ``bytes`` are dropped (nothing to decode); assignment rows
+    without a matching image are dropped by the inner join.
+    """
+    keys = list(keys)
+    stats = decode_pixel_stats(
+        images.select(id_col, bytes_col), bytes_col) \
+        .filter(F.col('n_px').isNotNull()) \
+        .select(id_col, 'n_px', 'px_sum')
+    joined = assignments.select(id_col, *keys).join(stats, id_col)
+    return (joined.groupBy(*keys)
+            .agg(F.count('*').alias('n_images'),
+                 F.sum('n_px').alias('n_px'),
+                 F.sum('px_sum').alias('px_sum'))
+            .withColumn('px_mean',
+                        F.col('px_sum') / F.col('n_px')))

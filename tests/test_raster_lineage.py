@@ -141,3 +141,39 @@ def test_lineage_all_empty_first_run(spark, tmp_path):
     metrics = lineage_metrics(spark, lin).collect()
     assert len(metrics) == 4
     assert all(m['n_out'] == 0 and m['checksum'] == 0 for m in metrics)
+
+
+# ---------------------------------------------------------------- G19
+
+def test_zonal_pixel_stats_exact(spark):
+    import numpy as np
+    from pytrs_spark import imagecodec
+    from pytrs_spark.raster import zonal_pixel_stats
+
+    def img(seed, h, w):
+        flat = ((seed + np.arange(h * w * 3)) % 251).astype(np.uint8)
+        return imagecodec.encode(flat.reshape(h, w, 3), 'png')
+
+    images = spark.createDataFrame(
+        [('a', img(5, 4, 4)), ('b', img(9, 2, 8)),
+         ('c', img(0, 3, 3)), ('d', None)],
+        'image_id string, bytes binary')
+    assigned = spark.createDataFrame(
+        [('a', 't1', 'NE'), ('b', 't1', 'NE'),
+         ('c', 't2', 'SW'), ('d', 't2', 'SW'),
+         ('zz', 't3', 'NW')],   # no image row -> dropped
+        'image_id string, trs string, qq string')
+    rows = {(r['trs'], r['qq']): r for r in
+            zonal_pixel_stats(assigned, images).collect()}
+
+    def psum(seed, n):
+        return int(sum((seed + k) % 251 for k in range(n)))
+
+    assert set(rows) == {('t1', 'NE'), ('t2', 'SW')}
+    r1 = rows[('t1', 'NE')]
+    assert (r1['n_images'], r1['n_px']) == (2, 48 + 48)
+    assert r1['px_sum'] == psum(5, 48) + psum(9, 48)
+    assert r1['px_mean'] == r1['px_sum'] / 96
+    r2 = rows[('t2', 'SW')]   # null-bytes image dropped
+    assert (r2['n_images'], r2['n_px']) == (1, 27)
+    assert r2['px_sum'] == psum(0, 27)
