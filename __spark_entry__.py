@@ -2661,6 +2661,39 @@ GROUP BY p.user_id
 """
 
 
+# --- T32 weighted sample -----------------------------------------------
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32: integer-exact weighted bottom-k sample of documents,
+    weight ~ document length (1 + n_chars/256, capped at 32).  The
+    min-hash ticket race makes the A-ES exponential-key scheme exact
+    in int64 -- no cross-engine float ln/pow -- so the oracle
+    re-derives every race key and the EXACT same k winners."""
+    from pytrs_spark.operators.sampling import weighted_sample
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').select(
+        'doc_id',
+        (1 + F.least(F.floor(F.col('n_chars') / 256), F.lit(31)))
+        .cast('long').alias('wt'))
+    return weighted_sample(docs, 'doc_id', 'wt', k=100) \
+        .select('doc_id', 'wt', 'race')
+
+
+_WS_TICKET = _mix_sql(f'(({_mix_sql("doc_id", 0)}) * 65536 + c)',
+                      15485863)
+
+_ORACLE_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, 1 + LEAST(n_chars // 256, 31) AS wt FROM documents
+), race AS (
+  SELECT doc_id, wt, MIN({_WS_TICKET}) AS race
+  FROM w CROSS JOIN generate_series(0, 31) AS g(c)
+  WHERE g.c < w.wt
+  GROUP BY doc_id, wt
+)
+SELECT doc_id, wt, race FROM race ORDER BY race, doc_id LIMIT 100
+"""
+
+
 # --- T23 exact multi-pass quantiles -----------------------------------
 
 _QUANTS = (0.01, 0.25, 0.5, 0.75, 0.99)
@@ -3265,6 +3298,7 @@ _RAW_QUERIES = {
         'bloom_registers': q_bloom_registers,
         'bloom_contains': q_bloom_contains,
         'zonal_stats': q_zonal_stats,
+        'weighted_sample': q_weighted_sample,
         # -- no driver-verified row yet (r03 snapshot predates) --
         'quick_desc_short': q_quick_desc_short,
         'zorder_key': q_zorder_key,
@@ -3479,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         'bloom_registers': _ORACLE_BLOOM,
         'bloom_contains': _ORACLE_BLOOM_CONTAINS,
         'zonal_stats': _ORACLE_ZONAL,
+        'weighted_sample': _ORACLE_WEIGHTED_SAMPLE,
         'hll_registers': _ORACLE_HLL,
         'histogram': _ORACLE_HISTOGRAM,
         'funnel': _ORACLE_FUNNEL,

@@ -125,3 +125,44 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
     return (df.withColumn('_rnk', F.row_number().over(w))
             .filter(F.col('_rnk') <= n_per_stratum)
             .drop('_rnk'))
+
+
+_W_SALT = 15485863
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int, salt: int = 0,
+                    max_weight: int = 4096) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the ``k``
+    rows with the smallest race key, where a row of integer weight
+    ``w`` races ``w`` independent mixed hashes and keeps the minimum
+    (the integer-exact min-hash race; equivalent to expanding every
+    row into ``w`` tickets and drawing uniformly -- heavier rows win
+    proportionally more often, exactly the A-ES exponential-key
+    scheme without its cross-engine float ``ln``/``pow`` hazards).
+
+    Weights clamp to ``[1, max_weight]`` (part of the spec, so the
+    SQL oracle reproduces the clamp); null keys drop.  Adds ``race``
+    (the winning int64) so the selection is auditable; ties break on
+    the raw key, so the sample is total-ordered and byte-stable under
+    any partitioning.
+
+    Scale shape: the race is ONE codegen expression per row --
+    ``array_min(transform(sequence(0, w-1), mix))`` builds the
+    ticket array inline, no explode, no UDF, no extra columns ride
+    along; bottom-k then runs as TakeOrderedAndProject (per-partition
+    top-k, driver merges k rows) -- NO shuffle at any corpus size.
+    ``max_weight`` bounds the per-row array; for weights beyond it,
+    pre-bucket (the race only needs ordinal resolution).
+    """
+    if k < 1:
+        raise ValueError('k must be >= 1')
+    base = hash_mix(key_col, salt)
+    wc = F.least(F.greatest(F.col(weight_col).cast('long'), F.lit(1)),
+                 F.lit(int(max_weight)))
+    race = F.array_min(F.transform(
+        F.sequence(F.lit(0), wc - 1),
+        lambda c: hash_mix(base * F.lit(65536) + c, _W_SALT)))
+    return (df.filter(F.col(key_col).isNotNull())
+            .withColumn('race', race)
+            .orderBy('race', key_col).limit(k))

@@ -145,3 +145,56 @@ def test_repetition_metrics_flags_boilerplate(spark):
     assert got[0]['dup_line_frac'] > 0.9 > got[1]['dup_line_frac']
     assert (got[0]['top_2gram_char_frac']
             > 0.2 > got[1]['top_2gram_char_frac'])
+
+
+# ------------------------------------------------------------- T32
+
+def _py_race(key, wt, m31=(1 << 31) - 1):
+    def mix(k, salt):
+        h0 = (k + salt) % m31
+        h1 = (h0 * 1299709 + 2654435761) % m31
+        h2 = h1 ^ (h1 >> 16)
+        h3 = (h2 * 1000003 + 12345) % m31
+        return h3 ^ (h3 >> 8)
+    base = mix(key, 0)
+    return min(mix(base * 65536 + c, 15485863) for c in range(wt))
+
+
+def test_weighted_sample_matches_python_spec(spark):
+    from pytrs_spark.operators.sampling import weighted_sample
+    rows = [(i, 1 + (i * 7) % 9) for i in range(500)]
+    df = spark.createDataFrame(rows, 'k long, wt long')
+    got = [(r['k'], r['race'])
+           for r in weighted_sample(df, 'k', 'wt', k=25).collect()]
+    want = sorted(((_py_race(k, w), k) for k, w in rows))[:25]
+    assert got == [(k, race) for race, k in want]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.sampling import weighted_sample
+    # 5000 weight-1 rows + 5000 weight-20 rows: heavy rows should
+    # take ~20/21 of a 400-row sample (binomial sd ~8; allow wide).
+    df = spark.range(10_000).select(
+        F.col('id').alias('k'),
+        F.when(F.col('id') % 2 == 0, 20).otherwise(1).alias('wt'))
+    heavy = sum(1 for r in weighted_sample(df, 'k', 'wt', 400).collect()
+                if r['k'] % 2 == 0)
+    assert heavy > 330, heavy
+
+
+def test_weighted_sample_clamps_and_stability(spark):
+    from pytrs_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 10**9)],
+        'k long, wt long')
+    out = weighted_sample(df, 'k', 'wt', k=4, max_weight=8)
+    rows = {r['k']: r['race'] for r in out.collect()}
+    # w<=0 / null clamp to 1; huge clamps to max_weight=8
+    assert rows[1] == _py_race(1, 1)
+    assert rows[2] == _py_race(2, 1)
+    assert rows[4] == _py_race(4, 8)
+    # stable under repartitioning
+    out2 = weighted_sample(df.repartition(7), 'k', 'wt', k=4,
+                           max_weight=8)
+    assert {r['k']: r['race'] for r in out2.collect()} == rows
