@@ -3287,11 +3287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # Registry order note: the driver's per-round CORRECTNESS snapshot
 # verifies the FIRST 50 entries (observed cap, r03).  Entries without
-# a driver-verified row yet (added after the r03 snapshot) are listed
-# FIRST so CORRECTNESS_r04 covers them; the r03-verified remainder
-# keeps its original relative order, so the union of the r03 + r04
-# driver files covers every query.  scripts/check_correctness.py
-# always sweeps all entries regardless of order.
+# a driver-verified row yet (added after the r03 snapshot, plus the
+# round-4 additions) are listed FIRST so CORRECTNESS_r04 covers them:
+# 40 unverified entries + the first 10 of the r03-verified block fill
+# the r04 window, and the r03 + r04 union then covers all 90 queries.
+# The r03-verified remainder keeps its original relative order.
+# scripts/check_correctness.py always sweeps all entries regardless
+# of order.
 _RAW_QUERIES = {
         # -- new in round 4 --
         'interval_join': q_interval_join,

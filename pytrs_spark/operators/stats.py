@@ -353,24 +353,32 @@ def bloom_merge(*sketches: DataFrame) -> DataFrame:
 def bloom_contains(sketch: DataFrame, keys: DataFrame, key_col: str,
                    n_words: int = 256, depth: int = 4,
                    salt: int = 0) -> DataFrame:
-    """Probe each key against the sketch: ``might_contain`` is true
-    iff ALL ``depth`` probe bits are set (no false negatives; false
-    positives at the design rate).  The sketch side is at most
-    ``n_words`` rows -- always broadcast; the key side never
-    shuffles, so this composes as a scan-stage pre-filter for joins
-    at any scale."""
+    """Adds ``might_contain`` per input row: true iff ALL ``depth``
+    probe bits are set (no false negatives; false positives at the
+    design rate).
+
+    Plan shape: ``depth`` broadcast hash joins against the
+    <= ``n_words``-row sketch plus one inline AND of codegen bit
+    tests -- no explode, no aggregation, ZERO exchanges on the probe
+    side, and every probe column rides through untouched.  That is
+    exactly the scan-stage join pre-filter shape: at 100 TB the big
+    table gains ``might_contain`` (and filters on it) without ever
+    shuffling."""
     n_bits = n_words * 32
-    probes = keys.select(
-        key_col,
-        F.explode(F.array(*[
-            (hash_mix(key_col, salt + d * _BLOOM_SALT) % n_bits)
-            .alias('p') for d in range(depth)])).alias('pos'))
-    hit = (F.coalesce(F.col('bits'), F.lit(0))
-           .bitwiseAND(F.element_at(_pow2(), (F.col('pos') % 32)
-                                    .cast('int') + 1)) != 0) \
-        .cast('int')
-    return (probes
-            .withColumn('word', (F.col('pos') / 32).cast('int'))
-            .join(F.broadcast(sketch), ['word'], 'left')
-            .groupBy(key_col)
-            .agg((F.min(hit) == 1).alias('might_contain')))
+    out = keys
+    cond = None
+    for d in range(depth):
+        pos = hash_mix(key_col, salt + d * _BLOOM_SALT) % n_bits
+        sk = sketch.select(F.col('word').alias(f'_bw{d}'),
+                           F.col('bits').alias(f'_bb{d}'))
+        out = out.withColumn(f'_bw{d}', (pos / 32).cast('int')) \
+            .join(F.broadcast(sk), [f'_bw{d}'], 'left') \
+            .withColumn(f'_bp{d}', pos)
+        hit = (F.coalesce(F.col(f'_bb{d}'), F.lit(0))
+               .bitwiseAND(F.element_at(
+                   _pow2(), (F.col(f'_bp{d}') % 32).cast('int') + 1))
+               != 0)
+        cond = hit if cond is None else cond & hit
+    drop = [c for d in range(depth)
+            for c in (f'_bw{d}', f'_bb{d}', f'_bp{d}')]
+    return out.withColumn('might_contain', cond).drop(*drop)

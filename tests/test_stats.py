@@ -272,3 +272,18 @@ def test_bloom_null_keys_dropped(spark):
     want = {(r['word'], r['bits'])
             for r in bloom_sketch(ref, 'k', n_words=4, depth=2).collect()}
     assert got == want
+
+
+def test_bloom_contains_zero_shuffle_plan(spark):
+    from pytrs_spark.operators.stats import bloom_contains, bloom_sketch
+    members = spark.range(0, 100).withColumnRenamed('id', 'k')
+    sk = bloom_sketch(members, 'k', n_words=8, depth=3)
+    probes = spark.range(0, 50).withColumnRenamed('id', 'k') \
+        .withColumn('payload', F.col('k') * 2)
+    out = bloom_contains(sk, probes, 'k', n_words=8, depth=3)
+    # probe columns ride through; no shuffle exchange on the probe
+    # side (broadcast exchanges for the sketch are expected)
+    assert 'payload' in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    probe_side = plan.split('BroadcastExchange')[0]
+    assert 'Exchange hashpartitioning' not in probe_side, probe_side
