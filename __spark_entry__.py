@@ -2674,7 +2674,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         'doc_id',
         (1 + F.least(F.floor(F.col('n_chars') / 256), F.lit(31)))
         .cast('long').alias('wt'))
-    return weighted_sample(docs, 'doc_id', 'wt', k=100) \
+    # max_weight=32 == the clamp already applied above (identity on
+    # these weights), and <= _UNROLL_CAP so the race runs as a
+    # whole-stage-codegen least() chain, not the interpreted
+    # higher-order-function fallback.
+    return weighted_sample(docs, 'doc_id', 'wt', k=100,
+                           max_weight=32) \
         .select('doc_id', 'wt', 'race')
 
 

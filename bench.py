@@ -79,6 +79,37 @@ def _prepare_images(spark, n_images, sf_tag):
     return spark.read.parquet(img_path)
 
 
+def _prepare_ramp_images(spark, n_images):
+    """Materialize SGI1-encoded ramp-pixel images once (cached
+    parquet), so the zonal-stats row times decode -> reduce -> join
+    -> aggregate, not the synthetic encoder."""
+    from pyspark.sql import functions as F
+    img_path = os.path.join(CACHE_DIR, f'ramp_images_{n_images}')
+    if not os.path.exists(img_path):
+        ids = spark.range(n_images).select(
+            F.col('id').alias('image_id')).repartition(64)
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+            from pytrs_spark import imagecodec
+            for pdf in batches:
+                blobs = []
+                for i in pdf['image_id'].tolist():
+                    i = int(i)
+                    w = (16, 32, 64)[i % 3]
+                    h = (16, 24, 48)[i % 3]
+                    px = ((i * 997 + np.arange(w * h * 3)) % 251) \
+                        .astype(np.uint8).reshape(h, w, 3)
+                    blobs.append(imagecodec.encode(px, 'png'))
+                yield pd.DataFrame({'image_id': pdf['image_id'],
+                                    'bytes': blobs})
+
+        ids.mapInPandas(gen, 'image_id long, bytes binary') \
+            .write.mode('overwrite').parquet(img_path)
+    return spark.read.parquet(img_path)
+
+
 def _steal_jiffies():
     """Cumulative hypervisor-steal jiffies (0 if unreadable)."""
     try:
@@ -384,6 +415,24 @@ def main():
                                  'n_images'))).collect(),
         runs=RUNS), 3)
 
+    # G19 zonal pixel stats over 200k SGI1-encoded ramp images
+    # (~820 MB decoded pixels): decode reduces each blob to two longs
+    # inside the scan stage, skinny id join to a synthetic
+    # 1024-tile assignment, tile-bounded partial agg.
+    from pytrs_spark.raster import zonal_pixel_stats
+    _zimgs = _prepare_ramp_images(spark, 200_000)
+    _zassign = _zimgs.select(
+        'image_id',
+        F.format_string('t%03d', (F.col('image_id') % 256).cast('int'))
+        .alias('trs'),
+        F.element_at(F.array(F.lit('NE'), F.lit('NW'), F.lit('SE'),
+                             F.lit('SW')),
+                     ((F.col('image_id') / 256) % 4).cast('int') + 1)
+        .alias('qq'))
+    queries['zonal_stats_200k'] = round(_median_time(
+        lambda: zonal_pixel_stats(_zassign, _zimgs)
+        .agg(F.sum('px_sum'), F.sum('n_px')).collect(), runs=RUNS), 3)
+
     # kNN to section corners.
     pts = images.select('image_id', 'phash')
     queries['knn_corners'] = round(_median_time(
@@ -635,6 +684,35 @@ def main():
     queries['quantiles_exact_50m'] = round(_median_time(
         lambda: quantiles_exact(_big, 'v', (0.25, 0.5, 0.99),
                                 n_bins=1024).count(), runs=RUNS), 3)
+
+    # T31 Bloom filter: build over 5M member keys (map-side bit_or
+    # partials, <= n_words rows shuffle), then probe 50M keys through
+    # the zero-shuffle broadcast pre-filter (~10% true members + the
+    # design-rate false positives survive).
+    from pytrs_spark.operators.stats import bloom_contains, bloom_sketch
+    _bmem = spark.range(5_000_000).withColumnRenamed('id', 'k')
+    queries['bloom_build_5m'] = round(_median_time(
+        lambda: bloom_sketch(_bmem, 'k', n_words=65536, depth=4)
+        .select(F.sum('bits')).collect(), runs=RUNS), 3)
+    _bsk = bloom_sketch(_bmem, 'k', n_words=65536, depth=4).persist()
+    _bsk.count()
+    _bprobe = spark.range(50_000_000).select(
+        (F.col('id') * 7 % 49_999_991).alias('k'))
+    queries['bloom_probe_50m'] = round(_median_time(
+        lambda: bloom_contains(_bsk, _bprobe, 'k', n_words=65536,
+                               depth=4).filter('might_contain').count(),
+        runs=RUNS), 3)
+    _bsk.unpersist()
+
+    # T32 weighted sample: 50M rows x min-hash ticket race (array_min
+    # over a codegen transform, no explode) + TakeOrderedAndProject --
+    # zero shuffle at any corpus size.
+    from pytrs_spark.operators.sampling import weighted_sample
+    _wrows = spark.range(50_000_000).select(
+        F.col('id').alias('doc_id'), (1 + F.col('id') % 32).alias('wt'))
+    queries['weighted_sample_50m'] = round(_median_time(
+        lambda: weighted_sample(_wrows, 'doc_id', 'wt', k=1000)
+        .count(), runs=RUNS), 3)
     queries['sessionize'] = round(_median_time(
         lambda: sessionize(events)
         .select(F.bit_xor(F.xxhash64('event_id', 'session_id')))
@@ -654,6 +732,31 @@ def main():
         .select(F.bit_xor(F.xxhash64('user_id', 'funnel_stage')))
         .collect(), runs=RUNS), 3)
     events.unpersist()
+
+    # E14 point-in-interval join at 20M points x 20k intervals over
+    # 64 key groups: intervals explode to covering time buckets via
+    # native sequence, each point meets them in its ONE bucket --
+    # exactly-once, broadcast interval side, point side never
+    # shuffles.
+    from pytrs_spark.operators.events import interval_join
+    _jbase = 1_704_067_200_000_000
+    _jpts = spark.range(20_000_000).select(
+        F.col('id').alias('event_id'), (F.col('id') % 64).alias('grp'),
+        F.timestamp_micros(
+            F.lit(_jbase)
+            + (F.col('id') * 40009 % 10_000_000) * 1_000_000)
+        .alias('ts'))
+    _jstart = F.lit(_jbase) \
+        + (F.col('id') * 104729 % 10_000_000) * 1_000_000
+    _jiv = spark.range(20_000).select(
+        F.col('id').alias('interval_id'), (F.col('id') % 64).alias('grp'),
+        F.timestamp_micros(_jstart).alias('start_ts'),
+        F.timestamp_micros(
+            _jstart + (60 + F.col('id') % 3600) * 1_000_000)
+        .alias('end_ts'))
+    queries['interval_join_20m'] = round(_median_time(
+        lambda: interval_join(_jpts, _jiv, keys=['grp']).count(),
+        runs=RUNS), 3)
 
     # Full near-dup pipeline (exact prepass -> LSH -> verify -> expand)
     # on a doubled corpus, so the hot-bucket path is exercised.

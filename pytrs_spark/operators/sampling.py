@@ -128,6 +128,13 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
 
 
 _W_SALT = 15485863
+# Largest max_weight whose race unrolls into a codegen least() chain
+# (~14 arithmetic ops per ticket; 64 tickets ~ 900 ops stays well
+# inside the whole-stage-codegen method-size splitter).
+_UNROLL_CAP = 64
+# Threshold sizing: expect _SURVIVOR_MARGIN * k rows under the race
+# cutoff; also the retry multiplier when fewer than k survive.
+_SURVIVOR_MARGIN = 8
 
 
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
@@ -147,22 +154,66 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     the raw key, so the sample is total-ordered and byte-stable under
     any partitioning.
 
-    Scale shape: the race is ONE codegen expression per row --
-    ``array_min(transform(sequence(0, w-1), mix))`` builds the
-    ticket array inline, no explode, no UDF, no extra columns ride
-    along; bottom-k then runs as TakeOrderedAndProject (per-partition
-    top-k, driver merges k rows) -- NO shuffle at any corpus size.
-    ``max_weight`` bounds the per-row array; for weights beyond it,
-    pre-bucket (the race only needs ordinal resolution).
+    Scale shape -- threshold-filtered selection, NOT a bare global
+    top-k: one cheap agg computes the total clamped ticket count W,
+    a scan-stage filter keeps only rows whose race falls under a
+    threshold sized for ~``_SURVIVOR_MARGIN * k`` expected survivors
+    (each of W tickets lands under ``t`` with probability t / 2^31,
+    so t = margin * k * 2^31 / W), and TakeOrderedAndProject then
+    runs on that tiny survivor set.  The selection is EXACT: the
+    survivors are precisely the rows with race <= t, so whenever at
+    least ``k`` survive they contain the true bottom-k; if fewer
+    survive (astronomically rare at margin 8, but possible) the
+    threshold multiplies by ``_SURVIVOR_MARGIN`` and the filter
+    reruns, and once t >= 2^31 every row survives so the loop always
+    terminates with the exact answer.  No shuffle at any corpus
+    size; the extra agg + retry loop cost bounded scans of two
+    columns.
+
+    The threshold shape is also what keeps the race compiled: a
+    bare Project(race)->TakeOrdered plan puts the whole unrolled
+    least() chain into one generated method, which blows Janino's
+    64 KB method cap at ~8 terms and silently drops the stage to
+    interpreted evaluation (measured 30 s / 5M rows vs 1 s
+    compiled).  The agg and filter+project shapes split fine.
+
+    When ``max_weight`` <= ``_UNROLL_CAP`` the race unrolls into a
+    ``least()`` chain of weight-gated mixes that stays inside
+    whole-stage codegen; otherwise it evaluates as
+    ``array_min(transform(sequence(...)))`` -- higher-order array
+    functions are CodegenFallback in Spark (interpreted per row + a
+    per-row ticket array), measured ~40x slower per ticket, so
+    prefer pre-bucketing weights into <= ``_UNROLL_CAP`` ordinals
+    (the race only needs ordinal resolution).
     """
     if k < 1:
         raise ValueError('k must be >= 1')
     base = hash_mix(key_col, salt)
     wc = F.least(F.greatest(F.col(weight_col).cast('long'), F.lit(1)),
                  F.lit(int(max_weight)))
-    race = F.array_min(F.transform(
-        F.sequence(F.lit(0), wc - 1),
-        lambda c: hash_mix(base * F.lit(65536) + c, _W_SALT)))
-    return (df.filter(F.col(key_col).isNotNull())
-            .withColumn('race', race)
-            .orderBy('race', key_col).limit(k))
+    if max_weight <= _UNROLL_CAP:
+        # Ticket c races iff c < w; losers sit at MAX so least()
+        # ignores them.  c = 0 always races (w >= 1 post-clamp).
+        terms = [hash_mix(base * F.lit(65536), _W_SALT)]
+        terms += [
+            F.when(F.lit(c) < wc,
+                   hash_mix(base * F.lit(65536) + F.lit(c), _W_SALT))
+            .otherwise(F.lit((1 << 63) - 1))
+            for c in range(1, int(max_weight))]
+        race = F.least(*terms) if len(terms) > 1 else terms[0]
+    else:
+        race = F.array_min(F.transform(
+            F.sequence(F.lit(0), wc - 1),
+            lambda c: hash_mix(base * F.lit(65536) + c, _W_SALT)))
+    rows = df.filter(F.col(key_col).isNotNull()) \
+        .withColumn('race', race)
+    total_w = rows.agg(F.sum(wc).alias('w')).collect()[0]['w'] or 0
+    if total_w == 0:
+        return rows.limit(0)
+    threshold = max(1, (_SURVIVOR_MARGIN * k * (1 << 31)) // total_w)
+    while True:
+        cand = rows.filter(F.col('race') <= F.lit(min(threshold,
+                                                      1 << 31)))
+        if threshold >= (1 << 31) or cand.count() >= k:
+            return cand.orderBy('race', key_col).limit(k)
+        threshold *= _SURVIVOR_MARGIN
