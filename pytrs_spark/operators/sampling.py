@@ -216,4 +216,4 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
                                                       1 << 31)))
         if threshold >= (1 << 31) or cand.count() >= k:
             return cand.orderBy('race', key_col).limit(k)
-        threshold *= _SURVIVOR_MARGIN
+        threshold *= max(2, _SURVIVOR_MARGIN)

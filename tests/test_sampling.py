@@ -198,3 +198,45 @@ def test_weighted_sample_clamps_and_stability(spark):
     out2 = weighted_sample(df.repartition(7), 'k', 'wt', k=4,
                            max_weight=8)
     assert {r['k']: r['race'] for r in out2.collect()} == rows
+
+
+def test_weighted_sample_unroll_matches_hof_path(spark):
+    # max_weight <= _UNROLL_CAP takes the codegen least() chain,
+    # above it the HOF array_min path: same spec, identical winners.
+    from pytrs_spark.operators.sampling import weighted_sample
+    rows = [(i, 1 + (i * 11) % 30) for i in range(800)]
+    df = spark.createDataFrame(rows, 'k long, wt long')
+    fast = [(r['k'], r['race'])
+            for r in weighted_sample(df, 'k', 'wt', k=40,
+                                     max_weight=32).collect()]
+    slow = [(r['k'], r['race'])
+            for r in weighted_sample(df, 'k', 'wt', k=40,
+                                     max_weight=4096).collect()]
+    assert fast == slow
+    want = sorted(((_py_race(k, min(w, 32)), k) for k, w in rows))[:40]
+    assert fast == [(k, race) for race, k in want]
+
+
+def test_weighted_sample_threshold_retry_exact(spark, monkeypatch):
+    # Margin 1 makes the first survivor threshold E[survivors] == k,
+    # so the retry branch is live (and taken for roughly half of key
+    # layouts); whichever branch runs, the bottom-k must equal the
+    # full-sort answer.
+    import pytrs_spark.operators.sampling as S
+    monkeypatch.setattr(S, '_SURVIVOR_MARGIN', 1)
+    rows = [(i, 1 + i % 4) for i in range(2000)]
+    df = spark.createDataFrame(rows, 'k long, wt long')
+    got = [(r['k'], r['race'])
+           for r in S.weighted_sample(df, 'k', 'wt', k=500,
+                                      max_weight=4).collect()]
+    want = sorted(((_py_race(k, min(w, 4)), k) for k, w in rows))[:500]
+    assert got == [(k, race) for race, k in want]
+
+
+def test_weighted_sample_k_exceeds_rows(spark):
+    # threshold escalation terminates at the full hash range and
+    # returns every row when k > n.
+    from pytrs_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame([(1, 3), (2, 1)], 'k long, wt long')
+    out = weighted_sample(df, 'k', 'wt', k=10, max_weight=8)
+    assert sorted(r['k'] for r in out.collect()) == [1, 2]
