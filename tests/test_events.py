@@ -214,3 +214,23 @@ def test_interval_join_bucket_and_collision(spark):
          for r in interval_join(pdf, idf, bucket_s=7.0,
                                 broadcast_intervals=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_interval_join_point_side_never_shuffles(spark):
+    # With a broadcastable interval side the point side must reach
+    # the join through scan -> project only: zero hashpartitioning
+    # exchanges anywhere in the plan (the single BroadcastExchange
+    # carries the exploded interval buckets).
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.events import interval_join
+    pdf = spark.range(1000).select(
+        F.col('id').alias('point_id'),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000)
+                           + F.col('id') * 1_000_000).alias('ts'))
+    idf = spark.createDataFrame(
+        [(j, _ts(j * 60), _ts(j * 60 + 90)) for j in range(6)],
+        'interval_id long, start_ts timestamp, end_ts timestamp')
+    out = interval_join(pdf, idf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastExchange' in plan
+    assert 'Exchange hashpartitioning' not in plan, plan

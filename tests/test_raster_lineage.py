@@ -177,3 +177,44 @@ def test_zonal_pixel_stats_exact(spark):
     r2 = rows[('t2', 'SW')]   # null-bytes image dropped
     assert (r2['n_images'], r2['n_px']) == (1, 27)
     assert r2['px_sum'] == psum(0, 27)
+
+
+def test_zonal_bytes_never_ride_a_shuffle(spark):
+    # The decode collapses each blob to two longs inside the scan
+    # stage: no Exchange in the plan may carry the binary column.
+    import numpy as np
+    from pytrs_spark import imagecodec
+    from pytrs_spark.raster import zonal_pixel_stats
+
+    def img(seed):
+        flat = ((seed + np.arange(48)) % 251).astype(np.uint8)
+        return imagecodec.encode(flat.reshape(4, 4, 3), 'png')
+
+    images = spark.createDataFrame(
+        [(f'i{n}', img(n)) for n in range(64)],
+        'image_id string, bytes binary')
+    assigned = spark.createDataFrame(
+        [(f'i{n}', f't{n % 4}', 'NE') for n in range(64)],
+        'image_id string, trs string, qq string')
+    root = zonal_pixel_stats(assigned, images) \
+        ._jdf.queryExecution().executedPlan()
+
+    shuffles = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if 'ShuffleExchange' in name:
+            shuffles.append(node)
+        if 'AdaptiveSparkPlan' in name:
+            # AQE wraps the tree; its children() is empty until the
+            # query runs -- inspect the initial plan instead (bytes
+            # must stay out of every shuffle in ANY chosen plan).
+            walk(node.initialPlan())
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(root)
+    assert shuffles, 'expected at least the final per-tile agg shuffle'
+    for node in shuffles:
+        out = node.output().mkString(', ')
+        assert 'bytes#' not in out, out
