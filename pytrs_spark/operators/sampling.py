@@ -214,6 +214,15 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     while True:
         cand = rows.filter(F.col('race') <= F.lit(min(threshold,
                                                       1 << 31)))
-        if threshold >= (1 << 31) or cand.count() >= k:
+        if threshold >= (1 << 31):
+            # Cutoff covers the whole hash range: every row survives;
+            # don't persist the full corpus, just select.
             return cand.orderBy('race', key_col).limit(k)
+        # The survivor set is ~margin * k rows by construction --
+        # persist it so the guard count and the selection share ONE
+        # race-evaluating scan of the corpus.
+        cand = cand.persist()
+        if cand.count() >= k:
+            return cand.orderBy('race', key_col).limit(k)
+        cand.unpersist()
         threshold *= max(2, _SURVIVOR_MARGIN)
