@@ -141,6 +141,13 @@ def minhash_signature(shingles, num_perm: int = 32) -> F.Column:
 
     a_i/b_i derive from xxhash64 of the permutation index (fixed
     seed), so signatures are deterministic across runs and engines.
+
+    NOTE: ``F.aggregate`` is a higher-order array function --
+    CodegenFallback, i.e. interpreted per row (see the weighted-
+    sample codegen-cliff note in BENCH.md).  This column form exists
+    for composability/oracle parity; the production path
+    (:func:`minhash_signatures`) uses the fused numpy kernel, which
+    is what every hot caller goes through.
     """
     prime = (1 << 31) - 1   # Mersenne prime; keeps products < 2^62
     sigs = []

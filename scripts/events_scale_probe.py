@@ -82,6 +82,32 @@ def main():
     out['asof_rows_per_s'] = round(n / out['asof_wall_s'])
     out['asof_rows'] = ck['n']
     out['asof_ck'] = ck['ck']
+
+    # E14 interval join: n/1000 deterministic campaign windows over
+    # 64 key groups; the point side (the n events) never shuffles.
+    from pytrs_spark.operators.events import interval_join
+    n_iv = max(n // 1000, 8)
+    start = (F.unix_micros(F.lit('2024-01-01 00:00:00')
+                           .cast('timestamp'))
+             + F.pmod(F.col('id') * 104729,
+                      F.lit(n // 3 * 300)) * F.lit(1_000_000))
+    iv = spark.range(n_iv).select(
+        F.col('id').alias('interval_id'),
+        F.pmod(F.col('id'), F.lit(64)).alias('grp'),
+        F.timestamp_micros(start).alias('start_ts'),
+        F.timestamp_micros(start + (60 + F.pmod(F.col('id'),
+                                                F.lit(3600)))
+                           * 1_000_000).alias('end_ts'))
+    pts = ev.select('event_id', 'ts',
+                    F.pmod(F.col('user_id'), F.lit(64)).alias('grp'))
+    t0 = time.time()
+    ck = interval_join(pts, iv, keys=['grp']).select(
+        F.bit_xor(F.xxhash64('event_id', 'interval_id')).alias('ck'),
+        F.count('*').alias('n')).collect()[0]
+    out['interval_wall_s'] = round(time.time() - t0, 2)
+    out['interval_rows_per_s'] = round(n / out['interval_wall_s'])
+    out['interval_pairs'] = ck['n']
+    out['interval_ck'] = ck['ck']
     print(out)
     spark.stop()
 
