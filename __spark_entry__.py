@@ -3269,6 +3269,305 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# --- T33/T34 image geometry + T35 shard export ------------------------
+
+# Deterministic image geometry derived from orders (same closed-form
+# integer arithmetic on both sides; dims in [64, 2048]).
+_IMG_GEO_SQL = """
+  SELECT o_orderkey AS image_key,
+         64 + (o_orderkey * 7919) % 1985 AS w,
+         64 + (o_orderkey * 104729) % 1985 AS h
+  FROM orders
+"""
+
+# hash_mix CTE over the orders key (mix column named mh so it never
+# collides with the image height column h).
+_OMIX_SQL = """
+om0 AS (
+  SELECT o_orderkey AS image_key,
+         o_orderkey % 2147483647 AS mh FROM orders
+), om1 AS (
+  SELECT image_key, (mh * 1299709 + 2654435761) % 2147483647 AS mh
+  FROM om0
+), om2 AS (
+  SELECT image_key, xor(mh, mh >> 16) AS mh FROM om1
+), om3 AS (
+  SELECT image_key, (mh * 1000003 + 12345) % 2147483647 AS mh FROM om2
+), omix AS (
+  SELECT image_key, xor(mh, mh >> 8) AS mh FROM om3
+)"""
+
+
+def _img_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    return orders.select(
+        F.col('o_orderkey').alias('image_key'),
+        (F.lit(64) + (F.col('o_orderkey') * 7919) % 1985).alias('w'),
+        (F.lit(64) + (F.col('o_orderkey') * 104729) % 1985).alias('h'))
+
+
+_AB_BUCKETS = [(256, 1024), (384, 768), (512, 512), (768, 384),
+               (1024, 256)]
+_AB_BATCH, _AB_SHARDS = 8, 4
+
+
+def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33: SDXL-style aspect-ratio bucketing + cover/crop geometry +
+    deterministic per-(bucket, shard) batch dealing.  Oracle re-derives
+    the argmin bucket choice (single-division penalty), the
+    round-half-up resize arithmetic, the shard mix, and the batch
+    windows in raw SQL."""
+    from pytrs_spark.operators import imageops
+    return imageops.aspect_bucket(
+        _img_geo(spark, sf_dir), _AB_BUCKETS, batch_size=_AB_BATCH,
+        n_shards=_AB_SHARDS, id_col='image_key')
+
+
+_ORACLE_ASPECT = f"""
+WITH geo AS ({_IMG_GEO_SQL}),
+b(i, bw, bh) AS (VALUES {', '.join(f'({i}, {bw}, {bh})'
+                 for i, (bw, bh) in enumerate(_AB_BUCKETS))}),
+pen AS (
+  SELECT g.image_key, g.w, g.h, b.i, b.bw, b.bh,
+         CAST(greatest(g.w * b.bh, g.h * b.bw) AS DOUBLE)
+           / CAST(least(g.w * b.bh, g.h * b.bw) AS DOUBLE) AS p
+  FROM geo g CROSS JOIN b
+),
+pick AS (
+  SELECT * FROM pen
+  QUALIFY row_number() OVER (PARTITION BY image_key ORDER BY p, i) = 1
+),
+{_OMIX_SQL.lstrip()},
+geo2 AS (
+  SELECT p.image_key, p.w, p.h, p.i AS bucket_id,
+         p.bw AS bucket_w, p.bh AS bucket_h,
+         CASE WHEN p.w * p.bh >= p.h * p.bw
+              THEN (p.w * p.bh * 2 + p.h) // (p.h * 2)
+              ELSE p.bw END AS resize_w,
+         CASE WHEN p.w * p.bh >= p.h * p.bw
+              THEN p.bh
+              ELSE (p.h * p.bw * 2 + p.w) // (p.w * 2) END AS resize_h,
+         CAST(m.mh % {_AB_SHARDS} AS INT) AS shard
+  FROM pick p JOIN omix m USING (image_key)
+),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_id, shard
+                               ORDER BY image_key) - 1 AS r
+  FROM geo2
+)
+SELECT image_key, w, h, bucket_id, bucket_w, bucket_h,
+       resize_w, resize_h,
+       (resize_w - bucket_w) // 2 AS crop_x,
+       (resize_h - bucket_h) // 2 AS crop_y,
+       shard, r // {_AB_BATCH} AS batch_id,
+       CAST(r % {_AB_BATCH} AS INT) AS pos_in_batch
+FROM rn
+"""
+
+
+_PP_BUDGET, _PP_PATCH, _PP_SHARDS = 8192, 32, 4
+
+
+def q_pack_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T34: NaViT-style native-resolution patch packing (offset mode
+    -- the prefix-sum 10^12-image layout).  Oracle re-derives patch
+    grids, the shard mix, the running offsets, and the soft-budget
+    window arithmetic in raw SQL."""
+    from pytrs_spark.operators import imageops
+    return imageops.pack_patches(
+        _img_geo(spark, sf_dir), _PP_BUDGET, patch=_PP_PATCH,
+        n_shards=_PP_SHARDS, id_col='image_key')
+
+
+_ORACLE_PACK_PATCHES = f"""
+WITH geo AS ({_IMG_GEO_SQL}),
+{_OMIX_SQL.lstrip()},
+tok AS (
+  SELECT g.image_key, CAST(m.mh % {_PP_SHARDS} AS INT) AS shard,
+         CAST((g.w + {_PP_PATCH - 1}) // {_PP_PATCH} AS INT)
+           AS patch_cols,
+         CAST((g.h + {_PP_PATCH - 1}) // {_PP_PATCH} AS INT)
+           AS patch_rows,
+         CAST(((g.w + {_PP_PATCH - 1}) // {_PP_PATCH})
+              * ((g.h + {_PP_PATCH - 1}) // {_PP_PATCH}) AS BIGINT)
+           AS n_tok
+  FROM geo g JOIN omix m USING (image_key)
+),
+off AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard
+           ORDER BY image_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS s
+  FROM tok
+)
+SELECT shard, s // {_PP_BUDGET} AS seq_id, image_key,
+       patch_cols, patch_rows, n_tok,
+       s % {_PP_BUDGET} AS tok_offset
+FROM off
+"""
+
+
+_SB_SHARDS = 16
+
+
+def q_shard_by_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35: byte-balanced export sharding (range-partitioned running
+    byte total, no single-partition window).  Oracle = one global
+    ordered cumulative sum + the same ceil-target div arithmetic."""
+    from pytrs_spark.operators.io import shard_by_bytes
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    blobs = orders.select(
+        F.col('o_orderkey').alias('image_key'),
+        (F.lit(1024) + (F.col('o_orderkey') * 2654435761) % 1048576)
+        .alias('nbytes'))
+    return shard_by_bytes(blobs, 'nbytes', 'image_key',
+                          n_shards=_SB_SHARDS)
+
+
+_ORACLE_SHARD_BYTES = f"""
+WITH b AS (
+  SELECT o_orderkey AS image_key,
+         1024 + (o_orderkey * 2654435761) % 1048576 AS nbytes
+  FROM orders
+),
+t AS (
+  SELECT CAST((SUM(nbytes) + {_SB_SHARDS - 1}) // {_SB_SHARDS}
+              AS BIGINT) AS tgt
+  FROM b
+),
+c AS (
+  SELECT image_key, nbytes,
+         CAST(COALESCE(SUM(nbytes) OVER (ORDER BY image_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum
+  FROM b
+)
+SELECT image_key, nbytes, CAST(cum // t.tgt AS BIGINT) AS shard,
+       CAST(cum % t.tgt AS BIGINT) AS offset_in_shard
+FROM c, t
+"""
+
+
+# --- G20 area-weighted zonal overlap ----------------------------------
+
+# Zones: 25 overlapping 16x16 boxes on a 12-unit lattice (nation
+# keys); feats: small quarter-grid rectangles from orders.  All
+# coordinates are multiples of 1/16, values integer, so every overlap
+# area and weighted sum is EXACT in binary -- order-independent
+# across engines (see zonal_overlap_stats docstring).
+_ZONE_SQL = """
+  SELECT n_nationkey AS zone_id,
+         CAST((n_nationkey % 5) * 12 AS DOUBLE) AS xmin,
+         CAST((n_nationkey // 5) * 12 AS DOUBLE) AS ymin,
+         CAST((n_nationkey % 5) * 12 + 16 AS DOUBLE) AS xmax,
+         CAST((n_nationkey // 5) * 12 + 16 AS DOUBLE) AS ymax
+  FROM nation
+"""
+_FEAT_SQL = """
+  SELECT o_orderkey AS feat_id,
+         CAST(1 + o_orderkey % 97 AS BIGINT) AS val,
+         CAST((o_orderkey * 7919) % 1024 AS DOUBLE) / 16 AS xmin,
+         CAST((o_orderkey * 104729) % 1024 AS DOUBLE) / 16 AS ymin,
+         CAST((o_orderkey * 7919) % 1024 AS DOUBLE) / 16
+           + CAST(1 + o_orderkey % 32 AS DOUBLE) / 16 AS xmax,
+         CAST((o_orderkey * 104729) % 1024 AS DOUBLE) / 16
+           + CAST(1 + (o_orderkey // 32) % 32 AS DOUBLE) / 16 AS ymax
+  FROM orders
+"""
+
+
+def q_zonal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20: area-weighted zonal stats over rectangle geometry (PBSM
+    reference-point join + partial-agg reduce).  Oracle is the plain
+    cross-join overlap aggregation; binary-grid coords keep every sum
+    exact so the hashes match bit-for-bit."""
+    from pytrs_spark.spatial.overlap import zonal_overlap_stats
+    nation = spark.read.parquet(f'{sf_dir}/nation.parquet')
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    k = F.col('n_nationkey')
+    zones = nation.select(
+        k.alias('zone_id'),
+        ((k % 5) * 12).cast('double').alias('xmin'),
+        (F.floor(k / 5) * 12).cast('double').alias('ymin'),
+        ((k % 5) * 12 + 16).cast('double').alias('xmax'),
+        (F.floor(k / 5) * 12 + 16).cast('double').alias('ymax'))
+    o = F.col('o_orderkey')
+    fx = ((o * 7919) % 1024).cast('double') / 16
+    fy = ((o * 104729) % 1024).cast('double') / 16
+    feats = orders.select(
+        o.alias('feat_id'),
+        (1 + o % 97).alias('val'),
+        fx.alias('xmin'), fy.alias('ymin'),
+        (fx + (1 + o % 32).cast('double') / 16).alias('xmax'),
+        (fy + (1 + F.expr('o_orderkey div 32') % 32).cast('double') / 16)
+        .alias('ymax'))
+    return zonal_overlap_stats(zones, feats, value_col='val', res=7)
+
+
+_ORACLE_ZONAL_OVERLAP = f"""
+WITH z AS ({_ZONE_SQL}),
+f AS ({_FEAT_SQL}),
+pairs AS (
+  SELECT z.zone_id, f.val,
+         least(z.xmax, f.xmax) - greatest(z.xmin, f.xmin) AS dx,
+         least(z.ymax, f.ymax) - greatest(z.ymin, f.ymin) AS dy
+  FROM z CROSS JOIN f
+  WHERE least(z.xmax, f.xmax) > greatest(z.xmin, f.xmin)
+    AND least(z.ymax, f.ymax) > greatest(z.ymin, f.ymin)
+)
+SELECT zone_id, COUNT(*) AS n_feats,
+       SUM(dx * dy) AS area_sum,
+       SUM(val * dx * dy) AS val_area_sum,
+       SUM(val * dx * dy) / SUM(dx * dy) AS area_wmean
+FROM pairs GROUP BY zone_id
+"""
+
+
+# --- E15 time-series gap fill ------------------------------------------
+
+_GF_STEP = 6 * 3600   # 6-hour grid over the events stream
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: per-user regular-grid densification + forward fill of the
+    events stream.  Oracle re-derives the bucket reduction (last obs
+    by (ts, value)), the per-key generate_series grid, and the
+    IGNORE NULLS forward fill."""
+    from pytrs_spark.operators.events import gap_fill
+    events = spark.read.parquet(f'{sf_dir}/events.parquet')
+    return gap_fill(events, key_col='user_id', ts_col='ts',
+                    val_col='value', step_s=_GF_STEP)
+
+
+_ORACLE_GAP_FILL = f"""
+WITH e AS (
+  SELECT user_id AS key, epoch_us(ts) AS us,
+         epoch_us(ts) // {_GF_STEP * 1_000_000} AS bucket, value
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+obs AS (
+  SELECT key, bucket, value AS obs_v
+  FROM e
+  QUALIFY row_number() OVER (PARTITION BY key, bucket
+                             ORDER BY us DESC, value DESC) = 1
+),
+bounds AS (
+  SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM obs GROUP BY key
+),
+grid AS (
+  SELECT key, g.bucket
+  FROM bounds, unnest(generate_series(b0, b1)) AS g(bucket)
+)
+SELECT g.key, g.bucket, g.bucket * {_GF_STEP} AS grid_ts_s,
+       last_value(o.obs_v IGNORE NULLS) OVER (
+         PARTITION BY g.key ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       o.obs_v IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket = o.bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -3301,6 +3600,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # of order.
 _RAW_QUERIES = {
         # -- new in round 4 --
+        'aspect_bucket': q_aspect_bucket,
+        'pack_patches': q_pack_patches,
+        'shard_by_bytes': q_shard_by_bytes,
+        'zonal_overlap': q_zonal_overlap,
+        'gap_fill': q_gap_fill,
         'interval_join': q_interval_join,
         'bloom_registers': q_bloom_registers,
         'bloom_contains': q_bloom_contains,
@@ -3399,6 +3703,11 @@ _RAW_QUERIES = {
 
 def oracle_sql() -> dict[str, str]:
     return {
+        'aspect_bucket': _ORACLE_ASPECT,
+        'pack_patches': _ORACLE_PACK_PATCHES,
+        'shard_by_bytes': _ORACLE_SHARD_BYTES,
+        'zonal_overlap': _ORACLE_ZONAL_OVERLAP,
+        'gap_fill': _ORACLE_GAP_FILL,
         'radius_join': _ORACLE_RADIUS,
         'cms_registers': _ORACLE_CMS,
         'cms_lookup': _ORACLE_CMS_LOOKUP,

@@ -306,3 +306,64 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         .filter((F.col('_p_us') >= F.col('_s_us'))
                 & (F.col('_p_us') <= F.col('_e_us')))
     return out.drop('_p_us', '_s_us', '_e_us', '_bkt')
+
+
+def gap_fill(events: DataFrame, key_col: str = 'user_id',
+             ts_col: str = 'ts', val_col: str = 'value',
+             step_s: int = 86400) -> DataFrame:
+    """E15: regular-grid time-series gap fill with forward fill --
+    densify each key's observations onto a fixed ``step_s``-second
+    grid and carry the last observation forward across the gaps (the
+    standard prep before rolling/seasonal features on irregular event
+    streams).
+
+    Grid buckets are ``floor(epoch_us / step_us)``; each key's grid
+    spans its own [first, last] observed bucket (no global range, so
+    a short-lived key never explodes to the corpus's full history).
+    Within one (key, bucket) the LAST observation wins (max by
+    ``(ts, value)`` -- the value tie-break keeps exact-duplicate
+    timestamps deterministic).  Returns one row per (key, grid
+    bucket): ``(key, bucket, grid_ts_s, value, is_gap)`` --
+    ``is_gap`` marks carried-forward rows; the first bucket is always
+    observed, so ``value`` is never null.
+
+    Scale shape: per-(key, bucket) reduction is a partial-agg
+    ``groupBy`` (raw events collapse BEFORE any window); the grid
+    explodes natively via ``sequence`` (rows = span/step per key --
+    the caller sizes ``step_s`` to the domain); the forward-fill is
+    one ``last(ignorenulls)`` running window per key.  Two hash
+    exchanges total (key+bucket agg, then key window; the grid join
+    shares the second's key).  Keys are the parallelism unit; no
+    Python, no driver state.
+    """
+    step_us = int(step_s) * 1_000_000
+    if step_us < 1:
+        raise ValueError(f'step_s must be >= 1, got {step_s}')
+
+    obs = (events
+           .filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+           .select(F.col(key_col).alias('key'),
+                   F.unix_micros(F.col(ts_col).cast('timestamp'))
+                   .alias('_us'),
+                   F.col(val_col).alias('_v'))
+           .withColumn('bucket', F.expr(f'_us div {step_us}'))
+           .groupBy('key', 'bucket')
+           .agg(F.max(F.struct(F.col('_us').alias('u'),
+                               F.col('_v').alias('v')))
+                .alias('_last'))
+           .select('key', 'bucket', F.col('_last.v').alias('_obs')))
+
+    bounds = obs.groupBy('key').agg(F.min('bucket').alias('_b0'),
+                                    F.max('bucket').alias('_b1'))
+    grid = bounds.select(
+        'key', F.explode(F.sequence('_b0', '_b1')).alias('bucket'))
+
+    w = (Window.partitionBy('key').orderBy('bucket')
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(obs, ['key', 'bucket'], 'left')
+            .select('key', 'bucket',
+                    (F.col('bucket') * F.lit(int(step_s)))
+                    .alias('grid_ts_s'),
+                    F.last('_obs', ignorenulls=True).over(w)
+                    .alias('value'),
+                    F.col('_obs').isNull().alias('is_gap')))

@@ -301,3 +301,84 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols,
             else list(sort_cols)
         w = w.sortBy(*sort_cols)
     w.format('parquet').saveAsTable(table)
+
+
+def shard_by_bytes(df: DataFrame, bytes_col: str, id_col: str,
+                   target_bytes: int = None,
+                   n_shards: int = None) -> DataFrame:
+    """T35: byte-balanced shard assignment for a bulk export writer --
+    "write these 10^12 rows as output files of ~``target_bytes``
+    each, reproducibly".
+
+    Rows order globally by ``id_col`` (the writer's clustering key);
+    with ``cum`` = the exact running byte total BEFORE each row,
+    ``shard = cum div target`` and ``offset_in_shard = cum mod
+    target``.  Contiguous id ranges land in contiguous shards, every
+    shard except the last closes within one row of ``target_bytes``,
+    and the assignment is a pure function of (id order, sizes) --
+    independent of partitioning, so re-running the export on any
+    cluster layout produces byte-identical shards.  Exactly one of
+    ``target_bytes`` / ``n_shards`` must be given; ``n_shards`` sizes
+    the target as ``ceil(total / n_shards)`` from one skinny agg.
+
+    Preconditions: ``id_col`` unique (duplicate ids would make the
+    running total tie-order ambiguous -- same contract as
+    ``pack_sequences``).  Null sizes count as 0.  A binary
+    ``bytes_col`` is measured with ``octet_length`` inside the scan
+    stage so blobs never ride the shuffle.
+
+    Scale shape: NO single-partition window (the trap the UID sink
+    above avoids the same way) -- range-partition the skinny
+    ``(id, nbytes)`` projection on ``id_col``, per-partition running
+    sums, then per-partition byte offsets from one n_partitions-row
+    collect stitched back as a codegen map lookup.  One range
+    exchange + one tiny driver round-trip total, identical result to
+    a global ordered cumsum.
+    """
+    if (target_bytes is None) == (n_shards is None):
+        raise ValueError('exactly one of target_bytes / n_shards')
+    size = F.col(bytes_col)
+    if dict(df.dtypes).get(bytes_col) == 'binary':
+        size = F.octet_length(size)
+    size = F.coalesce(size.cast('long'), F.lit(0))
+
+    skinny = df.select(F.col(id_col), size.alias('nbytes'))
+    if target_bytes is None:
+        total = skinny.agg(F.sum('nbytes')).collect()[0][0] or 0
+        target_bytes = max((int(total) + int(n_shards) - 1)
+                           // int(n_shards), 1)
+    tgt = int(target_bytes)
+    if tgt < 1:
+        raise ValueError(f'target_bytes must be >= 1, got {tgt}')
+
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (skinny.repartitionByRange(nparts, id_col)
+              .withColumn('_pid', F.spark_partition_id())
+              .persist())
+    try:
+        parts = {r['_pid']: r['s'] for r in
+                 ranged.groupBy('_pid').agg(
+                     F.sum('nbytes').alias('s')).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(parts):
+            offsets[pid] = acc
+            acc += parts[pid]
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                           for x in (pid, offsets[pid])]),
+            F.col('_pid')) if offsets else F.lit(0)
+        w = (Window.partitionBy('_pid').orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        out = (ranged
+               .withColumn('_cum', F.coalesce(F.sum('nbytes').over(w),
+                                              F.lit(0)) + off)
+               .select(id_col, 'nbytes',
+                       F.expr(f'_cum div {tgt}').alias('shard'),
+                       (F.col('_cum') % tgt).alias('offset_in_shard')))
+        # Materialization note: `ranged` stays persisted only through
+        # this plan's lifetime; callers that keep the result long-term
+        # should checkpoint or write it.
+        return out
+    except Exception:
+        ranged.unpersist()
+        raise

@@ -80,3 +80,77 @@ def bbox_overlap_join(left: DataFrame, right: DataFrame,
                     & (F.col('cell') == cell_id(ix0, iy0, res)))
             .select(left_id, right_id,
                     ((ix1 - ix0) * (iy1 - iy0)).alias('overlap_area')))
+
+
+def zonal_overlap_stats(zones: DataFrame, feats: DataFrame,
+                        value_col: str = 'val', res: int = JOIN_RES,
+                        zone_id: str = 'zone_id',
+                        feat_id: str = 'feat_id',
+                        broadcast_zones: bool = True) -> DataFrame:
+    """G20: area-weighted zonal statistics over rectangle geometry --
+    for every zone box, aggregate the features whose boxes overlap
+    it, weighted by exact intersection area (the vector-vector
+    counterpart of the pixel zonal stats in ``raster.py``: "mean
+    lease value per section tile, weighted by how much of each lease
+    lies inside").
+
+    Inputs need ``(<id>, xmin, ymin, xmax, ymax)`` (+ ``value_col`` on
+    ``feats``).  Returns one row per zone with >= 1 overlapping
+    feature: ``(zone_id, n_feats, area_sum, val_area_sum,
+    area_wmean)`` where ``area_sum = sum(overlap_area)``,
+    ``val_area_sum = sum(value * overlap_area)`` and ``area_wmean =
+    val_area_sum / area_sum``.
+
+    Determinism: per-pair terms are single IEEE multiplies; when the
+    coordinates sit on a binary grid (multiples of 2^-k) and values
+    are integers, every term -- and therefore every SUM, in any
+    accumulation order -- is exact, so the output is bit-reproducible
+    across partitionings and engines (the oracle relies on this; for
+    arbitrary float inputs the usual last-ulp sum variance applies).
+
+    Scale shape: the same PBSM reference-point join as
+    :func:`bbox_overlap_join` (each overlapping pair emitted exactly
+    once by the cell holding the intersection's min corner -- no
+    ``distinct()``), immediately reduced by a partial-agg ``groupBy``
+    on the zone key, so only (zone_id, 3 doubles) ride the final
+    exchange.  ``broadcast_zones`` (default) pins the classic
+    small-zone-layer case so the 10^12-row feature side never
+    shuffles at all; set False for huge zone layers and the cell
+    equi-join + AQE takes over.
+    """
+    if res not in RES_SIZE:
+        raise ValueError(f'res must be one of {sorted(RES_SIZE)}')
+
+    zc = zones.select(
+        zone_id,
+        F.col('xmin').alias('zx0'), F.col('ymin').alias('zy0'),
+        F.col('xmax').alias('zx1'), F.col('ymax').alias('zy1'),
+        F.explode(cover_cells(F.col('xmin'), F.col('ymin'),
+                              F.col('xmax'), F.col('ymax'), res))
+        .alias('cell'))
+    if broadcast_zones:
+        zc = F.broadcast(zc)
+    fc = feats.select(
+        feat_id, F.col(value_col).alias('_val'),
+        F.col('xmin').alias('fx0'), F.col('ymin').alias('fy0'),
+        F.col('xmax').alias('fx1'), F.col('ymax').alias('fy1'),
+        F.explode(cover_cells(F.col('xmin'), F.col('ymin'),
+                              F.col('xmax'), F.col('ymax'), res))
+        .alias('cell'))
+
+    ix0 = F.greatest('zx0', 'fx0')
+    iy0 = F.greatest('zy0', 'fy0')
+    ix1 = F.least('zx1', 'fx1')
+    iy1 = F.least('zy1', 'fy1')
+    oa = (ix1 - ix0) * (iy1 - iy0)
+    pairs = (fc.join(zc, 'cell')
+             .filter((ix0 < ix1) & (iy0 < iy1)
+                     & (F.col('cell') == cell_id(ix0, iy0, res)))
+             .select(zone_id, oa.alias('_oa'),
+                     (F.col('_val') * oa).alias('_voa')))
+    return (pairs.groupBy(zone_id)
+            .agg(F.count('*').alias('n_feats'),
+                 F.sum('_oa').alias('area_sum'),
+                 F.sum('_voa').alias('val_area_sum'))
+            .withColumn('area_wmean',
+                        F.col('val_area_sum') / F.col('area_sum')))
