@@ -713,6 +713,79 @@ def main():
     queries['weighted_sample_50m'] = round(_median_time(
         lambda: weighted_sample(_wrows, 'doc_id', 'wt', k=1000,
                                 max_weight=32).count(), runs=RUNS), 3)
+
+    # T33/T34 image geometry at 20M images: bucket choice + resize
+    # geometry are scan-stage codegen; the batch / packing windows are
+    # the only exchanges (parallelism = buckets x shards / shards).
+    from pytrs_spark.operators.imageops import aspect_bucket, \
+        pack_patches
+    _imgs20 = spark.range(20_000_000).select(
+        F.col('id').alias('image_id'),
+        (64 + (F.col('id') * 7919) % 1985).alias('w'),
+        (64 + (F.col('id') * 104729) % 1985).alias('h'))
+    queries['aspect_bucket_20m'] = round(_median_time(
+        lambda: aspect_bucket(_imgs20, batch_size=64, n_shards=64)
+        .agg(F.count(F.lit(1)), F.max('batch_id'),
+             F.bit_xor(F.xxhash64('image_id', 'bucket_id', 'batch_id')))
+        .collect(), runs=RUNS), 3)
+    queries['pack_patches_20m'] = round(_median_time(
+        lambda: pack_patches(_imgs20, budget=8192, patch=32,
+                             n_shards=64)
+        .agg(F.count(F.lit(1)), F.max('seq_id'),
+             F.bit_xor(F.xxhash64('image_id', 'seq_id', 'tok_offset')))
+        .collect(), runs=RUNS), 3)
+
+    # T35 byte sharding at 20M rows: one range exchange + per-partition
+    # running sums (no single-partition window).
+    from pytrs_spark.operators.io import shard_by_bytes
+    _blobs20 = spark.range(20_000_000).select(
+        F.col('id').alias('image_id'),
+        (1024 + (F.col('id') * 2654435761) % 1048576).alias('nbytes'))
+    queries['shard_by_bytes_20m'] = round(_median_time(
+        lambda: shard_by_bytes(_blobs20, 'nbytes', 'image_id',
+                               target_bytes=1 << 32)
+        .agg(F.max('shard'),
+             F.bit_xor(F.xxhash64('image_id', 'shard',
+                                  'offset_in_shard'))).collect(),
+        runs=RUNS), 3)
+
+    # G20 area-weighted zonal overlap: 25 zone boxes (broadcast) x 20M
+    # small feature rects -- feature side never shuffles; only
+    # (zone_id, 3 doubles) ride the final agg exchange.
+    from pytrs_spark.spatial.overlap import zonal_overlap_stats
+    _zext = EXTENT
+    _zones = spark.range(25).select(
+        F.col('id').alias('zone_id'),
+        (F.lit(_zext[0]) + (F.col('id') % 5)
+         * ((_zext[2] - _zext[0]) / 5.0)).alias('xmin'),
+        (F.lit(_zext[1]) + F.floor(F.col('id') / 5)
+         * ((_zext[3] - _zext[1]) / 5.0)).alias('ymin'),
+        (F.lit(_zext[0]) + (F.col('id') % 5 + 1)
+         * ((_zext[2] - _zext[0]) / 5.0)).alias('xmax'),
+        (F.lit(_zext[1]) + (F.floor(F.col('id') / 5) + 1)
+         * ((_zext[3] - _zext[1]) / 5.0)).alias('ymax'))
+    _feat20 = spark.read.parquet(zdir).select(
+        F.col('pid').alias('feat_id'),
+        (F.xxhash64('pid') % 97).alias('val'),
+        F.col('x').alias('xmin'), F.col('y').alias('ymin'),
+        (F.col('x') + 0.05).alias('xmax'),
+        (F.col('y') + 0.05).alias('ymax'))
+    queries['zonal_overlap_20m'] = round(_median_time(
+        lambda: zonal_overlap_stats(_zones, _feat20, res=7)
+        .agg(F.sum('n_feats')).collect(), runs=RUNS), 3)
+
+    # E15 gap fill: 20M events over 100k keys, 1h grid.
+    from pytrs_spark.operators.events import gap_fill
+    _gev = spark.range(20_000_000).select(
+        (F.col('id') % 100_000).alias('user_id'),
+        F.timestamp_seconds(1_700_000_000 + (F.col('id') * 131) % 2_592_000)
+        .alias('ts'),
+        (F.col('id') % 1000).cast('double').alias('value'))
+    queries['gap_fill_20m'] = round(_median_time(
+        lambda: gap_fill(_gev, step_s=3600)
+        .agg(F.count(F.lit(1)), F.sum(F.col('is_gap').cast('long')))
+        .collect(), runs=RUNS), 3)
+
     queries['sessionize'] = round(_median_time(
         lambda: sessionize(events)
         .select(F.bit_xor(F.xxhash64('event_id', 'session_id')))

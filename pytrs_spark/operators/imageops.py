@@ -107,7 +107,11 @@ def aspect_bucket(images: DataFrame, buckets=None, batch_size: int = 64,
                               F.lit(i).alias('i'),
                               F.lit(int(bw)).alias('bw'),
                               F.lit(int(bh)).alias('bh')))
-    best = F.array_min(F.array(*cands))
+    # least() over struct candidates, NOT array_min(array(...)): both
+    # stay in WholeStageCodegen but array_min materializes a 17-struct
+    # array per row -- measured 3x slower at 2M rows (same cliff the
+    # T32 ticket race documented).
+    best = cands[0] if len(cands) == 1 else F.least(*cands)
 
     df = (images
           .filter((wl > 0) & (hl > 0))

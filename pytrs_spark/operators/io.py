@@ -327,13 +327,18 @@ def shard_by_bytes(df: DataFrame, bytes_col: str, id_col: str,
     ``bytes_col`` is measured with ``octet_length`` inside the scan
     stage so blobs never ride the shuffle.
 
-    Scale shape: NO single-partition window (the trap the UID sink
-    above avoids the same way) -- range-partition the skinny
-    ``(id, nbytes)`` projection on ``id_col``, per-partition running
-    sums, then per-partition byte offsets from one n_partitions-row
-    collect stitched back as a codegen map lookup.  One range
-    exchange + one tiny driver round-trip total, identical result to
-    a global ordered cumsum.
+    Scale shape: NO single-partition window, and for numeric ids only
+    ONE full-data exchange.  Approximate id quantiles split the key
+    space into ~n_parallelism ordered buckets; the bucket id is a
+    codegen sum of boundary comparisons evaluated in the scan stage,
+    so per-bucket byte totals come from a partial-agg groupBy (only
+    n_buckets rows shuffle), the global prefix offsets come back as a
+    literal map, and the per-bucket running window's hash exchange is
+    the single data movement.  Boundary placement only affects
+    balance, never the output (``cum`` is a global prefix either
+    way).  Non-numeric ids fall back to ``repartitionByRange`` + the
+    partition-id window (two skinny exchanges -- the UID sink's
+    shape).
     """
     if (target_bytes is None) == (n_shards is None):
         raise ValueError('exactly one of target_bytes / n_shards')
@@ -352,33 +357,42 @@ def shard_by_bytes(df: DataFrame, bytes_col: str, id_col: str,
         raise ValueError(f'target_bytes must be >= 1, got {tgt}')
 
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (skinny.repartitionByRange(nparts, id_col)
-              .withColumn('_pid', F.spark_partition_id())
-              .persist())
-    try:
-        parts = {r['_pid']: r['s'] for r in
-                 ranged.groupBy('_pid').agg(
-                     F.sum('nbytes').alias('s')).collect()}
-        offsets, acc = {}, 0
-        for pid in sorted(parts):
-            offsets[pid] = acc
-            acc += parts[pid]
-        off = F.element_at(
-            F.create_map(*[F.lit(x) for pid in sorted(offsets)
-                           for x in (pid, offsets[pid])]),
-            F.col('_pid')) if offsets else F.lit(0)
-        w = (Window.partitionBy('_pid').orderBy(id_col)
-             .rowsBetween(Window.unboundedPreceding, -1))
-        out = (ranged
-               .withColumn('_cum', F.coalesce(F.sum('nbytes').over(w),
-                                              F.lit(0)) + off)
-               .select(id_col, 'nbytes',
-                       F.expr(f'_cum div {tgt}').alias('shard'),
-                       (F.col('_cum') % tgt).alias('offset_in_shard')))
-        # Materialization note: `ranged` stays persisted only through
-        # this plan's lifetime; callers that keep the result long-term
-        # should checkpoint or write it.
-        return out
-    except Exception:
-        ranged.unpersist()
-        raise
+    id_type = dict(skinny.dtypes)[id_col]
+    numeric = id_type in ('tinyint', 'smallint', 'int', 'bigint',
+                          'float', 'double') \
+        or id_type.startswith('decimal')
+
+    if numeric and nparts > 1:
+        qs = [i / nparts for i in range(1, nparts)]
+        bounds = sorted(set(
+            skinny.stat.approxQuantile(id_col, qs, 0.001)))
+        # bucket = #boundaries strictly below id: a codegen sum of
+        # comparisons, evaluated in the scan stage (no exchange).
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + (F.col(id_col) > F.lit(b)).cast('int')
+        bucketed = skinny.withColumn('_bkt', bucket)
+    else:
+        bucketed = (skinny.repartitionByRange(nparts, id_col)
+                    .withColumn('_bkt', F.spark_partition_id())
+                    .persist())
+
+    parts = {r['_bkt']: r['s'] for r in
+             bucketed.groupBy('_bkt').agg(
+                 F.sum('nbytes').alias('s')).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(parts):
+        offsets[pid] = acc
+        acc += parts[pid]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                       for x in (pid, offsets[pid])]),
+        F.col('_bkt')) if offsets else F.lit(0)
+    w = (Window.partitionBy('_bkt').orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (bucketed
+            .withColumn('_cum', F.coalesce(F.sum('nbytes').over(w),
+                                           F.lit(0)) + off)
+            .select(id_col, 'nbytes',
+                    F.expr(f'_cum div {tgt}').alias('shard'),
+                    (F.col('_cum') % tgt).alias('offset_in_shard')))
