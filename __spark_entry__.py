@@ -3593,11 +3593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # verifies the FIRST 50 entries (observed cap, r03).  Entries without
 # a driver-verified row yet (added after the r03 snapshot, plus the
 # round-4 additions) are listed FIRST so CORRECTNESS_r04 covers them:
-# 40 unverified entries + the first 10 of the r03-verified block fill
-# the r04 window, and the r03 + r04 union then covers all 90 queries.
+# 45 unverified entries + the first 5 of the r03-verified block fill
+# the r04 window, and the r03 + r04 union then covers all 95 queries.
 # The r03-verified remainder keeps its original relative order.
 # scripts/check_correctness.py always sweeps all entries regardless
-# of order.
+# of order.  Registry FROZEN for round 4 (no additions after this
+# point -- VERDICT r3 item 1).
 _RAW_QUERIES = {
         # -- new in round 4 --
         'aspect_bucket': q_aspect_bucket,

@@ -113,42 +113,59 @@ def aspect_bucket(images: DataFrame, buckets=None, batch_size: int = 64,
     # T32 ticket race documented).
     best = cands[0] if len(cands) == 1 else F.least(*cands)
 
-    df = (images
-          .filter((wl > 0) & (hl > 0))
-          .select(F.col(id_col), wl.alias('_w'), hl.alias('_h'),
-                  best.alias('_b'))
-          .select(F.col(id_col),
-                  F.col('_w'), F.col('_h'),
-                  F.col('_b.i').alias('bucket_id'),
-                  F.col('_b.bw').cast('long').alias('bucket_w'),
-                  F.col('_b.bh').cast('long').alias('bucket_h')))
-    # round-half-up = (2a + b) div (2b); exact int64 `div`, no doubles
-    geo = df.select(
-        id_col,
-        F.col('_w').alias('w'), F.col('_h').alias('h'),
-        'bucket_id', 'bucket_w', 'bucket_h',
-        F.when(F.col('_w') * F.col('bucket_h')
-               >= F.col('_h') * F.col('bucket_w'),
-               F.expr('(_w * bucket_h * 2 + _h) div (_h * 2)'))
-        .otherwise(F.col('bucket_w')).alias('resize_w'),
-        F.when(F.col('_w') * F.col('bucket_h')
-               >= F.col('_h') * F.col('bucket_w'),
-               F.col('bucket_h'))
-        .otherwise(F.expr('(_h * bucket_w * 2 + _w) div (_w * 2)'))
-        .alias('resize_h'),
-        (hash_mix(F.col(id_col)) % n_shards).cast('int').alias('shard'))
-    geo = geo.withColumn(
-        'crop_x', F.expr('(resize_w - bucket_w) div 2')).withColumn(
-        'crop_y', F.expr('(resize_h - bucket_h) div 2'))
+    # The batch window is the operator's only exchange; keep its rows
+    # SKINNY -- (id, w, h, bucket_id, shard) -- and re-derive the
+    # bucket dims + resize/crop geometry post-window from codegen
+    # lookups (measured: carrying the full geometry through the
+    # shuffle costs ~3x the bytes for zero information).
+    slim = (images
+            .filter((wl > 0) & (hl > 0))
+            .select(F.col(id_col), wl.alias('w'), hl.alias('h'),
+                    best.getField('i').alias('bucket_id'),
+                    (hash_mix(F.col(id_col)) % n_shards).cast('int')
+                    .alias('shard')))
 
     w = Window.partitionBy('bucket_id', 'shard').orderBy(id_col)
-    rn = F.row_number().over(w) - 1
+    rn = (F.row_number().over(w) - 1).cast('long')
+    ranked = slim.withColumn('_rn', rn)
+
+    # bucket dims back from the id: literal when-chains stay in
+    # whole-stage codegen (element_at(map) would too, but the chain
+    # matches the argmin's shape).
+    bwc = F.lit(int(buckets[-1][0]))
+    bhc = F.lit(int(buckets[-1][1]))
+    for i in range(len(buckets) - 2, -1, -1):
+        cond = F.col('bucket_id') == i
+        bwc = F.when(cond, F.lit(int(buckets[i][0]))).otherwise(bwc)
+        bhc = F.when(cond, F.lit(int(buckets[i][1]))).otherwise(bhc)
+
+    # round-half-up = (2a + b) div (2b); exact int64 `div`, no doubles
+    geo = (ranked
+           .withColumn('bucket_w', bwc.cast('long'))
+           .withColumn('bucket_h', bhc.cast('long'))
+           .select(
+               id_col, 'w', 'h', 'bucket_id', 'bucket_w', 'bucket_h',
+               F.when(F.col('w') * F.col('bucket_h')
+                      >= F.col('h') * F.col('bucket_w'),
+                      F.expr('(w * bucket_h * 2 + h) div (h * 2)'))
+               .otherwise(F.col('bucket_w')).alias('resize_w'),
+               F.when(F.col('w') * F.col('bucket_h')
+                      >= F.col('h') * F.col('bucket_w'),
+                      F.col('bucket_h'))
+               .otherwise(F.expr('(h * bucket_w * 2 + w) div (w * 2)'))
+               .alias('resize_h'),
+               'shard',
+               F.expr(f'_rn div {int(batch_size)}').alias('batch_id'),
+               (F.col('_rn') % batch_size).cast('int')
+               .alias('pos_in_batch')))
     return (geo
-            .withColumn('_rn', rn.cast('long'))
-            .withColumn('batch_id', F.expr(f'_rn div {int(batch_size)}'))
-            .withColumn('pos_in_batch',
-                        (F.col('_rn') % batch_size).cast('int'))
-            .drop('_rn'))
+            .withColumn('crop_x',
+                        F.expr('(resize_w - bucket_w) div 2'))
+            .withColumn('crop_y',
+                        F.expr('(resize_h - bucket_h) div 2'))
+            .select(id_col, 'w', 'h', 'bucket_id', 'bucket_w',
+                    'bucket_h', 'resize_w', 'resize_h', 'shard',
+                    'crop_x', 'crop_y', 'batch_id', 'pos_in_batch'))
 
 
 def patch_counts(w_col: str = 'w', h_col: str = 'h',
