@@ -309,3 +309,66 @@ class TestGapFill:
                 Window.partitionBy('key').orderBy('bucket'))) \
             .filter('rn = 1')
         assert firsts.filter('is_gap').count() == 0
+
+
+class TestPlanShapes:
+    """Pin the scale-critical plan shapes: exchange counts and the
+    slim batch-window projection (the operators' 100-TB contracts)."""
+
+    @staticmethod
+    def _plan(df):
+        import contextlib
+        import io as _io
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain('formatted')
+        return buf.getvalue()
+
+    def test_aspect_bucket_single_skinny_exchange(self, spark):
+        import re
+        p = self._plan(aspect_bucket(_geo(spark), BUCKETS,
+                                     batch_size=8, n_shards=4))
+        ex = re.findall(r'\(\d+\) Exchange\b', p)
+        assert len(ex) == 1
+        # the exchanged projection is the slim 5-column row, not the
+        # full geometry: no resize/crop columns below the Window
+        win = p.index(') Window')
+        pre = p[p.index(') Exchange'):p.index('\n', win)]
+        assert 'resize_w' not in pre.split('Window')[0]
+
+    def test_pack_patches_offset_single_exchange(self, spark):
+        import re
+        p = self._plan(pack_patches(_geo(spark), 4096, patch=32,
+                                    n_shards=4))
+        assert len(re.findall(r'\(\d+\) Exchange\b', p)) == 1
+        assert 'BatchEvalPython' not in p and 'ArrowEval' not in p
+
+    def test_shard_by_bytes_numeric_single_data_exchange(self, spark):
+        import re
+        from pytrs_spark.operators.io import shard_by_bytes
+        blobs = spark.range(10_000).select(
+            F.col('id').alias('k'), (F.col('id') % 100 + 1).alias('nb'))
+        p = self._plan(shard_by_bytes(blobs, 'nb', 'k',
+                                      target_bytes=10_000))
+        assert len(re.findall(r'hashpartitioning\(_bkt', p)) == 1
+        assert 'rangepartitioning' not in p
+
+    def test_zonal_overlap_feature_side_never_shuffles(self, spark):
+        from pytrs_spark.spatial.overlap import zonal_overlap_stats
+        zones = spark.createDataFrame(
+            [(0, 0.0, 0.0, 5.0, 5.0)],
+            'zone_id int, xmin double, ymin double, xmax double, '
+            'ymax double')
+        feats = spark.range(100).select(
+            F.col('id').alias('feat_id'), (F.col('id') % 7).alias('val'),
+            (F.col('id') % 10).cast('double').alias('xmin'),
+            (F.col('id') % 11).cast('double').alias('ymin'),
+            ((F.col('id') % 10) + 1.0).alias('xmax'),
+            ((F.col('id') % 11) + 1.0).alias('ymax'))
+        p = self._plan(zonal_overlap_stats(zones, feats))
+        assert 'BroadcastExchange' in p
+        # the only hash exchange is the zone-key partial agg -- the
+        # exploded feature side joins broadcast-side without moving
+        import re
+        hashes = re.findall(r'hashpartitioning\((\w+)', p)
+        assert hashes and all(h.startswith('zone_id') for h in hashes)
