@@ -396,3 +396,44 @@ def shard_by_bytes(df: DataFrame, bytes_col: str, id_col: str,
             .select(id_col, 'nbytes',
                     F.expr(f'_cum div {tgt}').alias('shard'),
                     (F.col('_cum') % tgt).alias('offset_in_shard')))
+
+
+def write_sharded(df: DataFrame, path: str, bytes_col: str,
+                  id_col: str, target_bytes: int = None,
+                  n_shards: int = None, fmt: str = 'parquet',
+                  mode: str = 'error') -> dict:
+    """T35 sink: materialize :func:`shard_by_bytes`'s assignment as an
+    actual sharded export -- one output directory per shard
+    (``shard=K/``), rows inside each shard in ``id_col`` order.
+
+    Returns a small manifest dict ``{n_shards, total_bytes,
+    target_bytes, rows}`` (the numbers a resumable export would
+    checkpoint).
+
+    Scale shape: the shard column IS the range-partitioning key
+    (contiguous ids -> contiguous shards), so one
+    ``repartitionByRange(shard, id)`` both co-locates each shard's
+    rows and pre-sorts the writer's input; ``partitionBy('shard')``
+    then writes each directory from a single task without a second
+    exchange.  The payload (``bytes_col`` and friends) joins the
+    assignment by id AFTER the skinny cumsum plan, so blobs move
+    exactly once -- into the writer.
+    """
+    assign = shard_by_bytes(df, bytes_col, id_col,
+                            target_bytes=target_bytes,
+                            n_shards=n_shards)
+    # Reattach payload columns by id (the assignment plan only ever
+    # shuffled (id, nbytes)); AQE broadcasts the small side when it
+    # can, and the join key is unique on both sides by precondition.
+    out = df.join(assign.select(id_col, 'shard'), id_col)
+    n_out = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (out.repartitionByRange(n_out, 'shard', id_col)
+        .sortWithinPartitions('shard', id_col)
+        .write.mode(mode).partitionBy('shard').format(fmt).save(path))
+    row = assign.agg(
+        F.countDistinct('shard').alias('n'),
+        F.sum('nbytes').alias('b'),
+        F.count('*').alias('r')).collect()[0]
+    return {'n_shards': int(row['n']), 'total_bytes': int(row['b']),
+            'target_bytes': target_bytes, 'rows': int(row['r']),
+            'path': path}

@@ -372,3 +372,34 @@ class TestPlanShapes:
         import re
         hashes = re.findall(r'hashpartitioning\((\w+)', p)
         assert hashes and all(h.startswith('zone_id') for h in hashes)
+
+
+class TestWriteSharded:
+    def test_layout_and_order(self, spark, tmp_path):
+        from pytrs_spark.operators.io import write_sharded
+        df = spark.range(1, 501).select(
+            F.col('id').alias('k'),
+            (100 + (F.col('id') * 2654435761) % 5000).alias('nb'),
+            F.concat(F.lit('payload'), F.col('id')).alias('body'))
+        path = str(tmp_path / 'export')
+        man = write_sharded(df, path, 'nb', 'k', target_bytes=100_000)
+        assert man['rows'] == 500
+        back = spark.read.parquet(path)
+        assert back.count() == 500
+        shards = sorted(r.shard for r in
+                        back.select('shard').distinct().collect())
+        assert shards == list(range(man['n_shards']))
+        # shard contents match the pure assignment, ids contiguous
+        from pytrs_spark.operators.io import shard_by_bytes
+        want = {r.k: r.shard for r in
+                shard_by_bytes(df, 'nb', 'k',
+                               target_bytes=100_000).collect()}
+        got = {r.k: r.shard for r in back.select('k', 'shard').collect()}
+        assert got == want
+        # contiguity: max id of shard s < min id of shard s+1
+        bounds = sorted(
+            (r.shard, r.lo, r.hi) for r in back.groupBy('shard').agg(
+                F.min('k').alias('lo'), F.max('k').alias('hi'))
+            .collect())
+        for (s1, _, hi1), (s2, lo2, _) in zip(bounds, bounds[1:]):
+            assert hi1 < lo2
