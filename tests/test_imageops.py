@@ -403,3 +403,69 @@ class TestWriteSharded:
             .collect())
         for (s1, _, hi1), (s2, lo2, _) in zip(bounds, bounds[1:]):
             assert hi1 < lo2
+
+
+class TestRobustness:
+    """Partitioning-independence + edge semantics the oracles can't
+    easily reach."""
+
+    def test_pack_patches_partition_independent(self, spark):
+        base = _geo(spark)
+        a = pack_patches(base, 4096, patch=32, n_shards=4)
+        b = pack_patches(base.repartition(7), 4096, patch=32,
+                         n_shards=4)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def test_aspect_bucket_partition_independent(self, spark):
+        base = _geo(spark)
+        a = aspect_bucket(base, BUCKETS, batch_size=4, n_shards=4)
+        b = aspect_bucket(base.repartition(7), BUCKETS, batch_size=4,
+                          n_shards=4)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def test_aspect_tie_breaks_to_lower_bucket_index(self, spark):
+        # two buckets with IDENTICAL aspect ratio: index wins
+        square2 = [(512, 512), (1024, 1024)]
+        out = aspect_bucket(
+            spark.createDataFrame([Row(image_id=1, w=300, h=300)]),
+            square2).collect()
+        assert out[0].bucket_id == 0
+
+    def test_shard_by_bytes_partition_independent(self, spark):
+        from pytrs_spark.operators.io import shard_by_bytes
+        blobs = spark.range(1, 2001).select(
+            F.col('id').alias('k'),
+            (100 + (F.col('id') * 2654435761) % 5000).alias('nb'))
+        a = shard_by_bytes(blobs, 'nb', 'k', target_bytes=25_000)
+        b = shard_by_bytes(blobs.repartition(5), 'nb', 'k',
+                           target_bytes=25_000)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def test_gap_fill_null_values_forward_fill_through(self, spark):
+        from pytrs_spark.operators.events import gap_fill
+        rows = [
+            Row(user_id=1, ts='2024-01-01 00:10:00', value=4.0),
+            # bucket 1's only obs has a NULL value: the grid row is
+            # a gap (no usable observation) and carries 4.0 forward
+            Row(user_id=1, ts='2024-01-01 01:10:00', value=None),
+            Row(user_id=1, ts='2024-01-01 02:10:00', value=9.0),
+        ]
+        df = spark.createDataFrame(
+            rows, 'user_id int, ts string, value double').select(
+            'user_id', F.col('ts').cast('timestamp').alias('ts'),
+            'value')
+        out = sorted(gap_fill(df, step_s=3600).collect(),
+                     key=lambda r: r.bucket)
+        assert [r.value for r in out] == [4.0, 4.0, 9.0]
+        assert [r.is_gap for r in out] == [False, True, False]
+
+    def test_gap_fill_same_ts_ties_prefer_larger_value(self, spark):
+        from pytrs_spark.operators.events import gap_fill
+        rows = [Row(user_id=1, ts='2024-01-01 00:10:00', value=2.0),
+                Row(user_id=1, ts='2024-01-01 00:10:00', value=7.0)]
+        df = spark.createDataFrame(
+            rows, 'user_id int, ts string, value double').select(
+            'user_id', F.col('ts').cast('timestamp').alias('ts'),
+            'value')
+        out = gap_fill(df, step_s=3600).collect()
+        assert len(out) == 1 and out[0].value == 7.0
