@@ -20,6 +20,7 @@ ingest would run.
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 IMAGE_SCHEMA = ('image_id string, bytes binary, w int, h int, '
                 'fmt string, caption string, phash long')
@@ -170,3 +171,60 @@ def stream_sessions(events: DataFrame, gap: str = '30 minutes',
                     F.col('sw.start').alias('session_start'),
                     F.col('sw.end').alias('session_end'),
                     'n_events'))
+
+
+def stream_batch_dealer(stream: DataFrame,
+                        key_cols=('bucket_id', 'shard'),
+                        batch_size: int = 64,
+                        id_col: str = 'image_id') -> DataFrame:
+    """Stateful streaming training-batch dealer -- the streaming leg
+    of T33's batch assignment: rows arriving on a stream are dealt
+    into fixed ``batch_size`` training batches per ``key_cols`` group
+    (aspect bucket x shard for images), with the per-group row
+    counter held in the checkpointed state store so batch numbering
+    continues seamlessly across micro-batches AND restarts.
+
+    Emits every input row + ``(batch_id, pos_in_batch)``.  Within one
+    micro-batch a group's rows order by ``id_col`` (deterministic);
+    across micro-batches the order is arrival order -- the inherent
+    streaming contract (the batch operator ``imageops.aspect_bucket``
+    gives the arrival-independent global ordering when the corpus is
+    static; this operator is for the ingest-time pipeline that deals
+    batches as images land).
+
+    Scale shape: the one shuffle is the hash repartition on
+    ``key_cols`` that any stateful op requires; state is ONE int64
+    per live group (|buckets| x n_shards rows -- constant-bounded,
+    unlike per-key dedup state); the kernel is a vectorized arange
+    per Arrow batch, no per-row Python.
+    """
+    if batch_size < 1:
+        raise ValueError(f'batch_size must be >= 1, got {batch_size}')
+    import numpy as np
+
+    out_fields = stream.schema.fieldNames()
+    out_schema = T.StructType(
+        list(stream.schema.fields)
+        + [T.StructField('batch_id', T.LongType()),
+           T.StructField('pos_in_batch', T.IntegerType())])
+    state_schema = 'next_rn long'
+    B = int(batch_size)
+
+    def deal(key, pdfs, state):
+        nxt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(id_col, kind='mergesort',
+                                  ignore_index=True)
+            rn = np.arange(len(pdf), dtype=np.int64) + nxt
+            pdf = pdf[out_fields]
+            pdf['batch_id'] = rn // B
+            pdf['pos_in_batch'] = (rn % B).astype('int32')
+            nxt += len(pdf)
+            yield pdf
+        state.update((int(nxt),))
+
+    return (stream.groupBy(*[F.col(c) for c in key_cols])
+            .applyInPandasWithState(deal, out_schema, state_schema,
+                                    'append', 'NoTimeout'))

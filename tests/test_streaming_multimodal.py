@@ -237,3 +237,48 @@ def test_stream_dedup_first_seen(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert got == {('img_a', 1), ('img_c', 2), ('img_d', 3),
                    ('img_e', 4), ('img_x', 5)}
+
+
+def test_stream_batch_dealer_counts_survive_restart(spark, tmp_path):
+    """Streaming training-batch dealer: per-(bucket, shard) batch
+    numbering continues across micro-batches and query restarts via
+    the checkpointed counter state."""
+    from pytrs_spark.streaming import stream_batch_dealer
+
+    src = str(tmp_path / 'bsrc')
+    out = str(tmp_path / 'bout')
+    ckpt = str(tmp_path / 'bckpt')
+    schema = 'image_id bigint, bucket_id int, shard int'
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option('maxFilesPerTrigger', 1).parquet(src))
+        dealt = stream_batch_dealer(stream, batch_size=3)
+        q = (dealt.writeStream.format('parquet')
+             .option('path', out).option('checkpointLocation', ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    # Batch 1: 5 rows in group (0, 0), 2 in (1, 0)
+    spark.createDataFrame(
+        [(i, 0, 0) for i in range(1, 6)] + [(10, 1, 0), (11, 1, 0)],
+        schema).coalesce(1).write.mode('overwrite').parquet(src)
+    run()
+    rows = {r.image_id: (r.batch_id, r.pos_in_batch)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[1] == (0, 0) and rows[2] == (0, 1) and rows[3] == (0, 2)
+    assert rows[4] == (1, 0) and rows[5] == (1, 1)
+    assert rows[10] == (0, 0) and rows[11] == (0, 1)
+
+    # Batch 2 (restarted query, same checkpoint): counters continue —
+    # group (0,0) picks up at rn=5 (batch 1 pos 2), group (1,0) at
+    # rn=2 (batch 0 pos 2)
+    spark.createDataFrame(
+        [(6, 0, 0), (7, 0, 0), (12, 1, 0)], schema) \
+        .coalesce(1).write.mode('append').parquet(src)
+    run()
+    rows = {r.image_id: (r.batch_id, r.pos_in_batch)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[6] == (1, 2) and rows[7] == (2, 0)
+    assert rows[12] == (0, 2)
+    assert len(rows) == 10
