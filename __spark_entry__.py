@@ -1710,6 +1710,34 @@ SELECT doc_id, lang FROM ranked WHERE rn <= 20
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resample (the Pile/DoReMi domain re-balancing
+    step): en/de/fr at 50/25/25% of a 280-doc budget.  Quotas are
+    floor(share*budget) = 140/70/70; de holds exactly 70 docs (fully
+    kept) and fr holds 64 (< quota -> capped), so the cap branch is
+    live; es/zh are absent from the targets and drop entirely."""
+    from pytrs_spark.operators.sampling import mixture_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (mixture_sample(docs, 'lang', 'doc_id',
+                           {'en': 0.5, 'de': 0.25, 'fr': 0.25},
+                           budget=280, salt=11)
+            .select('doc_id', 'lang'))
+
+
+_ORACLE_MIXTURE = _mix_ctes(11) + """
+, ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY m.h, d.doc_id) AS rn
+  FROM documents d JOIN mix m USING (doc_id)
+)
+SELECT doc_id, lang FROM ranked
+WHERE (lang = 'en' AND rn <= 140)
+   OR (lang = 'de' AND rn <= 70)
+   OR (lang = 'fr' AND rn <= 70)
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters over the embedding near-dup pair
     graph: (doc_id, component_id = min reachable id).  The oracle
@@ -3695,6 +3723,7 @@ _RAW_QUERIES = {
         'sample_hash': q_sample_hash,
         'assign_split': q_assign_split,
         'stratified_sample': q_stratified_sample,
+        'mixture_sample': q_mixture_sample,
         'dedup_components': q_dedup_components,
         'tile_pyramid': q_tile_pyramid,
         'kring_density': q_kring_density,
@@ -3816,6 +3845,7 @@ def oracle_sql() -> dict[str, str]:
         'sample_hash': _ORACLE_SAMPLE,
         'assign_split': _ORACLE_SPLIT,
         'stratified_sample': _ORACLE_STRATIFIED,
+        'mixture_sample': _ORACLE_MIXTURE,
         'dedup_components': _ORACLE_COMPONENTS,
         'tile_pyramid': _ORACLE_PYRAMID,
         'kring_density': _ORACLE_KRING,

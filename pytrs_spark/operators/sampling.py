@@ -127,6 +127,80 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
             .drop('_rnk'))
 
 
+def mixture_sample(df: DataFrame, group_col: str, key_col: str,
+                   targets: dict, budget: int, salt: int = 0) -> DataFrame:
+    """Resample a corpus to a TARGET GROUP MIXTURE -- the domain/
+    language re-balancing step of a pre-training pipeline (the Pile /
+    DoReMi recipe): ``targets`` maps group value -> share of the
+    output, ``budget`` is the total output size, and each group
+    contributes its quota ``floor(share * budget)`` rows (capped by
+    what the group actually has), chosen as the group's bottom-quota
+    rows by the spec'd :func:`hash_mix` -- so the selection is
+    deterministic, stable under repartitioning, and re-derivable in
+    plain SQL (``row_number() OVER (PARTITION BY group ORDER BY h,
+    key) <= quota``).  Groups absent from ``targets`` drop entirely.
+
+    Scale shape: quota selection never sorts whole groups.  One
+    partial-agg count per group (|targets| rows to the driver -- the
+    mixture spec is user-sized, not data-sized), then a scan-stage
+    per-group threshold filter keeps ~``_SURVIVOR_MARGIN`` x quota
+    expected survivors per group (each row lands under ``t_g`` with
+    probability t_g / 2^31), and the row_number window runs on that
+    bounded survivor set.  Exactness is guarded, not assumed: a
+    survivor count per group confirms every group kept at least
+    ``min(quota, count)`` rows -- the survivors then provably contain
+    the true bottom-quota by (h, key) -- and any short group (rare at
+    margin 8) escalates its threshold and rescans; at t_g = 2^31 the
+    whole group survives, so the loop terminates exact.  At 100 TB
+    the shuffle moves ~margin * budget rows, not the corpus.
+    """
+    if budget < 1:
+        raise ValueError('budget must be >= 1')
+    quotas = {g: int(t * budget) for g, t in targets.items()}
+    quotas = {g: q for g, q in quotas.items() if q > 0}
+    if not quotas:
+        return df.limit(0)
+    sub = df.filter(F.col(group_col).isin(list(quotas)))
+    counts = {r[0]: r[1] for r in
+              sub.groupBy(group_col).count().collect()}
+    need = {g: min(q, counts.get(g, 0)) for g, q in quotas.items()}
+    thr = {g: min(1 << 31,
+                  max(1, (_SURVIVOR_MARGIN * q * (1 << 31))
+                      // counts[g]))
+           for g, q in quotas.items() if counts.get(g, 0)}
+    if not thr:
+        return df.limit(0)
+
+    def _case(mapping) -> F.Column:
+        expr = None
+        for g, v in mapping.items():
+            cond = F.col(group_col) == F.lit(g)
+            expr = F.when(cond, F.lit(v)) if expr is None \
+                else expr.when(cond, F.lit(v))
+        return expr
+
+    h = hash_mix(key_col, salt)
+    while True:
+        cand = (sub.withColumn('_h', h)
+                .filter(F.col('_h') <= _case(thr)).persist())
+        got = {r[0]: r[1] for r in
+               cand.groupBy(group_col).count().collect()}
+        short = [g for g in thr
+                 if got.get(g, 0) < need[g] and thr[g] < (1 << 31)]
+        if not short:
+            break
+        cand.unpersist()
+        for g in short:
+            # max(2, ...) so the escalation grows even if the margin
+            # is tuned down to 1 (same guard as weighted_sample's).
+            thr[g] = min(1 << 31, thr[g] * max(2, _SURVIVOR_MARGIN))
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy('_h', F.col(key_col))
+    return (cand.withColumn('_rnk', F.row_number().over(w))
+            .filter(F.col('_rnk') <= _case(quotas))
+            .drop('_h', '_rnk'))
+
+
 _W_SALT = 15485863
 # Largest max_weight whose race unrolls into a codegen least() chain
 # (~14 arithmetic ops per ticket; 64 tickets ~ 900 ops stays well

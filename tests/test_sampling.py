@@ -240,3 +240,72 @@ def test_weighted_sample_k_exceeds_rows(spark):
     df = spark.createDataFrame([(1, 3), (2, 1)], 'k long, wt long')
     out = weighted_sample(df, 'k', 'wt', k=10, max_weight=8)
     assert sorted(r['k'] for r in out.collect()) == [1, 2]
+
+
+def _mix_strs(keys, salt):
+    # mixture_sample hashes the key column; for string keys the mix
+    # runs over xxhash64 -- here tests use long keys so _mix_py holds.
+    return {k: _mix_py(k, salt) for k in keys}
+
+
+def test_mixture_sample_quotas_and_parity(spark):
+    from pytrs_spark.operators.sampling import mixture_sample
+    rows = [(i, ('en', 'de', 'fr', 'zh')[i % 10 % 4 if i % 10 < 8
+                                         else 3]) for i in range(4000)]
+    # skewed groups: en/de/fr from i%10<8 cycling, zh the rest
+    df = spark.createDataFrame(rows, 'doc_id long, lang string')
+    targets = {'en': 0.5, 'de': 0.3, 'fr': 0.2}
+    out = mixture_sample(df, 'lang', 'doc_id', targets,
+                         budget=300, salt=7)
+    got = {r['lang']: r['doc_id'] for r in
+           out.groupBy('lang').agg(F.count('*').alias('doc_id'))
+           .collect()}
+    assert got == {'en': 150, 'de': 90, 'fr': 60}  # floor(share*B)
+    # zh dropped entirely (absent from targets)
+    # brute-force parity: bottom-quota by (mix hash, key) per group
+    by_lang = {}
+    for k, lang in rows:
+        by_lang.setdefault(lang, []).append(k)
+    mix = _mix_strs([k for k, _ in rows], 7)
+    want = set()
+    for lang, quota in (('en', 150), ('de', 90), ('fr', 60)):
+        ordered = sorted(by_lang[lang], key=lambda k: (mix[k], k))
+        want |= set(ordered[:quota])
+    assert {r['doc_id'] for r in out.collect()} == want
+
+
+def test_mixture_sample_caps_and_stability(spark):
+    from pytrs_spark.operators.sampling import mixture_sample
+    rows = [(i, 'big' if i < 900 else 'tiny') for i in range(1000)]
+    df = spark.createDataFrame(rows, 'doc_id long, lang string')
+    # tiny has 100 rows but quota 200 -> capped to all 100
+    out = mixture_sample(df, 'lang', 'doc_id',
+                         {'big': 0.5, 'tiny': 0.5}, budget=400, salt=1)
+    counts = {r['lang']: r['n'] for r in
+              out.groupBy('lang').agg(F.count('*').alias('n'))
+              .collect()}
+    assert counts == {'big': 200, 'tiny': 100}
+    # selection is a pure function of the key: repartitioning noise
+    # must not change the kept set
+    out2 = mixture_sample(df.repartition(13), 'lang', 'doc_id',
+                          {'big': 0.5, 'tiny': 0.5}, budget=400,
+                          salt=1)
+    assert (sorted(r['doc_id'] for r in out.collect())
+            == sorted(r['doc_id'] for r in out2.collect()))
+
+
+def test_mixture_sample_retry_escalation_exact(spark, monkeypatch):
+    # margin 1 forces the short-group rescan loop; result must still
+    # equal the brute-force bottom-quota answer.
+    import pytrs_spark.operators.sampling as S
+    monkeypatch.setattr(S, '_SURVIVOR_MARGIN', 1)
+    rows = [(i, 'a' if i % 2 == 0 else 'b') for i in range(2000)]
+    df = spark.createDataFrame(rows, 'doc_id long, lang string')
+    out = S.mixture_sample(df, 'lang', 'doc_id',
+                           {'a': 0.6, 'b': 0.4}, budget=500, salt=3)
+    mix = {k: _mix_py(k, 3) for k, _ in rows}
+    want = set()
+    for lang, quota in (('a', 300), ('b', 200)):
+        ks = [k for k, g in rows if g == lang]
+        want |= set(sorted(ks, key=lambda k: (mix[k], k))[:quota])
+    assert {r['doc_id'] for r in out.collect()} == want
