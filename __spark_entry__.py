@@ -1738,6 +1738,35 @@ WHERE (lang = 'en' AND rn <= 140)
 """
 
 
+def q_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-budgeted mixture resample: en/de at 50/40% of a
+    60k-char budget, weighted by n_chars.  en's 30k quota crosses
+    mid-group (minimal hash-prefix whose cumulative chars reach it);
+    de's 24k quota exceeds the group's ~19.5k total chars, so de is
+    fully kept -- both branches live."""
+    from pytrs_spark.operators.sampling import mixture_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (mixture_sample(docs, 'lang', 'doc_id',
+                           {'en': 0.5, 'de': 0.4}, budget=60_000,
+                           salt=13, weight_col='n_chars')
+            .select('doc_id', 'lang'))
+
+
+_ORACLE_MIXTURE_TOKENS = _mix_ctes(13) + """
+, ranked AS (
+  SELECT d.doc_id, d.lang,
+         sum(d.n_chars) OVER (
+             PARTITION BY d.lang ORDER BY m.h, d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - d.n_chars AS before
+  FROM documents d JOIN mix m USING (doc_id)
+)
+SELECT doc_id, lang FROM ranked
+WHERE (lang = 'en' AND before < 30000)
+   OR (lang = 'de' AND before < 24000)
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters over the embedding near-dup pair
     graph: (doc_id, component_id = min reachable id).  The oracle
@@ -3724,6 +3753,7 @@ _RAW_QUERIES = {
         'assign_split': q_assign_split,
         'stratified_sample': q_stratified_sample,
         'mixture_sample': q_mixture_sample,
+        'mixture_tokens': q_mixture_tokens,
         'dedup_components': q_dedup_components,
         'tile_pyramid': q_tile_pyramid,
         'kring_density': q_kring_density,
@@ -3846,6 +3876,7 @@ def oracle_sql() -> dict[str, str]:
         'assign_split': _ORACLE_SPLIT,
         'stratified_sample': _ORACLE_STRATIFIED,
         'mixture_sample': _ORACLE_MIXTURE,
+        'mixture_tokens': _ORACLE_MIXTURE_TOKENS,
         'dedup_components': _ORACLE_COMPONENTS,
         'tile_pyramid': _ORACLE_PYRAMID,
         'kring_density': _ORACLE_KRING,

@@ -128,31 +128,43 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
 
 
 def mixture_sample(df: DataFrame, group_col: str, key_col: str,
-                   targets: dict, budget: int, salt: int = 0) -> DataFrame:
+                   targets: dict, budget: int, salt: int = 0,
+                   weight_col: str = None) -> DataFrame:
     """Resample a corpus to a TARGET GROUP MIXTURE -- the domain/
     language re-balancing step of a pre-training pipeline (the Pile /
     DoReMi recipe): ``targets`` maps group value -> share of the
     output, ``budget`` is the total output size, and each group
-    contributes its quota ``floor(share * budget)`` rows (capped by
-    what the group actually has), chosen as the group's bottom-quota
-    rows by the spec'd :func:`hash_mix` -- so the selection is
-    deterministic, stable under repartitioning, and re-derivable in
-    plain SQL (``row_number() OVER (PARTITION BY group ORDER BY h,
-    key) <= quota``).  Groups absent from ``targets`` drop entirely.
+    contributes its quota ``floor(share * budget)`` (capped by what
+    the group actually has), chosen as the group's bottom rows by the
+    spec'd :func:`hash_mix` -- so the selection is deterministic,
+    stable under repartitioning, and re-derivable in plain SQL.
+    Groups absent from ``targets`` drop entirely.
+
+    Without ``weight_col`` the budget counts ROWS: a group keeps its
+    first ``quota`` rows in (h, key) order (SQL: ``row_number() OVER
+    (PARTITION BY group ORDER BY h, key) <= quota``).  With
+    ``weight_col`` the budget counts WEIGHT (tokens/chars/bytes --
+    real pre-training mixtures are token-denominated): a group keeps
+    the minimal (h, key)-prefix whose cumulative weight reaches its
+    quota, closing within one row of target like the byte sharder
+    (SQL: running ``sum(w) ... ROWS UNBOUNDED PRECEDING`` minus the
+    row's own weight ``< quota``).  Weights must be non-negative
+    (validated in the same pre-pass; nulls weigh 0).
 
     Scale shape: quota selection never sorts whole groups.  One
-    partial-agg count per group (|targets| rows to the driver -- the
+    partial-agg mass per group (|targets| rows to the driver -- the
     mixture spec is user-sized, not data-sized), then a scan-stage
     per-group threshold filter keeps ~``_SURVIVOR_MARGIN`` x quota
-    expected survivors per group (each row lands under ``t_g`` with
-    probability t_g / 2^31), and the row_number window runs on that
-    bounded survivor set.  Exactness is guarded, not assumed: a
-    survivor count per group confirms every group kept at least
-    ``min(quota, count)`` rows -- the survivors then provably contain
-    the true bottom-quota by (h, key) -- and any short group (rare at
-    margin 8) escalates its threshold and rescans; at t_g = 2^31 the
-    whole group survives, so the loop terminates exact.  At 100 TB
-    the shuffle moves ~margin * budget rows, not the corpus.
+    expected mass per group (each row lands under ``t_g`` with
+    probability t_g / 2^31, independent of its weight), and the
+    window runs on that bounded survivor set.  Exactness is guarded,
+    not assumed: rows under ``t_g`` are exactly a PREFIX of the
+    group's (h, key) order, so once the survivors' mass covers
+    ``min(quota, group mass)`` they provably contain the true
+    selection -- and any short group (rare at margin 8) escalates its
+    threshold and rescans; at t_g = 2^31 the whole group survives, so
+    the loop terminates exact.  At 100 TB the shuffle moves
+    ~margin * budget, not the corpus.
     """
     if budget < 1:
         raise ValueError('budget must be >= 1')
@@ -160,14 +172,22 @@ def mixture_sample(df: DataFrame, group_col: str, key_col: str,
     quotas = {g: q for g, q in quotas.items() if q > 0}
     if not quotas:
         return df.limit(0)
+    wcol = (F.lit(1) if weight_col is None
+            else F.coalesce(F.col(weight_col).cast('long'), F.lit(0)))
     sub = df.filter(F.col(group_col).isin(list(quotas)))
-    counts = {r[0]: r[1] for r in
-              sub.groupBy(group_col).count().collect()}
-    need = {g: min(q, counts.get(g, 0)) for g, q in quotas.items()}
+    stats = {r[0]: (r[1], r[2]) for r in
+             sub.groupBy(group_col)
+             .agg(F.sum(wcol).alias('m'), F.min(wcol).alias('lo'))
+             .collect()}
+    if weight_col is not None and any(
+            lo is not None and lo < 0 for _, lo in stats.values()):
+        raise ValueError(f'{weight_col} must be non-negative')
+    mass = {g: m or 0 for g, (m, _) in stats.items()}
+    need = {g: min(q, mass.get(g, 0)) for g, q in quotas.items()}
     thr = {g: min(1 << 31,
                   max(1, (_SURVIVOR_MARGIN * q * (1 << 31))
-                      // counts[g]))
-           for g, q in quotas.items() if counts.get(g, 0)}
+                      // mass[g]))
+           for g, q in quotas.items() if mass.get(g, 0)}
     if not thr:
         return df.limit(0)
 
@@ -183,8 +203,9 @@ def mixture_sample(df: DataFrame, group_col: str, key_col: str,
     while True:
         cand = (sub.withColumn('_h', h)
                 .filter(F.col('_h') <= _case(thr)).persist())
-        got = {r[0]: r[1] for r in
-               cand.groupBy(group_col).count().collect()}
+        got = {r[0]: r[1] or 0 for r in
+               cand.groupBy(group_col).agg(F.sum(wcol).alias('m'))
+               .collect()}
         short = [g for g in thr
                  if got.get(g, 0) < need[g] and thr[g] < (1 << 31)]
         if not short:
@@ -195,10 +216,13 @@ def mixture_sample(df: DataFrame, group_col: str, key_col: str,
             # is tuned down to 1 (same guard as weighted_sample's).
             thr[g] = min(1 << 31, thr[g] * max(2, _SURVIVOR_MARGIN))
     from pyspark.sql import Window
-    w = Window.partitionBy(group_col).orderBy('_h', F.col(key_col))
-    return (cand.withColumn('_rnk', F.row_number().over(w))
-            .filter(F.col('_rnk') <= _case(quotas))
-            .drop('_h', '_rnk'))
+    w = (Window.partitionBy(group_col).orderBy('_h', F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Keep while the mass BEFORE this row is under quota: with unit
+    # weights this is exactly row_number() <= quota.
+    return (cand.withColumn('_run', F.sum(wcol).over(w))
+            .filter(F.col('_run') - wcol < _case(quotas))
+            .drop('_h', '_run'))
 
 
 _W_SALT = 15485863

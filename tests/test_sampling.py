@@ -309,3 +309,52 @@ def test_mixture_sample_retry_escalation_exact(spark, monkeypatch):
         ks = [k for k, g in rows if g == lang]
         want |= set(sorted(ks, key=lambda k: (mix[k], k))[:quota])
     assert {r['doc_id'] for r in out.collect()} == want
+
+
+def test_mixture_sample_weighted_parity(spark):
+    # Token-budgeted mode: each group keeps the minimal (h, key)
+    # prefix whose cumulative weight reaches its quota (the crossing
+    # row is included -- closes within one row of target).
+    from pytrs_spark.operators.sampling import mixture_sample
+    rows = [(i, 'a' if i % 3 else 'b', 1 + (i * 7) % 50)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, 'doc_id long, lang string, '
+                                     'n_tok long')
+    targets = {'a': 0.7, 'b': 0.3}
+    out = mixture_sample(df, 'lang', 'doc_id', targets, budget=20_000,
+                         salt=5, weight_col='n_tok')
+    got = {r['doc_id'] for r in out.collect()}
+    mix = {k: _mix_py(k, 5) for k, _, _ in rows}
+    want = set()
+    for lang, quota in (('a', 14_000), ('b', 6_000)):
+        cum = 0
+        for k, g, wt in sorted(rows, key=lambda r: (mix[r[0]], r[0])):
+            if g != lang:
+                continue
+            if cum < quota:
+                want.add(k)
+            cum += wt
+    assert got == want
+    # each group's kept mass lands within one row of its quota
+    kept = {r['lang']: r['m'] for r in
+            out.groupBy('lang').agg(F.sum('n_tok').alias('m'))
+            .collect()}
+    for lang, quota in (('a', 14_000), ('b', 6_000)):
+        assert quota <= kept[lang] < quota + 50
+
+
+def test_mixture_sample_weighted_cap_and_validation(spark):
+    from pytrs_spark.operators.sampling import mixture_sample
+    df = spark.createDataFrame(
+        [(1, 'a', 10), (2, 'a', 10), (3, 'b', 5)],
+        'doc_id long, lang string, n_tok long')
+    # quota far above group mass -> whole group kept
+    out = mixture_sample(df, 'lang', 'doc_id', {'a': 1.0},
+                         budget=10_000, weight_col='n_tok')
+    assert sorted(r['doc_id'] for r in out.collect()) == [1, 2]
+    # negative weights rejected up front
+    bad = spark.createDataFrame([(1, 'a', -3)],
+                                'doc_id long, lang string, n_tok long')
+    with pytest.raises(ValueError):
+        mixture_sample(bad, 'lang', 'doc_id', {'a': 1.0}, budget=10,
+                       weight_col='n_tok')
