@@ -358,3 +358,29 @@ def test_mixture_sample_weighted_cap_and_validation(spark):
     with pytest.raises(ValueError):
         mixture_sample(bad, 'lang', 'doc_id', {'a': 1.0}, budget=10,
                        weight_col='n_tok')
+
+
+def test_mixture_sample_plan_single_exchange(spark):
+    # 100-TB contract: the returned plan's only exchange is the one
+    # hash partition on the group key for the survivor window -- the
+    # corpus never sorts globally, and the survivor filter (hash
+    # threshold) sits in the scan stage below it.
+    import contextlib
+    import io as _io
+    import re
+    from pytrs_spark.operators.sampling import mixture_sample
+    df = spark.range(50_000).select(
+        F.col('id').alias('doc_id'),
+        (F.col('id') % 5).cast('string').alias('lang'),
+        (F.col('id') % 37 + 1).alias('n_tok'))
+    out = mixture_sample(df, 'lang', 'doc_id',
+                         {'0': 0.5, '1': 0.5}, budget=40_000,
+                         salt=2, weight_col='n_tok')
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain('formatted')
+    p = buf.getvalue()
+    assert len(re.findall(r'\(\d+\) Exchange\b', p)) == 1
+    assert 'BatchEvalPython' not in p and 'ArrowEval' not in p
+    # no global sort: the only Sort is the window's partition-local one
+    assert 'Exchange rangepartitioning' not in p
