@@ -595,6 +595,17 @@ def main():
         lambda: sample_by_hash(ids, 'doc_id', 0.01).count(),
         runs=RUNS), 3)
 
+    # Target-mixture resample at the same 50M-row scale: two count
+    # pre-passes + threshold scan + window over ~margin * budget
+    # survivors -- wall time must track the budget, not the corpus.
+    from pytrs_spark.operators.sampling import mixture_sample
+    grp = ids.withColumn('grp', (F.col('doc_id') % 4).cast('string'))
+    queries['mixture_sample_50m'] = round(_median_time(
+        lambda: mixture_sample(grp, 'grp', 'doc_id',
+                               {'0': 0.5, '1': 0.3, '2': 0.2},
+                               budget=100_000, salt=3).count(),
+        runs=RUNS), 3)
+
     # Z-order clustering payoff (G14): the IDENTICAL bbox query (~1%
     # of the extent) over the same 20M points written z-clustered vs
     # randomly laid out.  Clustered row groups carry tight zkey
