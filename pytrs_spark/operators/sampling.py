@@ -149,7 +149,10 @@ def mixture_sample(df: DataFrame, group_col: str, key_col: str,
     quota, closing within one row of target like the byte sharder
     (SQL: running ``sum(w) ... ROWS UNBOUNDED PRECEDING`` minus the
     row's own weight ``< quota``).  Weights must be non-negative
-    (validated in the same pre-pass; nulls weigh 0).
+    (validated in the same pre-pass; nulls weigh 0).  A group whose
+    TOTAL weight is zero drops entirely -- it has no mass to
+    contribute, so its quota is vacuously met (keeping its rows
+    would add unweighted rows to a weight-denominated budget).
 
     Scale shape: quota selection never sorts whole groups.  One
     partial-agg mass per group (|targets| rows to the driver -- the

@@ -384,3 +384,15 @@ def test_mixture_sample_plan_single_exchange(spark):
     assert 'BatchEvalPython' not in p and 'ArrowEval' not in p
     # no global sort: the only Sort is the window's partition-local one
     assert 'Exchange rangepartitioning' not in p
+
+
+def test_mixture_sample_zero_mass_group_drops(spark):
+    # A group whose total weight is 0 has no mass to contribute to a
+    # weight-denominated budget: it drops entirely (documented).
+    from pytrs_spark.operators.sampling import mixture_sample
+    df = spark.createDataFrame(
+        [(1, 'a', 0), (2, 'a', 0), (3, 'b', 5), (4, 'b', 7)],
+        'doc_id long, lang string, n_tok long')
+    out = mixture_sample(df, 'lang', 'doc_id', {'a': 0.5, 'b': 0.5},
+                         budget=12, weight_col='n_tok')
+    assert sorted(r['doc_id'] for r in out.collect()) == [3, 4]
