@@ -1537,6 +1537,93 @@ JOIN (SELECT doc_id, min(w_hash) AS min_window_hash
 """
 
 
+_EXACT_SUBSTR_WINDOW = 40
+
+
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup spans (Lee et al. 2022 re-expressed): merged
+    per-doc spans of 40-char substrings whose spec'd rolling hash
+    occurs >= 2 times corpus-wide.  The oracle re-derives every window
+    hash, the global >= 2 test, and the island merge in pure SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.exact_substr_spans(docs, window=_EXACT_SUBSTR_WINDOW)
+
+
+def _exact_substr_oracle() -> str:
+    from pytrs_spark.operators.textops import (
+        _FP_K1, _FP_K2, _FP_KINV1, _FP_KINV2,
+    )
+    W = _EXACT_SUBSTR_WINDOW
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t0
+  FROM documents
+), pad AS (
+  SELECT doc_id,
+         CASE WHEN length(t0) < {W} THEN rpad(t0, {W}, ' ') ELSE t0 END AS t
+  FROM norm
+), pw AS (
+  WITH RECURSIVE p(j, k1, k2, v1, v2) AS (
+    SELECT 0, 1::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT
+    UNION ALL
+    SELECT j + 1, (k1 * {_FP_K1}) % 2147483647,
+           (k2 * {_FP_K2}) % 2147483647,
+           (v1 * {_FP_KINV1}) % 2147483647,
+           (v2 * {_FP_KINV2}) % 2147483647
+    FROM p WHERE j < (SELECT max(length(t)) FROM pad)
+  ) SELECT * FROM p
+), pos AS (
+  SELECT doc_id, i, unicode(t[i]) AS c
+  FROM pad, unnest(generate_series(1, length(t))) u(i)
+), terms AS (
+  SELECT doc_id, i,
+         (c * pw.k1) % 2147483647 AS t1,
+         (c * pw.k2) % 2147483647 AS t2,
+         pw.v1 AS vi1, pw.v2 AS vi2
+  FROM pos JOIN pw ON pw.j = pos.i - 1
+), csums AS (
+  SELECT doc_id, i, t1, t2, vi1, vi2,
+         sum(t1) OVER w AS s1, sum(t2) OVER w AS s2
+  FROM terms
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sums AS (
+  SELECT doc_id, i, t1, t2, vi1, vi2, s1, s2,
+         lead(s1, {W - 1}) OVER w2 AS s1_end,
+         lead(s2, {W - 1}) OVER w2 AS s2_end
+  FROM csums
+  WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)
+), winh AS (
+  SELECT doc_id, i,
+         CAST(((((s1_end - s1 + t1) % 2147483647) * vi1) % 2147483647)
+           * 2147483648
+         + ((((s2_end - s2 + t2) % 2147483647) * vi2) % 2147483647)
+           AS BIGINT) AS w_hash
+  FROM sums WHERE s1_end IS NOT NULL
+), dups AS (
+  SELECT w_hash FROM winh GROUP BY w_hash HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, i FROM winh WHERE w_hash IN (SELECT w_hash FROM dups)
+), isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   > {W} THEN 1 ELSE 0 END AS brk
+  FROM hits
+), grps AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(i) - 1 AS BIGINT) AS span_begin,
+       CAST(max(i) - 1 + {W} AS BIGINT) AS span_end,
+       CAST(max(i) - min(i) + {W} AS BIGINT) AS dup_len
+FROM grps GROUP BY doc_id, g
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-lexicon language ID (pure-SQL-expressible: per-language
     marker hit counts, greatest-of-struct tie-break)."""
@@ -3747,6 +3834,7 @@ _RAW_QUERIES = {
         'simhash': q_simhash,
         'simhash_near_dup': q_simhash_near_dup,
         'fingerprint': q_fingerprint,
+        'exact_substr': q_exact_substr,
         'lang_id': q_lang_id,
         'repetition': q_repetition,
         'sample_hash': q_sample_hash,
@@ -3870,6 +3958,7 @@ def oracle_sql() -> dict[str, str]:
         'simhash': _ORACLE_SIMHASH,
         'simhash_near_dup': _ORACLE_SIMHASH_PAIRS,
         'fingerprint': _fp_oracle(),
+        'exact_substr': _exact_substr_oracle(),
         'lang_id': _ORACLE_LANG,
         'repetition': _ORACLE_REPETITION,
         'sample_hash': _ORACLE_SAMPLE,

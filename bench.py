@@ -507,6 +507,10 @@ def main():
     queries['boilerplate_strip'] = round(_median_time(
         lambda: textops.boilerplate_strip(_footered, min_docs=5)
         .select(F.max(F.xxhash64('text'))).collect(), runs=RUNS), 3)
+    queries['exact_substr'] = round(_median_time(
+        lambda: textops.exact_substr_spans(docs, window=40)
+        .select(F.max(F.xxhash64('span_begin', 'span_end'))).collect(),
+        runs=RUNS), 3)
 
     # G16 phash near-dup at 10M images: 62-bit deterministic
     # fingerprints, 1-in-50 planted twins 2 bits away.  max_hamming=2

@@ -1224,6 +1224,154 @@ def fingerprint(df: DataFrame, text_col='text', window: int = 64,
         fp['min_window_hash'].alias('min_window_hash'))
 
 
+# --- exact-substring dedup spans (ExactSubstr, Lee et al. 2022) ----------
+#
+# "Deduplicating Training Data Makes Language Models Better" removes
+# every substring of length >= L that occurs more than once in the
+# corpus.  The reference implementation builds a corpus-wide suffix
+# array -- a single-machine data structure.  The Spark-native
+# re-expression: a window of length L is *duplicated* iff its
+# rolling hash occurs at >= 2 distinct (doc, pos) positions
+# corpus-wide (within-doc repeats count).  Per doc, duplicated
+# window positions merge into maximal spans (windows at positions
+# p, q merge iff q - p <= L, i.e. they overlap or touch).
+#
+# Hash spec = the fingerprint spec above (dual Mersenne-31
+# polynomial over the normalized, right-padded text; combined =
+# (h1 << 31) + h2), so the DuckDB oracle derives the exact same
+# 62-bit keys in pure SQL and the gate is bit-for-bit.
+#
+# Scale shape (100 TB):
+#   pass 1: per-doc DISTINCT window hashes with multiplicity clipped
+#           at 2 (np.unique inside the Arrow batch) -> the count
+#           shuffle moves <= one (int64, int32) row per distinct
+#           window per doc, map-side combined; the duplicated-hash
+#           set D comes out of one partial-agg groupBy.
+#   pass 2: window hashes recomputed in the scan stage (map pass,
+#           zero exchange) and LEFT SEMI joined against D.  D is an
+#           agg output with runtime stats, so AQE broadcasts it when
+#           it fits and the explode+filter never leaves the scan
+#           stage; when D is huge the fallback is a shuffle of
+#           skinny (id, pos, hash) rows -- no raw text ever moves.
+#   islands: only *duplicated* positions reach the per-doc window
+#           (lag/sum over (doc_id, pos)); output is one row per
+#           merged span.  Shuffle is bounded by the corpus's
+#           duplication mass, not its size.
+
+
+def _window_hash_list(texts: pd.Series, window: int) -> list:
+    """All ``window``-char rolling hashes per doc, in position order
+    (one int64 numpy array per doc).  Same normalization, padding,
+    chunking, and prefix-sum arithmetic as :func:`_fp_kernel` -- the
+    two must stay bit-identical (shared constants, shared oracle CTE
+    shape)."""
+    norm = texts.fillna('').astype(str).str.lower() \
+        .str.replace(r'\s+', ' ', regex=True).str.strip() \
+        .str.pad(window, side='right', fillchar=' ')
+    lens_all = norm.str.len().to_numpy(dtype=np.int64)
+    m = np.uint64(_M31)
+    shift = np.uint64(31)
+    out = [None] * len(norm)
+    bounds = [0]
+    acc = 0
+    for i, ln in enumerate(lens_all):
+        acc += int(ln)
+        if acc >= _FP_CHUNK_CHARS:
+            bounds.append(i + 1)
+            acc = 0
+    if bounds[-1] != len(norm):
+        bounds.append(len(norm))
+    vals = norm.to_numpy(dtype=object)
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        lens = lens_all[b0:b1]
+        joined = ''.join(vals[b0:b1])
+        codes = np.frombuffer(joined.encode('utf-32-le'),
+                              dtype=np.uint32).astype(np.uint64)
+        total = len(codes)
+        starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                                 lens.cumsum()])[:-1]
+        n_win = lens - window + 1          # >= 1 (padded to window)
+        ki1 = _pow_mod(_FP_KINV1, total)
+        ki2 = _pow_mod(_FP_KINV2, total)
+        kp1 = _pow_mod(_FP_K1, total)
+        kp2 = _pow_mod(_FP_K2, total)
+        terms1 = (codes * kp1) % m
+        s1 = np.concatenate([np.zeros(1, dtype=np.uint64),
+                             terms1.cumsum(dtype=np.uint64)])
+        terms2 = (codes * kp2) % m
+        s2 = np.concatenate([np.zeros(1, dtype=np.uint64),
+                             terms2.cumsum(dtype=np.uint64)])
+        nw_all = total - window + 1
+        w1 = (((s1[window:] - s1[:-window]) % m) * ki1[:nw_all]) % m
+        w2 = (((s2[window:] - s2[:-window]) % m) * ki2[:nw_all]) % m
+        combined = ((w1 << shift) + w2).astype(np.int64)
+        for d in range(b1 - b0):
+            st = int(starts[d])
+            out[b0 + d] = combined[st:st + int(n_win[d])]
+    return out
+
+
+def _substr_stats_udf(window: int):
+    """Pass-1 column: per-doc distinct window hashes + multiplicity
+    clipped at 2 (2 is all the global >= 2 test ever needs, and the
+    clip keeps a pathological single-char doc from shipping a big
+    count)."""
+    @F.pandas_udf('hs array<long>, cs array<int>')
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        hs, cs = [], []
+        for arr in _window_hash_list(texts, window):
+            u, c = np.unique(arr, return_counts=True)
+            hs.append(u.tolist())
+            cs.append(np.minimum(c, 2).astype(np.int32).tolist())
+        return pd.DataFrame({'hs': hs, 'cs': cs})
+    return udf
+
+
+def _substr_windows_udf(window: int):
+    """Pass-2 column: ALL window hashes in position order."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [a.tolist() for a in _window_hash_list(texts, window)])
+    return udf
+
+
+def exact_substr_spans(df: DataFrame, text_col='text', id_col='doc_id',
+                       window: int = 40) -> DataFrame:
+    """Merged per-doc spans of corpus-duplicated ``window``-char
+    substrings (spec above).  Offsets index the NORMALIZED text
+    (lowercased, whitespace-collapsed, right-padded to ``window``),
+    half-open ``[span_begin, span_end)``, 0-based.
+
+    Returns ``(doc_id, span_begin, span_end, dup_len)``.
+    """
+    stats = df.select(
+        _substr_stats_udf(window)(F.col(text_col)).alias('s'))
+    pairs = (stats
+             .select(F.explode(F.arrays_zip('s.hs', 's.cs')).alias('p'))
+             .select(F.col('p.hs').alias('h'), F.col('p.cs').alias('c')))
+    dups = (pairs.groupBy('h').agg(F.sum('c').alias('n'))
+            .filter(F.col('n') >= 2).select('h'))
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(_substr_windows_udf(window)(F.col(text_col)))
+        .alias('pos', 'h'))
+    hit = wins.join(dups, 'h', 'left_semi')
+    w = Window.partitionBy(id_col).orderBy('pos')
+    brk = F.when(F.col('pos') - F.lag('pos').over(w) > window, 1) \
+        .otherwise(0)
+    spans = (hit.withColumn('_g', F.sum(brk).over(w))
+             .groupBy(id_col, '_g')
+             .agg(F.min('pos').alias('span_begin'),
+                  (F.max('pos') + window).alias('span_end')))
+    return spans.select(
+        F.col(id_col),
+        F.col('span_begin').cast('long'),
+        F.col('span_end').cast('long'),
+        (F.col('span_end') - F.col('span_begin')).cast('long')
+        .alias('dup_len'))
+
+
 # --- repetition metrics (Gopher-style quality signals) -------------------
 #
 # Repetition spec (independently implementable in SQL; the DuckDB
