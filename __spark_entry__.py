@@ -2984,6 +2984,98 @@ FROM corpus LEFT JOIN comp ON comp.id = corpus.image_id
 """
 
 
+# --- G21 joint image+caption dedup --------------------------------------
+
+
+def _mm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The G16 phash corpus + deterministic captions: every third base
+    image carries a SHARED caption ('shared caption <k % 97>', so
+    caption groups span many phash clusters); the rest are unique.
+    Twins re-post the base's caption (alt-text travels with the
+    image)."""
+    base_twin = _phash_corpus(spark, sf_dir)
+    k = F.col('image_id') % F.lit(_PH_OFFSET)   # base orderkey
+    cap = F.when(
+        k % 3 == 0,
+        F.concat(F.lit('shared caption '), (k % 97).cast('string'))
+    ).otherwise(F.concat(F.lit('unique caption '), k.cast('string')))
+    return base_twin.withColumn('caption', cap)
+
+
+def q_multimodal_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21: joint image+caption dedup -- transitive keep-one over the
+    UNION of phash Hamming<=4 pairs and exact-caption star edges
+    (caption equality bridges clusters phash alone cannot).  Oracle
+    re-derives both edge sets brute-force and closes them with a
+    recursive CTE."""
+    from pytrs_spark import multimodal
+    corpus = _mm_corpus(spark, sf_dir)
+    return multimodal.joint_keep_one(corpus, max_hamming=4) \
+        .select('image_id', 'component_id', 'kept')
+
+
+_ORACLE_MM_KEEP = f"""
+WITH RECURSIVE ph AS (
+  SELECT o_orderkey AS image_id,
+         ((o_orderkey * 2654435761) % 2147483648) * 2147483648
+           + ((o_orderkey * 1597334677) % 2147483648) AS phash
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+corpus AS (
+  SELECT image_id, phash,
+         CASE WHEN image_id % 3 = 0
+              THEN 'shared caption ' || CAST(image_id % 97 AS VARCHAR)
+              ELSE 'unique caption ' || CAST(image_id AS VARCHAR)
+         END AS caption
+  FROM ph
+  UNION ALL
+  SELECT image_id + {_PH_OFFSET}, xor(phash, 5),
+         CASE WHEN image_id % 3 = 0
+              THEN 'shared caption ' || CAST(image_id % 97 AS VARCHAR)
+              ELSE 'unique caption ' || CAST(image_id AS VARCHAR)
+         END
+  FROM ph
+),
+ph_pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM corpus a, corpus b
+  WHERE a.image_id < b.image_id
+    AND bit_count(xor(a.phash, b.phash)) <= 4
+),
+cap_norm AS (
+  SELECT image_id,
+         trim(regexp_replace(lower(caption), '\\s+', ' ', 'g')) AS c
+  FROM corpus
+  WHERE caption IS NOT NULL
+    AND trim(regexp_replace(lower(caption), '\\s+', ' ', 'g')) <> ''
+),
+cap_groups AS (
+  SELECT c, min(image_id) AS rep FROM cap_norm GROUP BY c
+),
+cap_pairs AS (
+  SELECT g.rep AS id_a, n.image_id AS id_b
+  FROM cap_norm n JOIN cap_groups g USING (c)
+  WHERE n.image_id <> g.rep
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ph_pairs
+  UNION SELECT id_b, id_a FROM ph_pairs
+  UNION SELECT id_a, id_b FROM cap_pairs
+  UNION SELECT id_b, id_a FROM cap_pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+),
+comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+SELECT corpus.image_id,
+       COALESCE(comp.c, corpus.image_id) AS component_id,
+       COALESCE(comp.c, corpus.image_id) = corpus.image_id AS kept
+FROM corpus LEFT JOIN comp ON comp.id = corpus.image_id
+"""
+
+
 # --- G17 bbox overlap join ---------------------------------------------
 
 
@@ -3786,6 +3878,7 @@ _RAW_QUERIES = {
         'boilerplate': q_boilerplate,
         'image_near_dup': q_image_near_dup,
         'image_keep_one': q_image_keep_one,
+        'multimodal_keep_one': q_multimodal_keep_one,
         'bbox_overlap': q_bbox_overlap,
         'lm_score': q_lm_score,
         'dbscan': q_dbscan,
@@ -3864,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         'boilerplate': _ORACLE_BOILER,
         'image_near_dup': _ORACLE_IMGDUP,
         'image_keep_one': _ORACLE_IMG_KEEP,
+        'multimodal_keep_one': _ORACLE_MM_KEEP,
         'bbox_overlap': _ORACLE_BBOX,
         'lm_score': _ORACLE_LM,
         'dbscan': _ORACLE_DBSCAN,

@@ -533,6 +533,27 @@ def main():
             _ph, id_col='image_id', hash_col='phash',
             max_hamming=2).count(), runs=RUNS), 3)
 
+    # G21 joint image+caption keep-one at 1M images: same planted
+    # phash twins, plus 1-in-25 rows sharing a hot caption pool of
+    # 20k strings (star edges keep hot captions linear) -- the full
+    # multimodal dedup policy incl. transitive labeling.  Wall here is
+    # CC-round-bound (fixed per-round job overhead at this tiny edge
+    # count), not data-bound -- the edge legs are ~2-4 s.
+    from pytrs_spark import multimodal as mm
+    _mm2 = spark.range(1_000_000).select(
+        F.col('id').alias('image_id'),
+        F.when(F.col('id') % 50 == 0,
+               _ph62(F.col('id') + 1).bitwiseXOR(F.lit(5)))
+        .otherwise(_ph62(F.col('id'))).alias('phash'),
+        F.when(F.col('id') % 25 == 0,
+               F.concat(F.lit('hot caption '),
+                        (F.col('id') % 20_000).cast('string')))
+        .otherwise(F.concat(F.lit('cap '), F.col('id').cast('string')))
+        .alias('caption'))
+    queries['multimodal_keep_one_1m'] = round(_median_time(
+        lambda: mm.joint_keep_one(_mm2, max_hamming=2)
+        .filter('kept').count(), runs=RUNS), 3)
+
     # T25 bigram LM score over the documents corpus (tokenize once,
     # two vocabulary-bounded count groupBys, gram-key rejoin).
     queries['lm_score'] = round(_median_time(

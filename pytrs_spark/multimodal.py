@@ -195,3 +195,68 @@ def audio_window_features(audio: DataFrame, window_ms: int = 250,
 
     return audio.select(id_col, bytes_col) \
         .mapInPandas(extract, schema=_AUDIO_SCHEMA)
+
+
+# --- joint image+caption dedup (G21) -------------------------------------
+#
+# LAION-style multimodal dedup: an image-caption pair is a duplicate
+# both of visually-near-identical images (perceptual-hash Hamming
+# pairs, G16) AND of re-posts carrying the exact same caption text
+# (alt-text travels with the image across mirrors even when
+# re-encoding shifts a few phash bits).  The edge set is the UNION of
+# the two modalities, the policy is one transitive keep-one over it:
+# caption equality bridges clusters phash alone cannot, and vice
+# versa.
+#
+# Scale notes:
+# - Caption-equal groups are the classic hot key ("no caption", "IMG",
+#   stock alt-text repeated 10^7 times).  Emitting the group's PAIRS
+#   is quadratic; a STAR (member -> group-min) is |group|-1 edges and
+#   preserves exactly the same connectivity, so the closure -- and
+#   therefore the final labels -- are identical.
+# - Captions group by a 128-bit key (two independent xxhash64
+#   channels): caption text never rides the shuffle, and the
+#   two-channel key keeps the accidental-merge probability negligible
+#   at 10^12 rows where a single 64-bit hash would already expect
+#   birthday collisions.
+# - Null/empty captions are NOT duplicates of each other (absence of
+#   a caption is absence of evidence): they take no caption edges.
+
+
+def caption_dup_edges(images: DataFrame, id_col: str = 'image_id',
+                      caption_col: str = 'caption') -> DataFrame:
+    """Star edges ``(id_a=group min, id_b=member)`` per exact
+    normalized-caption group; null/empty captions take no edges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.textops import normalized_text
+    norm = normalized_text(F.col(caption_col))
+    df = (images.select(F.col(id_col),
+                        F.xxhash64(norm).alias('_c1'),
+                        F.xxhash64(norm, F.lit(1)).alias('_c2'))
+          .filter(norm.isNotNull() & (norm != '')))
+    rep = F.min(id_col).over(Window.partitionBy('_c1', '_c2'))
+    return (df.withColumn('_rep', rep)
+            .filter(F.col(id_col) != F.col('_rep'))
+            .select(F.col('_rep').alias('id_a'),
+                    F.col(id_col).alias('id_b')))
+
+
+def joint_keep_one(images: DataFrame, id_col: str = 'image_id',
+                   phash_col: str = 'phash',
+                   caption_col: str = 'caption',
+                   max_hamming: int = 4, **hamming_kwargs) -> DataFrame:
+    """Transitive keep-one over the union of phash-Hamming pairs and
+    exact-caption star edges (spec above).  Returns ``images``'s
+    columns + ``component_id`` + ``kept``; ``.filter('kept')`` is the
+    deduplicated corpus."""
+    from .operators.textops import hamming_near_dup_pairs, keep_one
+    img_pairs = hamming_near_dup_pairs(
+        images, id_col=id_col, hash_col=phash_col,
+        max_hamming=max_hamming, **hamming_kwargs) \
+        .select('id_a', 'id_b')
+    edges = img_pairs.unionByName(
+        caption_dup_edges(images, id_col=id_col,
+                          caption_col=caption_col))
+    return keep_one(images, edges, id_col=id_col)
