@@ -1242,21 +1242,27 @@ def fingerprint(df: DataFrame, text_col='text', window: int = 64,
 # 62-bit keys in pure SQL and the gate is bit-for-bit.
 #
 # Scale shape (100 TB):
-#   pass 1: per-doc DISTINCT window hashes with multiplicity clipped
-#           at 2 (np.unique inside the Arrow batch) -> the count
-#           shuffle moves <= one (int64, int32) row per distinct
-#           window per doc, map-side combined; the duplicated-hash
-#           set D comes out of one partial-agg groupBy.
+#   pass 1: the flat (hash) window stream feeds one groupBy(h)
+#           count -- map-side combine collapses every repeat within a
+#           partition (at least as strong as per-doc dedup), so the
+#           exchange moves <= one (int64, int64) row per
+#           partition-distinct hash; the duplicated-hash set D
+#           (count >= 2) comes out of that single partial-agg pass.
 #   pass 2: window hashes recomputed in the scan stage (map pass,
 #           zero exchange) and LEFT SEMI joined against D.  D is an
 #           agg output with runtime stats, so AQE broadcasts it when
-#           it fits and the explode+filter never leaves the scan
+#           it fits and the window stream never leaves the scan
 #           stage; when D is huge the fallback is a shuffle of
 #           skinny (id, pos, hash) rows -- no raw text ever moves.
 #   islands: only *duplicated* positions reach the per-doc window
 #           (lag/sum over (doc_id, pos)); output is one row per
 #           merged span.  Shuffle is bounded by the corpus's
 #           duplication mass, not its size.
+#   The window stream is emitted by ``mapInPandas`` as FLAT numpy
+#   columns (np.repeat'd ids + concatenated hash arrays): the
+#   pandas_udf array-column form costs one PyObject per window
+#   (.tolist()) -- measured ~3x this operator's whole runtime at
+#   10^8 windows.
 
 
 def _window_hash_list(texts: pd.Series, window: int) -> list:
@@ -1311,29 +1317,28 @@ def _window_hash_list(texts: pd.Series, window: int) -> list:
     return out
 
 
-def _substr_stats_udf(window: int):
-    """Pass-1 column: per-doc distinct window hashes + multiplicity
-    clipped at 2 (2 is all the global >= 2 test ever needs, and the
-    clip keeps a pathological single-char doc from shipping a big
-    count)."""
-    @F.pandas_udf('hs array<long>, cs array<int>')
-    def udf(texts: pd.Series) -> pd.DataFrame:
-        hs, cs = [], []
-        for arr in _window_hash_list(texts, window):
-            u, c = np.unique(arr, return_counts=True)
-            hs.append(u.tolist())
-            cs.append(np.minimum(c, 2).astype(np.int32).tolist())
-        return pd.DataFrame({'hs': hs, 'cs': cs})
-    return udf
+def _substr_window_stream(df: DataFrame, text_col: str, id_col: str,
+                          window: int) -> DataFrame:
+    """The flat window stream ``(id, pos, h)``: one row per
+    ``window``-char position per doc, emitted as whole numpy columns
+    (np.repeat'd ids, int32 position ramps, concatenated hash
+    arrays) -- no per-window Python object is ever built."""
+    def gen(batches):
+        for pdf in batches:
+            hl = _window_hash_list(pdf[text_col], window)
+            n_win = np.fromiter((len(a) for a in hl), dtype=np.int64,
+                                count=len(hl))
+            ids = np.repeat(pdf[id_col].to_numpy(), n_win)
+            pos = np.concatenate(
+                [np.arange(k, dtype=np.int32) for k in n_win]) \
+                if len(hl) else np.empty(0, dtype=np.int32)
+            h = np.concatenate(hl) if len(hl) \
+                else np.empty(0, dtype=np.int64)
+            yield pd.DataFrame({id_col: ids, 'pos': pos, 'h': h})
 
-
-def _substr_windows_udf(window: int):
-    """Pass-2 column: ALL window hashes in position order."""
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [a.tolist() for a in _window_hash_list(texts, window)])
-    return udf
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f'{id_col} {id_type}, pos int, h long')
 
 
 def exact_substr_spans(df: DataFrame, text_col='text', id_col='doc_id',
@@ -1345,17 +1350,9 @@ def exact_substr_spans(df: DataFrame, text_col='text', id_col='doc_id',
 
     Returns ``(doc_id, span_begin, span_end, dup_len)``.
     """
-    stats = df.select(
-        _substr_stats_udf(window)(F.col(text_col)).alias('s'))
-    pairs = (stats
-             .select(F.explode(F.arrays_zip('s.hs', 's.cs')).alias('p'))
-             .select(F.col('p.hs').alias('h'), F.col('p.cs').alias('c')))
-    dups = (pairs.groupBy('h').agg(F.sum('c').alias('n'))
+    wins = _substr_window_stream(df, text_col, id_col, window)
+    dups = (wins.groupBy('h').agg(F.count(F.lit(1)).alias('n'))
             .filter(F.col('n') >= 2).select('h'))
-    wins = df.select(
-        F.col(id_col),
-        F.posexplode(_substr_windows_udf(window)(F.col(text_col)))
-        .alias('pos', 'h'))
     hit = wins.join(dups, 'h', 'left_semi')
     w = Window.partitionBy(id_col).orderBy('pos')
     brk = F.when(F.col('pos') - F.lag('pos').over(w) > window, 1) \
