@@ -3076,6 +3076,91 @@ FROM corpus LEFT JOIN comp ON comp.id = corpus.image_id
 """
 
 
+# --- G22 image-caption alignment (CLIP-score curation) ------------------
+#
+# The driver tables carry one embeddings table, so the (image, caption)
+# dual-encoder pair is synthesized deterministically: even vec_ids are
+# the image side, odd vec_ids the caption side, paired by consecutive
+# id (caption_id = image_id + 1).  The operator itself takes the two
+# vectors side-by-side in ONE row -- the production shape at 10^12
+# rows, where the threshold mode is pure scan-stage work (multimodal.py
+# docstring).  Boundary margins at sf0.01, measured: min |cos - 0.1| =
+# 6.3e-4 (threshold mode), min kept-vs-cut rank-boundary gap = 8.2e-4
+# (top-fraction mode) -- both far above any float-order noise between
+# the engine's float64 einsum and the oracle's double evaluation.
+
+
+def _alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    img = (emb.filter(F.col('vec_id') % 2 == 0)
+           .select(F.col('vec_id').alias('image_id'),
+                   F.col('embedding').alias('image_emb'),
+                   F.col('label').alias('grp')))
+    cap = (emb.filter(F.col('vec_id') % 2 == 1)
+           .select((F.col('vec_id') - 1).alias('image_id'),
+                   F.col('vec_id').alias('caption_id'),
+                   F.col('embedding').alias('caption_emb')))
+    return img.join(cap, 'image_id')
+
+
+_ALIGN_PAIR_SQL = """
+  SELECT a.vec_id AS image_id, b.vec_id AS caption_id,
+         a.label AS grp,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))))
+           AS s
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+"""
+
+
+def q_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22a: fixed-threshold alignment filter (keep cosine >= 0.1;
+    the LAION-5B curation stage).  The rounded score is projected so
+    the gate verifies the VALUE, not just the keep decision."""
+    from pytrs_spark import multimodal
+    kept = multimodal.alignment_filter(
+        _alignment_pairs(spark, sf_dir), 'image_emb', 'caption_emb',
+        threshold=0.1)
+    return kept.select('image_id', 'caption_id',
+                       F.round('alignment', 3).alias('alignment'))
+
+
+_ORACLE_CLIP_FILTER = f"""
+WITH p AS ({_ALIGN_PAIR_SQL})
+SELECT image_id, caption_id, round(s, 3) AS alignment
+FROM p WHERE s >= 0.1
+"""
+
+
+def q_clip_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22b: per-group calibrated alignment filter -- keep the
+    ceil(0.25 * n) best-aligned pairs per label group (per-language
+    calibration pattern; deterministic (score desc, id) rank)."""
+    from pytrs_spark import multimodal
+    kept = multimodal.alignment_filter(
+        _alignment_pairs(spark, sf_dir), 'image_emb', 'caption_emb',
+        top_frac=0.25, by='grp')
+    return kept.select('image_id', 'caption_id', 'grp')
+
+
+_ORACLE_CLIP_TOPQ = f"""
+WITH p AS ({_ALIGN_PAIR_SQL}),
+r AS (
+  SELECT image_id, caption_id, grp,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY s DESC, image_id) AS rk,
+         count(s) OVER (PARTITION BY grp) AS n
+  FROM p WHERE s IS NOT NULL
+)
+SELECT image_id, caption_id, grp FROM r WHERE rk <= ceil(0.25 * n)
+"""
+
+
 # --- G17 bbox overlap join ---------------------------------------------
 
 
@@ -3879,6 +3964,8 @@ _RAW_QUERIES = {
         'image_near_dup': q_image_near_dup,
         'image_keep_one': q_image_keep_one,
         'multimodal_keep_one': q_multimodal_keep_one,
+        'clip_filter': q_clip_filter,
+        'clip_topq': q_clip_topq,
         'bbox_overlap': q_bbox_overlap,
         'lm_score': q_lm_score,
         'dbscan': q_dbscan,
@@ -3958,6 +4045,8 @@ def oracle_sql() -> dict[str, str]:
         'image_near_dup': _ORACLE_IMGDUP,
         'image_keep_one': _ORACLE_IMG_KEEP,
         'multimodal_keep_one': _ORACLE_MM_KEEP,
+        'clip_filter': _ORACLE_CLIP_FILTER,
+        'clip_topq': _ORACLE_CLIP_TOPQ,
         'bbox_overlap': _ORACLE_BBOX,
         'lm_score': _ORACLE_LM,
         'dbscan': _ORACLE_DBSCAN,

@@ -260,3 +260,79 @@ def joint_keep_one(images: DataFrame, id_col: str = 'image_id',
         caption_dup_edges(images, id_col=id_col,
                           caption_col=caption_col))
     return keep_one(images, edges, id_col=id_col)
+
+
+# --- image-caption alignment (CLIP-score curation) ----------------------
+#
+# LAION-style corpus curation: every (image, caption) row carries two
+# embedding columns from a dual encoder, the alignment score is their
+# cosine, and rows below a threshold are dropped before training
+# (LAION-5B kept CLIP B/32 cosine >= 0.28; Schuhmann et al. 2022 §3).
+# Two calibration modes:
+#
+# - fixed threshold (``threshold=``): keep ``score >= t``.  Pure
+#   scan-stage work -- the Arrow crossing ships the two vectors in and
+#   8 bytes out, ZERO exchange; column pruning and partition pruning
+#   are unaffected because the score never feeds a shuffle key.  This
+#   is the production path at 10^12 rows.
+# - per-group top fraction (``top_frac=``, ``by=``): keep the
+#   ``ceil(q * n)`` best-aligned rows per group (e.g. per language --
+#   one global threshold under-selects languages the encoder is weaker
+#   at).  Deterministic ``(score desc, id asc)`` rank + non-null score
+#   count share ONE hash exchange on the group key; groups are the
+#   parallelism unit.  A group is sorted within its partitions, so at
+#   extreme single-group cardinality (one language is half the corpus)
+#   the right scale move is to calibrate that group's threshold from a
+#   sample and re-run it through the threshold mode -- this operator
+#   is the building block for both.
+#
+# Null semantics: a null / ragged / zero-norm vector has no cosine;
+# its row scores null and is never kept (absence of evidence), and it
+# does not count toward a group's ``n`` in top-fraction mode.
+#
+# The cosine is the batch-matmul float64 kernel shared with the ANN
+# suite (``operators/ann.py``) -- NOT an ``aggregate(zip_with(...))``
+# HOF chain, which pays dim interpreted lambdas per row (the
+# measured-100x pathology documented there).
+
+
+def alignment_scores(pairs: DataFrame, left_col: str = 'image_emb',
+                     right_col: str = 'caption_emb',
+                     out_col: str = 'alignment') -> DataFrame:
+    """Append the cosine alignment of two embedding columns."""
+    from .operators.ann import cosine
+    return pairs.withColumn(out_col, cosine(left_col, right_col))
+
+
+def alignment_filter(pairs: DataFrame, left_col: str = 'image_emb',
+                     right_col: str = 'caption_emb',
+                     threshold: float = None, top_frac: float = None,
+                     by=None, id_col: str = 'image_id',
+                     out_col: str = 'alignment') -> DataFrame:
+    """Keep well-aligned (image, caption) rows (spec above).
+
+    Exactly one of ``threshold`` / ``top_frac`` must be given;
+    ``top_frac`` requires a group key ``by``.  Returns the input
+    columns + ``out_col``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if (threshold is None) == (top_frac is None):
+        raise ValueError('pass exactly one of threshold= / top_frac=')
+    scored = alignment_scores(pairs, left_col, right_col, out_col)
+    if threshold is not None:
+        return scored.filter(F.col(out_col) >= float(threshold))
+    keys = [by] if isinstance(by, str) else list(by or ())
+    if not keys:
+        raise ValueError('top_frac mode needs a group key (by=...)')
+    if not 0.0 < top_frac <= 1.0:
+        raise ValueError('top_frac must be in (0, 1]')
+    grp = Window.partitionBy(*keys)
+    rk = F.row_number().over(
+        grp.orderBy(F.col(out_col).desc_nulls_last(), F.col(id_col)))
+    n = F.count(out_col).over(grp)  # non-null scores only
+    keep = (F.col(out_col).isNotNull()
+            & (rk <= F.ceil(F.lit(float(top_frac)) * n)))
+    return (scored.withColumn('_keep', keep)
+            .filter('_keep').drop('_keep'))

@@ -1,0 +1,113 @@
+"""Image-caption alignment filter (multimodal.alignment_filter).
+
+The CLIP-score curation stage: cosine between the image and caption
+embedding columns of one row; fixed-threshold and per-group
+top-fraction calibration modes.  Null / ragged / zero-norm vectors
+score null, are never kept, and never count toward a group's n.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pytrs_spark import multimodal
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, 'image_id long, grp string, image_emb array<float>, '
+              'caption_emb array<float>')
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+        sum(y * y for y in b))
+    return num / den
+
+
+BASE = [
+    (1, 'en', [1.0, 0.0], [1.0, 0.0]),     # cos 1.0
+    (2, 'en', [1.0, 0.0], [1.0, 1.0]),     # cos ~0.707
+    (3, 'en', [1.0, 0.0], [0.0, 1.0]),     # cos 0.0
+    (4, 'en', [1.0, 0.0], [-1.0, 0.0]),    # cos -1.0
+    (5, 'de', [0.0, 2.0], [0.0, 1.0]),     # cos 1.0
+    (6, 'de', [1.0, 1.0], [1.0, 0.0]),     # cos ~0.707
+]
+
+
+def test_threshold_mode(spark):
+    out = multimodal.alignment_filter(
+        _pairs(spark, BASE), threshold=0.5).collect()
+    kept = {r['image_id']: r['alignment'] for r in out}
+    assert set(kept) == {1, 2, 5, 6}
+    for r in BASE:
+        if r[0] in kept:
+            assert kept[r[0]] == pytest.approx(_cos(r[2], r[3]))
+
+
+def test_invalid_vectors_never_kept(spark):
+    rows = BASE + [
+        (7, 'en', None, [1.0, 0.0]),           # null side
+        (8, 'en', [0.0, 0.0], [1.0, 0.0]),     # zero norm
+        (9, 'en', [1.0, 0.0, 0.0], [1.0, 0.0]),  # ragged dim
+    ]
+    out = multimodal.alignment_filter(
+        _pairs(spark, rows), threshold=-2.0).collect()
+    assert {r['image_id'] for r in out} == {1, 2, 3, 4, 5, 6}
+    scored = multimodal.alignment_scores(_pairs(spark, rows)) \
+        .filter(F.col('alignment').isNull()).collect()
+    assert {r['image_id'] for r in scored} == {7, 8, 9}
+
+
+def test_top_frac_per_group(spark):
+    # en: 4 valid scores -> ceil(0.5*4)=2 kept; de: 2 -> 1 kept.
+    out = multimodal.alignment_filter(
+        _pairs(spark, BASE), top_frac=0.5, by='grp').collect()
+    assert {r['image_id'] for r in out} == {1, 2, 5}
+
+
+def test_top_frac_ignores_null_scores_in_n(spark):
+    # grp 'en' has 2 valid + 2 invalid rows: n must be 2, so
+    # top_frac=0.5 keeps exactly 1 row (the best-aligned), not 2.
+    rows = [
+        (1, 'en', [1.0, 0.0], [1.0, 0.0]),
+        (2, 'en', [1.0, 0.0], [1.0, 1.0]),
+        (3, 'en', None, [1.0, 0.0]),
+        (4, 'en', [0.0, 0.0], [1.0, 0.0]),
+    ]
+    out = multimodal.alignment_filter(
+        _pairs(spark, rows), top_frac=0.5, by='grp').collect()
+    assert [r['image_id'] for r in out] == [1]
+
+
+def test_top_frac_deterministic_tie_break(spark):
+    # Two rows with the identical score: the smaller id wins the
+    # single kept slot.
+    rows = [
+        (10, 'en', [1.0, 0.0], [1.0, 0.0]),
+        (11, 'en', [2.0, 0.0], [3.0, 0.0]),
+    ]
+    out = multimodal.alignment_filter(
+        _pairs(spark, rows), top_frac=0.5, by='grp').collect()
+    assert [r['image_id'] for r in out] == [10]
+
+
+def test_mode_validation(spark):
+    df = _pairs(spark, BASE)
+    with pytest.raises(ValueError):
+        multimodal.alignment_filter(df)
+    with pytest.raises(ValueError):
+        multimodal.alignment_filter(df, threshold=0.1, top_frac=0.5)
+    with pytest.raises(ValueError):
+        multimodal.alignment_filter(df, top_frac=0.5)  # no group key
+    with pytest.raises(ValueError):
+        multimodal.alignment_filter(df, top_frac=1.5, by='grp')
+
+
+def test_threshold_plan_has_no_exchange(spark):
+    plan = multimodal.alignment_filter(
+        _pairs(spark, BASE), threshold=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan
