@@ -1549,13 +1549,15 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.exact_substr_spans(docs, window=_EXACT_SUBSTR_WINDOW)
 
 
-def _exact_substr_oracle() -> str:
+def _exact_substr_cte() -> str:
+    """Shared CTE body deriving the merged duplicated spans (`spans`)
+    and padded normalized text (`pad`) — used by both the span and
+    trim oracles so the two stay literally one derivation."""
     from pytrs_spark.operators.textops import (
         _FP_K1, _FP_K2, _FP_KINV1, _FP_KINV2,
     )
     W = _EXACT_SUBSTR_WINDOW
-    return f"""
-WITH norm AS (
+    return f"""norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t0
   FROM documents
 ), pad AS (
@@ -1615,12 +1617,57 @@ WITH norm AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND CURRENT ROW) AS g
   FROM isl
+), spans AS (
+  SELECT doc_id,
+         CAST(min(i) - 1 AS BIGINT) AS span_begin,
+         CAST(max(i) - 1 + {W} AS BIGINT) AS span_end,
+         CAST(max(i) - min(i) + {W} AS BIGINT) AS dup_len
+  FROM grps GROUP BY doc_id, g
+)"""
+
+
+def _exact_substr_oracle() -> str:
+    return f"WITH {_exact_substr_cte()}\nSELECT * FROM spans"
+
+
+def q_exact_substr_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022 tool behavior): cut every
+    duplicated-span character from the normalized text; the oracle
+    re-derives the spans AND the splice (lag-window segment bounds +
+    ordered string_agg) in pure SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textops.exact_substr_trim(docs, window=_EXACT_SUBSTR_WINDOW)
+
+
+def _exact_substr_trim_oracle() -> str:
+    return f"""
+WITH {_exact_substr_cte()},
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(dup_len) AS chars_removed
+  FROM spans GROUP BY doc_id
+), segs AS (
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                      ORDER BY span_begin), 0) AS st,
+         span_begin AS en
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(span_end) AS st, NULL AS en
+  FROM spans GROUP BY doc_id
+), kept AS (
+  SELECT g.doc_id,
+         string_agg(substr(p.t, g.st + 1,
+                           coalesce(g.en, length(p.t)) - g.st),
+                    '' ORDER BY g.st) AS text_kept
+  FROM segs g JOIN pad p USING (doc_id) GROUP BY g.doc_id
 )
-SELECT doc_id,
-       CAST(min(i) - 1 AS BIGINT) AS span_begin,
-       CAST(max(i) - 1 + {W} AS BIGINT) AS span_end,
-       CAST(max(i) - min(i) + {W} AS BIGINT) AS dup_len
-FROM grps GROUP BY doc_id, g
+SELECT p.doc_id,
+       coalesce(k.text_kept, p.t) AS text_kept,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.chars_removed, 0) AS chars_removed
+FROM pad p
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -4015,6 +4062,7 @@ _RAW_QUERIES = {
         'simhash_near_dup': q_simhash_near_dup,
         'fingerprint': q_fingerprint,
         'exact_substr': q_exact_substr,
+        'exact_substr_trim': q_exact_substr_trim,
         'lang_id': q_lang_id,
         'repetition': q_repetition,
         'sample_hash': q_sample_hash,
@@ -4142,6 +4190,7 @@ def oracle_sql() -> dict[str, str]:
         'simhash_near_dup': _ORACLE_SIMHASH_PAIRS,
         'fingerprint': _fp_oracle(),
         'exact_substr': _exact_substr_oracle(),
+        'exact_substr_trim': _exact_substr_trim_oracle(),
         'lang_id': _ORACLE_LANG,
         'repetition': _ORACLE_REPETITION,
         'sample_hash': _ORACLE_SAMPLE,

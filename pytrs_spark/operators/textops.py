@@ -1369,6 +1369,64 @@ def exact_substr_spans(df: DataFrame, text_col='text', id_col='doc_id',
         .alias('dup_len'))
 
 
+def exact_substr_trim(df: DataFrame, text_col='text', id_col='doc_id',
+                      window: int = 40) -> DataFrame:
+    """ExactSubstr dedup, removal half (Lee et al. 2022): delete every
+    character position covered by a corpus-duplicated merged span
+    (:func:`exact_substr_spans`) from the NORMALIZED text; the
+    surviving segments concatenate in order.  This is the published
+    tool's behavior — every occurrence of a duplicated window is cut,
+    including the first — which keeps the rule local (a doc's output
+    depends only on its own span set, so the rewrite is one pass).
+
+    Returns ``(id, text_kept, n_spans, chars_removed)``; docs with no
+    duplicated spans keep their full normalized text with counts 0.
+
+    Shape at scale: spans are duplication-mass-bounded, so the
+    per-doc span-list aggregate is skinny; AQE broadcasts it when it
+    fits and the corpus side never shuffles.  When duplication mass
+    is itself huge the join degrades to one co-partitioned exchange
+    on the id — the floor for any corpus rewrite.  The splice is a
+    native ``aggregate`` HOF over the sorted span array (substring +
+    concat, JVM-side); text crosses no Python boundary.
+    """
+    spans = exact_substr_spans(df, text_col, id_col, window)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sort_array(F.collect_list(
+                        F.struct('span_begin', 'span_end'))).alias('_sp'),
+                    F.count(F.lit(1)).alias('n_spans'),
+                    F.sum('dup_len').alias('chars_removed')))
+    t0 = F.trim(F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(''))), r'\s+', ' '))
+    t = F.when(F.length(t0) < window,
+               F.rpad(t0, window, ' ')).otherwise(t0)
+    base = df.select(F.col(id_col), t.alias('_t'))
+    joined = base.join(per_doc, id_col, 'left')
+    # Splice: fold over the (disjoint, sorted) spans carrying
+    # (chars consumed so far, kept prefix); finish appends the tail.
+    kept = F.aggregate(
+        '_sp',
+        F.struct(F.lit(0).cast('long').alias('prev'),
+                 F.lit('').alias('acc')),
+        lambda a, s: F.struct(
+            s['span_end'].alias('prev'),
+            F.concat(a['acc'],
+                     F.substring(F.col('_t'), a['prev'] + 1,
+                                 s['span_begin'] - a['prev']))
+            .alias('acc')),
+        lambda a: F.concat(
+            a['acc'],
+            F.substring(F.col('_t'), a['prev'] + 1,
+                        F.length('_t') - a['prev'])))
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col('_sp').isNull(), F.col('_t'))
+        .otherwise(kept).alias('text_kept'),
+        F.coalesce('n_spans', F.lit(0)).cast('long').alias('n_spans'),
+        F.coalesce('chars_removed', F.lit(0)).cast('long')
+        .alias('chars_removed'))
+
+
 # --- repetition metrics (Gopher-style quality signals) -------------------
 #
 # Repetition spec (independently implementable in SQL; the DuckDB

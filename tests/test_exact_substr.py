@@ -119,6 +119,54 @@ def test_partitioning_invariance(spark):
     assert a == b == _brute_spans(CORPUS, W)
 
 
+def _brute_trim(docs, w):
+    spans = _brute_spans(docs, w)
+    out = {}
+    for doc_id, text in docs:
+        t = _norm(text, w)
+        sp = sorted((b, e) for d, b, e, _ in spans if d == doc_id)
+        keep, prev = [], 0
+        for b, e in sp:
+            keep.append(t[prev:b])
+            prev = e
+        keep.append(t[prev:])
+        out[doc_id] = (''.join(keep), len(sp),
+                       sum(e - b for b, e in sp))
+    return out
+
+
+def test_trim_matches_brute_force(spark):
+    df = spark.createDataFrame(CORPUS, 'doc_id long, text string')
+    got = {r['doc_id']: (r['text_kept'], r['n_spans'],
+                         r['chars_removed'])
+           for r in textops.exact_substr_trim(df, window=W).collect()}
+    assert got == _brute_trim(CORPUS, W)
+
+
+def test_trim_preserves_span_free_docs_and_row_count(spark):
+    df = spark.createDataFrame(CORPUS, 'doc_id long, text string')
+    out = textops.exact_substr_trim(df, window=W)
+    rows = {r['doc_id']: r for r in out.collect()}
+    # every input doc comes back exactly once
+    assert sorted(rows) == sorted(d for d, _ in CORPUS)
+    # span-free doc keeps its full normalized text
+    assert rows[6]['text_kept'] == _norm(CORPUS[5][1], W)
+    assert rows[6]['n_spans'] == 0 and rows[6]['chars_removed'] == 0
+    # fully-duplicated short docs are cut to nothing
+    assert rows[7]['text_kept'] == '' and rows[8]['text_kept'] == ''
+    # null text normalizes to all-pad, no other all-pad doc -> intact
+    assert rows[9]['text_kept'] == ' ' * W
+
+
+def test_trim_partitioning_invariance(spark):
+    df = spark.createDataFrame(CORPUS, 'doc_id long, text string')
+    a = {tuple(r) for r in textops.exact_substr_trim(
+        df.repartition(1), window=W).collect()}
+    b = {tuple(r) for r in textops.exact_substr_trim(
+        df.repartition(7, 'doc_id'), window=W).collect()}
+    assert a == b
+
+
 def test_fully_duplicated_doc_is_one_span(spark):
     rows = [(1, 'exactly the same normalized text body here'),
             (2, 'Exactly  THE same normalized text body here')]
