@@ -1184,25 +1184,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select('id_a', 'id_b')
 
 
-def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10,
-                iters: int = 10, sample: int = 8192,
-                dim: int = 64) -> str:
-    """Independent SQL re-implementation of the ENTIRE IVF algorithm
-    (pytrs_spark/operators/ann.py): stable-keyed sample, seeds = first
-    n_cells sample rows, ``iters`` unrolled spherical-k-means Lloyd
-    iterations (argmax dot, ties -> lowest cell; empty cells keep the
-    previous centroid; centroids re-normalized every iteration), then
-    corpus assignment to 1 cell, query probing of ``nprobe`` cells,
-    and exact-cosine re-rank of probed candidates only.  Every stage
-    is plain SQL over the same parquet -- the oracle shares no code
-    and no constants with the engine (the sample key
-    ``(vec_id*40503) % 65536`` is part of the documented spec, like
-    the FNV-1a constants in the simhash oracle).  float64 throughout,
-    matching the engine's numpy kernels; the deterministic tie-breaks
-    (cell asc, vec_id asc) make the integer output (query_id, rank,
-    vec_id) insensitive to sub-ulp float noise."""
-    q = [f"""
-WITH nv AS MATERIALIZED (
+def _ivf_kmeans_cte(n_cells: int = 16, iters: int = 10,
+                    sample: int = 8192, dim: int = 64) -> str:
+    """CTE body (no leading WITH) re-implementing the IVF coarse
+    quantizer in plain SQL through ``corpus_cells`` (vec_id, v, cell)
+    -- shared by the ann_ivf and semdedup oracles so both gate the
+    same k-means derivation."""
+    q = [f"""nv AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -1259,14 +1247,36 @@ corpus_cells AS MATERIALIZED (
              PARTITION BY n.vec_id
              ORDER BY list_dot_product(n.v, c.c) DESC, c.cell) AS r
     FROM nv n CROSS JOIN {prev} c) WHERE r = 1
-),
+)""")
+    return ''.join(q)
+
+
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10,
+                iters: int = 10, sample: int = 8192,
+                dim: int = 64) -> str:
+    """Independent SQL re-implementation of the ENTIRE IVF algorithm
+    (pytrs_spark/operators/ann.py): stable-keyed sample, seeds = first
+    n_cells sample rows, ``iters`` unrolled spherical-k-means Lloyd
+    iterations (argmax dot, ties -> lowest cell; empty cells keep the
+    previous centroid; centroids re-normalized every iteration), then
+    corpus assignment to 1 cell, query probing of ``nprobe`` cells,
+    and exact-cosine re-rank of probed candidates only.  Every stage
+    is plain SQL over the same parquet -- the oracle shares no code
+    and no constants with the engine (the sample key
+    ``(vec_id*40503) % 65536`` is part of the documented spec, like
+    the FNV-1a constants in the simhash oracle).  float64 throughout,
+    matching the engine's numpy kernels; the deterministic tie-breaks
+    (cell asc, vec_id asc) make the integer output (query_id, rank,
+    vec_id) insensitive to sub-ulp float noise."""
+    return f"""
+WITH {_ivf_kmeans_cte(n_cells, iters, sample, dim)},
 probes AS MATERIALIZED (
   SELECT query_id, qv, cell FROM (
     SELECT n.vec_id AS query_id, n.v AS qv, c.cell,
            row_number() OVER (
              PARTITION BY n.vec_id
              ORDER BY list_dot_product(n.v, c.c) DESC, c.cell) AS pr
-    FROM nv n CROSS JOIN {prev} c WHERE n.vec_id < 5)
+    FROM nv n CROSS JOIN cent{iters} c WHERE n.vec_id < 5)
   WHERE pr <= {nprobe}
 ),
 scored AS (
@@ -1281,8 +1291,49 @@ SELECT query_id, rank, vec_id FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cs DESC, vec_id) AS rank
   FROM scored)
-WHERE rank <= {k}""")
-    return ''.join(q)
+WHERE rank <= {k}"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster -> within-cluster
+    cosine-pair edges -> transitive keep-one.  Gate threshold 0.4
+    (non-degenerate edge density on the uniform synthetic embeddings;
+    the API default 0.95 is the paper's regime).  The oracle re-derives
+    the whole chain: the shared k-means CTE, the cell-bounded pair
+    scan, and the recursive-CTE closure."""
+    from pytrs_spark.operators import ann
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.semdedup(emb, n_cells=16, threshold=0.4)
+
+
+def _semdedup_oracle(n_cells: int = 16, threshold: float = 0.4,
+                     iters: int = 10, sample: int = 8192,
+                     dim: int = 64) -> str:
+    return f"""
+WITH RECURSIVE {_ivf_kmeans_cte(n_cells, iters, sample, dim)},
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus_cells a JOIN corpus_cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id
+), comp AS (
+  SELECT id, min(r) AS rep FROM reach GROUP BY id
+)
+SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+       coalesce(p.rep, c.vec_id) AS rep_id,
+       (coalesce(p.rep, c.vec_id) = c.vec_id) AS kept
+FROM corpus_cells c LEFT JOIN comp p ON p.id = c.vec_id
+"""
 
 
 _ORACLE_DEDUP_EMB = """
@@ -4053,6 +4104,7 @@ _RAW_QUERIES = {
         'ann_lsh': q_ann_lsh,
         'ann_pq': q_ann_pq,
         'ann_ivf': q_ann_ivf,
+        'semdedup': q_semdedup,
         'ann_ivfpq': q_ann_ivfpq,
         'dedup_embedding': q_dedup_embedding,
         'events_hourly': q_events_hourly,
@@ -4179,6 +4231,9 @@ def oracle_sql() -> dict[str, str]:
         # unrolled as chained CTEs) -- gates the real partial-probe
         # path, not a degenerate exhaustive configuration.
         'ann_ivf': _ivf_oracle(n_cells=16, nprobe=4, k=10),
+        # semdedup: same k-means CTE + cell-bounded pairs + recursive
+        # closure (whole SemDeDup chain re-derived in SQL)
+        'semdedup': _semdedup_oracle(n_cells=16, threshold=0.4),
         # ann_ivfpq equals ivf_topk at gate params (ADC pool recall
         # 1.0 within the probed cells, exact re-rank) -> same oracle.
         'ann_ivfpq': _ivf_oracle(n_cells=16, nprobe=4, k=10),

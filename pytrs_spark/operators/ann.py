@@ -1008,3 +1008,64 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col('cos_sim').desc(), F.col('vec_id'))
     return (exact.withColumn('rank', F.row_number().over(w2))
             .filter(F.col('rank') <= k))
+
+
+def semdedup(corpus: DataFrame, n_cells: int = 16,
+             threshold: float = 0.95, id_col='vec_id',
+             vec_col='embedding',
+             train_sample: int = 8192) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-prune.  Embeddings are assigned to their nearest
+    deterministic k-means centroid (the IVF coarse quantizer --
+    :func:`_ivf_centroids`, so the cluster structure is shared with
+    the ANN suite and SQL-derivable); within each cluster, every pair
+    with exact cosine >= ``threshold`` is a duplicate edge; edges
+    close transitively (textops.connected_components) and the min-id
+    representative per component is kept.
+
+    Output: ``(vec_id, cell, rep_id, kept)`` -- one row per input
+    vector; ``kept`` iff the row is its component's representative
+    (singletons keep themselves).  Malformed/null vectors get a null
+    cell, take no edges, and are kept; zero-norm vectors land in a
+    cell (all-zero sims, tie -> lowest) but their cosine is null so
+    they too take no edges and are kept.
+
+    Scale shape: the published trade -- comparisons are bounded by
+    cluster occupancy (~n/n_cells), never corpus-quadratic; n_cells
+    scales with the corpus (the paper runs 50k clusters over LAION)
+    so per-cell work stays constant.  Candidate pairs carry ONLY
+    (id, id); vectors late-materialize by id join for the exact
+    float64 verify (same policy as embedding_near_dup_pairs).  The
+    component loop is the T16 pointer-jumping machinery: O(log
+    diameter) rounds of skinny (long, long) shuffles.  Cross-cluster
+    near-duplicates are missed BY DESIGN (the paper's recall trade;
+    raise n_cells slower than n, or run the sign-sketch
+    embedding_near_dup_pairs tier, when that matters).
+    """
+    from pytrs_spark.operators.textops import connected_components
+    idx = ivf_index(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    cells = idx.select('vec_id', 'cell')
+    l, r = cells.alias('l'), cells.alias('r')
+    cand = (l.join(r, 'cell')
+            .filter(F.col('l.vec_id') < F.col('r.vec_id'))
+            .select(F.col('l.vec_id').alias('id_a'),
+                    F.col('r.vec_id').alias('id_b')))
+    base = corpus.select(F.col(id_col).alias('vec_id'),
+                        F.col(vec_col).alias('_v'))
+    va = base.select(F.col('vec_id').alias('id_a'),
+                     F.col('_v').alias('_va'))
+    vb = base.select(F.col('vec_id').alias('id_b'),
+                     F.col('_v').alias('_vb'))
+    edges = (cand.join(va, 'id_a').join(vb, 'id_b')
+             .select('id_a', 'id_b',
+                     cosine(F.col('_va'), F.col('_vb')).alias('_cs'))
+             .filter(F.col('_cs') >= threshold)
+             .select('id_a', 'id_b'))
+    comp = connected_components(edges).select(
+        F.col('doc_id').alias('vec_id'),
+        F.col('component_id').alias('_rep'))
+    return (cells.join(comp, 'vec_id', 'left')
+            .select('vec_id', 'cell',
+                    F.coalesce('_rep', 'vec_id').alias('rep_id'),
+                    (F.coalesce('_rep', 'vec_id') == F.col('vec_id'))
+                    .alias('kept')))

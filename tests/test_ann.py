@@ -407,3 +407,104 @@ def test_auto_nprobe_kernel_monotone_and_bounded():
              for t in (0.5, 0.8, 0.95, 1.0)]
     assert picks == sorted(picks)
     assert 1 <= picks[0] and picks[-1] <= 10
+
+
+# --- SemDeDup (cluster-then-prune semantic dedup) ------------------------
+
+def _semdedup_brute(df_rows, cells, threshold):
+    """Reference SemDeDup given an (id -> cell) assignment: within-cell
+    pairs >= threshold by float64 cosine, transitive closure, min-id
+    rep.  Trusts only the clustering (gated separately by the ann_ivf
+    oracle), not the pruning or closure."""
+    import numpy as np
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in df_rows
+            if v is not None and len(set(map(type, [v])))}
+    rep = {i: i for i, _ in df_rows}
+
+    def find(x):
+        while rep[x] != x:
+            rep[x] = rep[rep[x]]
+            x = rep[x]
+        return x
+
+    ids = sorted(cells)
+    for a in ids:
+        for b in ids:
+            if a < b and cells[a] == cells[b] and cells[a] is not None:
+                va, vb = vecs.get(a), vecs.get(b)
+                if va is None or vb is None:
+                    continue
+                na, nb = np.sqrt(va @ va), np.sqrt(vb @ vb)
+                if na == 0 or nb == 0:
+                    continue
+                if float(va @ vb / (na * nb)) >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        rep[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i, _ in df_rows}
+
+
+def test_semdedup_matches_reference_closure(spark):
+    from pytrs_spark.operators.ann import ivf_index, semdedup
+    import numpy as np
+    # three tight bundles + noise: bundle members are scaled/perturbed
+    # copies, so cosines within a bundle are ~1
+    base = [np.asarray(_vec(s), dtype=np.float64) for s in (1, 2, 3)]
+    rows = []
+    for i in range(24):
+        b = base[i % 3]
+        rows.append((i, [float(x) for x in b * (1.0 + 0.01 * (i // 3))]))
+    for i in range(24, 34):                      # unique noise tail
+        rows.append((i, _vec(100 + i * 13)))
+    df = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<double>')
+    out = {r['vec_id']: (r['cell'], r['rep_id'], r['kept'])
+           for r in semdedup(df, n_cells=4, threshold=0.999,
+                             train_sample=34).collect()}
+    assert sorted(out) == sorted(i for i, _ in rows)
+    # reference closure over the ENGINE's own cell assignment
+    cells = {r['vec_id']: r['cell']
+             for r in ivf_index(df, 4, id_col='vec_id',
+                                vec_col='embedding').collect()}
+    exp = _semdedup_brute(rows, cells, 0.999)
+    for i, _ in rows:
+        assert out[i][1] == exp[i], (i, out[i], exp[i])
+        assert out[i][2] == (exp[i] == i)
+    # scaled copies of one bundle sharing a cell must actually merge
+    assert sum(1 for i, _ in rows if not out[i][2]) > 0
+
+
+def test_semdedup_malformed_rows_kept_with_null_cell(spark):
+    from pytrs_spark.operators.ann import semdedup
+    rows = [(0, _vec(1)), (1, _vec(1)), (2, None),
+            (3, [0.0] * DIM), (4, _vec(2, DIM - 3))]
+    df = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<double>')
+    out = {r['vec_id']: r for r in
+           semdedup(df, n_cells=2, threshold=0.99,
+                    train_sample=5).collect()}
+    # null / ragged rows: no cell at all
+    for i in (2, 4):
+        assert out[i]['cell'] is None
+    # zero-norm rows DO land in a cell (all-zero sims, tie -> lowest)
+    # but can take no edges: cosine() is null for them
+    assert out[3]['cell'] is not None
+    for i in (2, 3, 4):
+        assert out[i]['kept'] and out[i]['rep_id'] == i
+    # the identical pair still dedupes
+    assert out[0]['kept'] and not out[1]['kept']
+    assert out[1]['rep_id'] == 0
+
+
+def test_semdedup_partitioning_invariance(spark):
+    from pytrs_spark.operators.ann import semdedup
+    rows = [(i, _vec(i % 7)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<double>')
+    a = {tuple(r) for r in semdedup(
+        df.repartition(1), n_cells=3, threshold=0.999,
+        train_sample=30).collect()}
+    b = {tuple(r) for r in semdedup(
+        df.repartition(5, 'vec_id'), n_cells=3, threshold=0.999,
+        train_sample=30).collect()}
+    assert a == b
