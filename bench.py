@@ -511,6 +511,10 @@ def main():
         lambda: textops.exact_substr_spans(docs, window=40)
         .select(F.max(F.xxhash64('span_begin', 'span_end'))).collect(),
         runs=RUNS), 3)
+    queries['exact_substr_trim'] = round(_median_time(
+        lambda: textops.exact_substr_trim(docs, window=40)
+        .select(F.max(F.xxhash64('text_kept')),
+                F.sum('chars_removed')).collect(), runs=RUNS), 3)
 
     # G16 phash near-dup at 10M images: 62-bit deterministic
     # fingerprints, 1-in-50 planted twins 2 bits away.  max_hamming=2
@@ -1038,6 +1042,13 @@ def main():
     queries['dedup_embedding'] = round(_median_time(
         lambda: embedding_near_dup_pairs(emb, threshold=0.4).count(),
         runs=RUNS), 3)
+
+    # T38 SemDeDup at scale params (64 cells -> occupancy-bounded
+    # within-cell pair scan) incl. the transitive-closure rounds.
+    from pytrs_spark.operators.ann import semdedup as _semdedup
+    queries['semdedup'] = round(_median_time(
+        lambda: _semdedup(emb, n_cells=64, threshold=0.4)
+        .filter('kept').count(), runs=RUNS), 3)
 
     result = {
         'metric': ('images/sec through anchor->cell->broadcast join->'

@@ -1033,10 +1033,11 @@ def semdedup(corpus: DataFrame, n_cells: int = 16,
     Scale shape: the published trade -- comparisons are bounded by
     cluster occupancy (~n/n_cells), never corpus-quadratic; n_cells
     scales with the corpus (the paper runs 50k clusters over LAION)
-    so per-cell work stays constant.  Candidate pairs carry ONLY
-    (id, id); vectors late-materialize by id join for the exact
-    float64 verify (same policy as embedding_near_dup_pairs).  The
-    component loop is the T16 pointer-jumping machinery: O(log
+    so per-cell work stays constant.  The verify is ONE grouped BLAS
+    pass per cell (applyInPandas): each vector rides the cell shuffle
+    exactly once and only the surviving (id, id) edges leave the
+    kernel -- never a per-pair vector attach (occupancy x more bytes).
+    The component loop is the T16 pointer-jumping machinery: O(log
     diameter) rounds of skinny (long, long) shuffles.  Cross-cluster
     near-duplicates are missed BY DESIGN (the paper's recall trade;
     raise n_cells slower than n, or run the sign-sketch
@@ -1045,22 +1046,50 @@ def semdedup(corpus: DataFrame, n_cells: int = 16,
     from pytrs_spark.operators.textops import connected_components
     idx = ivf_index(corpus, n_cells, id_col=id_col, vec_col=vec_col)
     cells = idx.select('vec_id', 'cell')
-    l, r = cells.alias('l'), cells.alias('r')
-    cand = (l.join(r, 'cell')
-            .filter(F.col('l.vec_id') < F.col('r.vec_id'))
-            .select(F.col('l.vec_id').alias('id_a'),
-                    F.col('r.vec_id').alias('id_b')))
-    base = corpus.select(F.col(id_col).alias('vec_id'),
-                        F.col(vec_col).alias('_v'))
-    va = base.select(F.col('vec_id').alias('id_a'),
-                     F.col('_v').alias('_va'))
-    vb = base.select(F.col('vec_id').alias('id_b'),
-                     F.col('_v').alias('_vb'))
-    edges = (cand.join(va, 'id_a').join(vb, 'id_b')
-             .select('id_a', 'id_b',
-                     cosine(F.col('_va'), F.col('_vb')).alias('_cs'))
-             .filter(F.col('_cs') >= threshold)
-             .select('id_a', 'id_b'))
+
+    # Within-cell edges via one grouped BLAS pass per cell: each
+    # vector ships ONCE per cell through the cell shuffle (id + vec),
+    # the kernel normalizes the cell's (occupancy x dim) block and
+    # emits only pairs >= threshold from a row-chunked gram matmul.
+    # The alternative -- within-cell id-pair join + per-pair vector
+    # attach -- ships every vector once PER PAIR (occupancy x more
+    # bytes at occupancy ~100); measured 200x traffic difference at
+    # the probe scale.  Row-chunking bounds kernel memory to
+    # (chunk x occupancy) so a degenerate quantizer cannot OOM a
+    # task; per-cell COMPUTE is occupancy^2 * dim by construction --
+    # n_cells must scale with the corpus (the paper's design).
+    def cell_pairs(key, pdf):
+        vals = pdf[vec_col].to_numpy()
+        ok, _ = _valid_mask(vals)
+        ids = pdf['vec_id'].to_numpy()[ok]
+        if len(ids) < 2:
+            return pd.DataFrame({'id_a': [], 'id_b': []})
+        X = np.stack(vals[ok]).astype(np.float64)
+        nx = np.sqrt(np.einsum('ij,ij->i', X, X))
+        live = nx > 0                      # zero-norm: cosine null
+        ids, X, nx = ids[live], X[live], nx[live]
+        if len(ids) < 2:
+            return pd.DataFrame({'id_a': [], 'id_b': []})
+        X = X / nx[:, None]
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        chunk = max(1, _STACK_ELEMS // max(len(ids), 1))
+        aa, bb = [], []
+        for s in range(0, len(ids), chunk):
+            G = X[s:s + chunk] @ X.T
+            ri, ci = np.nonzero(G >= threshold)
+            keep = (ri + s) < ci           # upper triangle: id_a < id_b
+            aa.append(ids[ri[keep] + s])
+            bb.append(ids[ci[keep]])
+        return pd.DataFrame({
+            'id_a': np.concatenate(aa) if aa else [],
+            'id_b': np.concatenate(bb) if bb else []})
+
+    id_type = dict(cells.dtypes)['vec_id']
+    edges = (idx.filter(F.col('cell').isNotNull())
+             .groupBy('cell')
+             .applyInPandas(cell_pairs,
+                            f'id_a {id_type}, id_b {id_type}'))
     comp = connected_components(edges).select(
         F.col('doc_id').alias('vec_id'),
         F.col('component_id').alias('_rep'))
