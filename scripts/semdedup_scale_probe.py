@@ -32,9 +32,28 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ann_scale_probe import _row_gaussians, _splitmix64  # noqa: E402
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based splitmix64 finalizer (same spec as
+    ann_scale_probe's; inlined so the mapInPandas closure ships
+    self-contained to executors)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _row_gaussians(ids: np.ndarray, dim: int, salt: int) -> np.ndarray:
+    """Deterministic N(0,1) keyed on (id, column, salt): splitmix64 ->
+    uniform -> Box-Muller (ann_scale_probe's generator, inlined)."""
+    base = (ids.astype(np.uint64)[:, None] * np.uint64(2 * dim + 2)
+            + np.arange(dim, dtype=np.uint64)[None, :]
+            + np.uint64(salt))
+    u1 = (_splitmix64(base) >> np.uint64(11)) * 2.0 ** -53
+    u2 = (_splitmix64(base + np.uint64(dim)) >> np.uint64(11)) * 2.0 ** -53
+    u1 = np.maximum(u1, 1e-300)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
 
 
 def main():
@@ -83,7 +102,8 @@ def main():
     agg = out.agg(
         F.count(F.lit(1)).alias('rows'),
         F.sum(F.when(F.col('kept'), 1).otherwise(0)).alias('kept'),
-        F.sum(F.xxhash64('vec_id', 'rep_id')).alias('chk')).collect()[0]
+        F.expr('bit_xor(xxhash64(vec_id, rep_id))').alias('chk')
+    ).collect()[0]
     wall = time.time() - t0
     print(f'n={n} dim={dim} n_cells={n_cells} occupancy~{n // n_cells}')
     print(f'rows={agg["rows"]} kept={agg["kept"]} chk={agg["chk"]}')
