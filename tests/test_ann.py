@@ -508,3 +508,21 @@ def test_semdedup_partitioning_invariance(spark):
         df.repartition(5, 'vec_id'), n_cells=3, threshold=0.999,
         train_sample=30).collect()}
     assert a == b
+
+
+def test_semdedup_plan_single_cell_shuffle_for_edges(spark):
+    """Scale-shape pin: the verify stage is ONE grouped pass per cell
+    -- vectors ride exactly one hashpartitioning exchange (the cell
+    shuffle into applyInPandas); no exchange after the kernel carries
+    an embedding column (edges are (id, id) only)."""
+    import re
+
+    from pytrs_spark.operators.ann import semdedup
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    out = semdedup(emb, n_cells=4, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    vec_exchanges = [
+        l for l in plan.splitlines()
+        if 'Exchange hashpartitioning' in l and 'embedding' in l]
+    assert len(vec_exchanges) <= 1, vec_exchanges
+    assert 'BatchEvalPython' not in plan

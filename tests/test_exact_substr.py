@@ -175,3 +175,18 @@ def test_fully_duplicated_doc_is_one_span(spark):
     n = len(_norm(rows[0][1], 16))
     assert sorted(tuple(r) for r in out) == [
         (1, 0, n, n), (2, 0, n, n)]
+
+
+def test_trim_plan_text_never_shuffles(spark):
+    """Scale-shape pin: the corpus text side of the trim join stays in
+    the scan stage -- no hashpartitioning exchange carries the
+    normalized text (span lists broadcast back); the splice is native
+    (no BatchEvalPython row-UDF node)."""
+    df = spark.createDataFrame(CORPUS, 'doc_id long, text string')
+    out = textops.exact_substr_trim(df, window=W)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    bad = [l for l in plan.splitlines()
+           if 'Exchange hashpartitioning' in l
+           and ('_t' in l.split('[')[-1] or 'text' in l)]
+    assert not bad, bad
+    assert 'BatchEvalPython' not in plan
