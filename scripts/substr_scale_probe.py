@@ -85,6 +85,30 @@ def main():
            'spans': agg['spans'], 'dup_chars': agg['dup_chars'],
            'checksum': agg['ck']})
 
+    # Removal half (exact_substr_trim): same span derivation + the
+    # native-HOF splice with span lists broadcast back onto the scan.
+    from pytrs_spark.operators.textops import exact_substr_trim
+
+    def run_trim():
+        return exact_substr_trim(docs, window=40).agg(
+            F.count(F.lit(1)).alias('rows'),
+            F.sum('chars_removed').alias('removed'),
+            F.bit_xor(F.xxhash64('doc_id', 'text_kept'))
+            .alias('ck')).collect()[0]
+
+    run_trim()
+    t_walls = []
+    tagg = None
+    for _ in range(2):
+        t0 = time.time()
+        tagg = run_trim()
+        t_walls.append(time.time() - t0)
+    t_wall = min(t_walls)
+    print({'trim_wall_s': round(t_wall, 2),
+           'trim_docs_per_sec': round(n / t_wall),
+           'rows': tagg['rows'], 'chars_removed': tagg['removed'],
+           'trim_checksum': tagg['ck']})
+
 
 if __name__ == '__main__':
     main()
