@@ -1012,7 +1012,7 @@ WITH doubled AS (
   SELECT doc_id + 1000000, text FROM documents
 ), hashed AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g'))) AS h
   FROM doubled
 )
 SELECT doc_id FROM (
@@ -1189,7 +1189,16 @@ def _ivf_kmeans_cte(n_cells: int = 16, iters: int = 10,
     """CTE body (no leading WITH) re-implementing the IVF coarse
     quantizer in plain SQL through ``corpus_cells`` (vec_id, v, cell)
     -- shared by the ann_ivf and semdedup oracles so both gate the
-    same k-means derivation."""
+    same k-means derivation.
+
+    Contract (same as every vector oracle in this file, e.g. the
+    dedup_embedding brute force): the embeddings table is
+    well-formed -- no null/ragged rows (DuckDB's list_dot_product
+    would error on ragged, and a null row would here be ranked into
+    cell 0 where the engine gives it a NULL cell).  Engine-side
+    malformed-row semantics are pinned by tests/test_ann.py
+    (null/ragged -> null cell, kept, no edges; zero-norm -> lowest
+    cell, no edges)."""
     q = [f"""nv AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -1385,7 +1394,7 @@ WITH doubled AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents
 ), norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS t
   FROM doubled
 ), sh AS (
   SELECT doc_id,
@@ -1432,7 +1441,7 @@ WITH doubled AS (
   SELECT doc_id + 1000000 AS doc_id, concat(text, ' qq tail') AS text
   FROM documents
 ), norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS t
   FROM doubled
 ), sh AS (
   SELECT doc_id,
@@ -1531,7 +1540,7 @@ def _fp_oracle() -> str:
     )
     return f"""
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t0
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS t0
   FROM documents
 ), pad AS (
   SELECT doc_id,
@@ -1609,7 +1618,7 @@ def _exact_substr_cte() -> str:
     )
     W = _EXACT_SUBSTR_WINDOW
     return f"""norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t0
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS t0
   FROM documents
 ), pad AS (
   SELECT doc_id,
@@ -2127,7 +2136,7 @@ WITH RECURSIVE doubled AS (
   SELECT doc_id + 1000000 AS doc_id, concat(text, ' qq tail') AS text
   FROM documents
 ), norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS t
   FROM doubled
 ), sh AS (
   SELECT doc_id,
@@ -2440,7 +2449,7 @@ WITH corpus AS (
   WHERE n_tokens >= 10 AND alpha_ratio >= 0.5
 ), ranked AS (
   SELECT doc_id, row_number() OVER (
-    PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    PARTITION BY trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g'))
     ORDER BY doc_id) AS rn
   FROM kept
 ), surv AS (
@@ -3142,10 +3151,10 @@ ph_pairs AS (
 ),
 cap_norm AS (
   SELECT image_id,
-         trim(regexp_replace(lower(caption), '\\s+', ' ', 'g')) AS c
+         trim(regexp_replace(lower(caption), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS c
   FROM corpus
   WHERE caption IS NOT NULL
-    AND trim(regexp_replace(lower(caption), '\\s+', ' ', 'g')) <> ''
+    AND trim(regexp_replace(lower(caption), '[ \t\n\r\f\x0b]+', ' ', 'g')) <> ''
 ),
 cap_groups AS (
   SELECT c, min(image_id) AS rep FROM cap_norm GROUP BY c

@@ -527,7 +527,8 @@ def _ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str,
 
 
 def ivf_index(corpus: DataFrame, n_cells: int = 16,
-              id_col='vec_id', vec_col='embedding') -> DataFrame:
+              id_col='vec_id', vec_col='embedding',
+              train_sample: int = 8192) -> DataFrame:
     """Materializable IVF index: (vec_id, cell, <vec_col>) -- the
     corpus with its inverted-list assignment attached.  Build once,
     ``persist()`` (or better: write out ``partitionBy('cell')`` so a
@@ -535,7 +536,8 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     :func:`ivf_topk` via ``index=``: per-query work then starts from
     a JVM-side cell filter instead of re-shipping every corpus vector
     through Arrow to recompute assignments."""
-    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col,
+                       train_sample=train_sample)
     assign = _cell_udf(C, 1)
     return (corpus.select(F.col(id_col).alias('vec_id'),
                           F.col(vec_col).alias(vec_col))
@@ -1044,7 +1046,8 @@ def semdedup(corpus: DataFrame, n_cells: int = 16,
     embedding_near_dup_pairs tier, when that matters).
     """
     from pytrs_spark.operators.textops import connected_components
-    idx = ivf_index(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    idx = ivf_index(corpus, n_cells, id_col=id_col, vec_col=vec_col,
+                    train_sample=train_sample)
     cells = idx.select('vec_id', 'cell')
 
     # Within-cell edges via one grouped BLAS pass per cell: each

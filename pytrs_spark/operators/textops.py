@@ -41,8 +41,12 @@ _MERSENNE = (1 << 61) - 1
 
 def normalized_text(col) -> F.Column:
     """Lowercase, collapse whitespace -- the canonical form for exact
-    dedup."""
-    return F.trim(F.regexp_replace(F.lower(col), r'\s+', ' '))
+    dedup.  The whitespace class is pinned EXPLICITLY to ASCII
+    [ \\t\\n\\r\\f\\x0b]: Java \\s (here), RE2 \\s (the DuckDB oracles)
+    and Python \\s (the pandas kernels) all disagree at the margins
+    (\\x0b, \\xa0, \\u2028...), so the spec names its characters and
+    every engine implements the same set."""
+    return F.trim(F.regexp_replace(F.lower(col), r'[ \t\n\r\f\x0b]+', ' '))
 
 
 def exact_duplicates(df: DataFrame, text_col='text',
@@ -1130,7 +1134,7 @@ def _fp_kernel(texts: pd.Series, window: int):
     per-character or per-document Python work remains beyond the
     string join (one C pass via ''.join + a single utf-32 encode)."""
     norm = texts.fillna('').astype(str).str.lower() \
-        .str.replace(r'\s+', ' ', regex=True).str.strip() \
+        .str.replace(r'[ \t\n\r\f\x0b]+', ' ', regex=True).str.strip(' ') \
         .str.pad(window, side='right', fillchar=' ')
     lens_all = norm.str.len().to_numpy(dtype=np.int64)
     m = np.uint64(_M31)
@@ -1272,7 +1276,7 @@ def _window_hash_list(texts: pd.Series, window: int) -> list:
     two must stay bit-identical (shared constants, shared oracle CTE
     shape)."""
     norm = texts.fillna('').astype(str).str.lower() \
-        .str.replace(r'\s+', ' ', regex=True).str.strip() \
+        .str.replace(r'[ \t\n\r\f\x0b]+', ' ', regex=True).str.strip(' ') \
         .str.pad(window, side='right', fillchar=' ')
     lens_all = norm.str.len().to_numpy(dtype=np.int64)
     m = np.uint64(_M31)
@@ -1345,7 +1349,9 @@ def exact_substr_spans(df: DataFrame, text_col='text', id_col='doc_id',
                        window: int = 40) -> DataFrame:
     """Merged per-doc spans of corpus-duplicated ``window``-char
     substrings (spec above).  Offsets index the NORMALIZED text
-    (lowercased, whitespace-collapsed, right-padded to ``window``),
+    (lowercased, ASCII-class [ \\t\\n\\r\\f\\x0b] whitespace-collapsed
+    -- see :func:`normalized_text` for why the class is pinned --
+    right-padded to ``window``),
     half-open ``[span_begin, span_end)``, 0-based.
 
     Returns ``(doc_id, span_begin, span_end, dup_len)``.
@@ -1397,7 +1403,8 @@ def exact_substr_trim(df: DataFrame, text_col='text', id_col='doc_id',
                     F.count(F.lit(1)).alias('n_spans'),
                     F.sum('dup_len').alias('chars_removed')))
     t0 = F.trim(F.regexp_replace(
-        F.lower(F.coalesce(F.col(text_col), F.lit(''))), r'\s+', ' '))
+        F.lower(F.coalesce(F.col(text_col), F.lit(''))),
+        r'[ \t\n\r\f\x0b]+', ' '))
     t = F.when(F.length(t0) < window,
                F.rpad(t0, window, ' ')).otherwise(t0)
     base = df.select(F.col(id_col), t.alias('_t'))
@@ -1694,10 +1701,14 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     the number of propagation rounds run to reach the fixpoint
     (``scripts/cc_scale_probe.py`` reports it).
     """
-    sym = (pairs.select(F.col(id_a).alias('src'),
-                        F.col(id_b).alias('dst'))
-           .unionByName(pairs.select(F.col(id_b).alias('src'),
-                                     F.col(id_a).alias('dst'))))
+    # Single-scan symmetrization: explode each pair into both
+    # directions instead of UNIONing two selects of `pairs` -- a union
+    # evaluates the (possibly expensive: grouped BLAS kernels, LSH
+    # joins) pair-derivation subtree TWICE inside the first job.
+    sym = (pairs.select(F.explode(F.array(
+        F.struct(F.col(id_a).alias('src'), F.col(id_b).alias('dst')),
+        F.struct(F.col(id_b).alias('src'), F.col(id_a).alias('dst'))))
+        .alias('_e')).select('_e.src', '_e.dst'))
     # Checkpoint (not just persist) the initial edge set too: the
     # contraction loop below replaces it per round, and every generation
     # must be plan-truncated + stats-stripped + unpersistable the same

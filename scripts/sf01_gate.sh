@@ -17,6 +17,9 @@ session_window lm_score mask_pii aspect_bucket char_entropy \
 histogram hll_registers sample_hash assign_split stratified_sample \
 clip_filter clip_topq zorder_key zorder_scan}"
 for q in $Q; do
+  echo "--- $q"
   timeout 900 python scripts/check_correctness.py /root/testdata/sf0.1 "$q" \
     2>&1 | grep -E "MATCH|MISMATCH|rror" | head -3
+  rc=${PIPESTATUS[0]}
+  [ "$rc" -ne 0 ] && echo "--- $q FAILED rc=$rc (124 = timeout)"
 done

@@ -418,7 +418,7 @@ def _semdedup_brute(df_rows, cells, threshold):
     oracle), not the pruning or closure."""
     import numpy as np
     vecs = {i: np.asarray(v, dtype=np.float64) for i, v in df_rows
-            if v is not None and len(set(map(type, [v])))}
+            if v is not None}
     rep = {i: i for i, _ in df_rows}
 
     def find(x):

@@ -3,8 +3,10 @@
 Semantics under test (Lee et al. 2022, "Deduplicating Training Data
 Makes Language Models Better", re-expressed corpus-wide):
 
-- a window of length W over the NORMALIZED text (lower, whitespace
-  collapse, trim, right-pad to W) is duplicated iff it occurs at
+- a window of length W over the NORMALIZED text (lower; collapse of
+  the PINNED ASCII whitespace class [ \\t\\n\\r\\f\\x0b] -- Java, RE2
+  and Python \\s all disagree at the margins, so the spec names its
+  characters; trim; right-pad to W) is duplicated iff it occurs at
   >= 2 (doc, pos) positions corpus-wide -- within-doc repeats count;
 - duplicated window positions merge into maximal spans (merge iff
   they overlap or touch: next_pos - prev_pos <= W);
@@ -24,7 +26,7 @@ from pytrs_spark.operators import textops
 
 def _norm(t, w):
     t = '' if t is None else t
-    t = re.sub(r'\s+', ' ', t.lower()).strip()
+    t = re.sub(r'[ \t\n\r\f\x0b]+', ' ', t.lower()).strip(' ')
     return t.ljust(w)
 
 
@@ -72,6 +74,13 @@ CORPUS = [
     # null text normalizes to all-pad; only duplicated if another
     # all-pad doc exists -- it does not, so no span
     (9, None),
+    # Unicode whitespace (\xa0 nbsp, 　 ideographic space) is
+    # CONTENT under the pinned ASCII class -- the span kernel, the
+    # JVM trim splice, and the brute-force reference must all treat
+    # it identically (a Python-\s kernel vs Java-\s splice shifts
+    # offsets and deletes the wrong characters -- regression test).
+    (10, 'aa \xa0 bb SHARED DUP RUN HERE OK tail one'),
+    (11, 'cc　dd SHARED DUP RUN HERE OK tail two'),
 ]
 
 W = 24

@@ -10,7 +10,7 @@ from pytrs_spark.operators import textops
 
 
 def _norm(t):
-    return re.sub(r'\s+', ' ', t.lower()).strip()
+    return re.sub(r'[ \t\n\r\f\x0b]+', ' ', t.lower()).strip(' ')
 
 
 def _grams(t, n=5):
