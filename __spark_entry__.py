@@ -2310,7 +2310,7 @@ _ORACLE_HLL = """
 WITH m0 AS (
   SELECT (user_id + 0) % 2147483647 AS a,
          (user_id + 23459) % 2147483647 AS b
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), m1 AS (
   SELECT (a * 1299709 + 2654435761) % 2147483647 AS a,
          (b * 1299709 + 2654435761) % 2147483647 AS b FROM m0
@@ -2803,7 +2803,7 @@ _ORACLE_CMS = ' UNION ALL '.join(
            CAST({_mix_sql('user_id', d * 7919)} % {_CMS_WIDTH} AS INT)
              AS register,
            COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
     """ for d in range(_CMS_DEPTH))
 
 
@@ -2971,7 +2971,8 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_QUANTILES = f"""
-WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+WITH v AS (SELECT value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
 ranked AS (
   SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v
 ),

@@ -86,6 +86,8 @@ def assign_split(df: DataFrame, key_col: str, rates: dict,
     is < 1) gets split name ``null``.  One chained ``CASE WHEN`` on
     the mixed key: codegen-native, zero shuffle.
     """
+    if not rates:
+        raise ValueError('rates must name at least one split')
     total = sum(rates.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f'rates sum to {total} > 1')
@@ -269,7 +271,11 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     reruns, and once t >= 2^31 every row survives so the loop always
     terminates with the exact answer.  No shuffle at any corpus
     size; the extra agg + retry loop cost bounded scans of two
-    columns.
+    columns.  The returned plan keeps the ~``margin * k``-row
+    survivor set persisted (it backs the returned DataFrame, letting
+    the guard count and the selection share one corpus scan);
+    that cache is sample-sized, not corpus-sized, and lives until
+    the session drops it.
 
     The threshold shape is also what keeps the race compiled: a
     bare Project(race)->TakeOrdered plan puts the whole unrolled
@@ -289,10 +295,28 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     """
     if k < 1:
         raise ValueError('k must be >= 1')
+    if not 1 <= int(max_weight) <= 65536:
+        # Ticket ids are base * 65536 + c: a ticket index past 65536
+        # would collide with the NEXT row's ticket block, correlating
+        # the two rows' race minima (a silently biased sample, not an
+        # error) -- the bound is part of the spec.
+        raise ValueError('max_weight must be in [1, 65536]')
     base = hash_mix(key_col, salt)
     wc = F.least(F.greatest(F.col(weight_col).cast('long'), F.lit(1)),
                  F.lit(int(max_weight)))
-    if max_weight <= _UNROLL_CAP:
+    filt = df.filter(F.col(key_col).isNotNull())
+    # One pre-agg computes the ticket total (sizes the threshold) AND
+    # the actual clamped max weight: the race strategy keys on what
+    # the DATA needs, not on the max_weight parameter -- a corpus
+    # whose weights all fit _UNROLL_CAP gets the compiled least()
+    # chain even under the default cap (the chain is exact because no
+    # row's wc exceeds the measured max; the clamp bound itself is
+    # unchanged, so the output is identical either way).
+    stats = filt.agg(F.sum(wc).alias('w'),
+                     F.max(wc).alias('mw')).collect()[0]
+    total_w = stats['w'] or 0
+    unroll = min(int(max_weight), int(stats['mw'] or 1))
+    if unroll <= _UNROLL_CAP:
         # Ticket c races iff c < w; losers sit at MAX so least()
         # ignores them.  c = 0 always races (w >= 1 post-clamp).
         terms = [hash_mix(base * F.lit(65536), _W_SALT)]
@@ -300,15 +324,13 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
             F.when(F.lit(c) < wc,
                    hash_mix(base * F.lit(65536) + F.lit(c), _W_SALT))
             .otherwise(F.lit((1 << 63) - 1))
-            for c in range(1, int(max_weight))]
+            for c in range(1, unroll)]
         race = F.least(*terms) if len(terms) > 1 else terms[0]
     else:
         race = F.array_min(F.transform(
             F.sequence(F.lit(0), wc - 1),
             lambda c: hash_mix(base * F.lit(65536) + c, _W_SALT)))
-    rows = df.filter(F.col(key_col).isNotNull()) \
-        .withColumn('race', race)
-    total_w = rows.agg(F.sum(wc).alias('w')).collect()[0]['w'] or 0
+    rows = filt.withColumn('race', race)
     if total_w == 0:
         return rows.limit(0)
     threshold = max(1, (_SURVIVOR_MARGIN * k * (1 << 31)) // total_w)

@@ -59,8 +59,12 @@ def hll_sketch(df: DataFrame, key_col: str, p: int = 6,
     w = hash_mix(key_col, salt + _RANK_SALT)
     bl = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
     rho = F.lit(32) - bl
-    return (df.select(reg.cast('int').alias('register'),
-                      rho.cast('int').alias('rho'))
+    # Null keys carry no identity: drop them (same contract as
+    # bloom_sketch) instead of emitting a (NULL, NULL) register row
+    # that breaks the <= 2^p-row bound and crashes the estimator.
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(reg.cast('int').alias('register'),
+                    rho.cast('int').alias('rho'))
             .groupBy('register').agg(F.max('rho').alias('rho_max')))
 
 
@@ -120,7 +124,10 @@ def cms_sketch(df: DataFrame, key_col: str, depth: int = 4,
         F.lit(d).alias('d'),
         (hash_mix(key_col, salt + d * _CMS_SALT) % width)
         .cast('int').alias('register')) for d in range(depth)]))
-    return (df.select(rows.alias('r'))
+    # Null keys: dropped, same contract as hll/bloom (a NULL register
+    # row would break the <= depth*width bound and never be probed).
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(rows.alias('r'))
             .groupBy(F.col('r.d').alias('d'),
                      F.col('r.register').alias('register'))
             .agg(F.count('*').alias('n')))
@@ -189,8 +196,11 @@ def quantiles_exact(df: DataFrame, col: str, qs,
     if not qs or qs[0] < 0.0 or qs[-1] > 1.0:
         raise ValueError('quantiles must lie in [0, 1]')
     spark = df.sparkSession
+    # NULLs excluded per SQL; NaN excluded too (a NaN hi poisons the
+    # bin width into non-finite and NaN has no defined rank across
+    # engines -- the DuckDB oracle's ordering differs from Spark's).
     base = df.filter(F.col(col).isNotNull()).select(
-        F.col(col).cast('double').alias('v'))
+        F.col(col).cast('double').alias('v')).filter(~F.isnan('v'))
     base = base.persist()
     try:
         stats = base.agg(
@@ -201,7 +211,11 @@ def quantiles_exact(df: DataFrame, col: str, qs,
             return spark.createDataFrame(
                 [(q, None) for q in qs], 'q double, value double')
         def _bin_expr(vlo: float, vhi: float):
-            width = (vhi - vlo) / n_bins
+            # Overflow-safe width (vhi - vlo can be inf for a range
+            # spanning +-1e308); the clamp absorbs any (v - vlo)
+            # overflow -- overflowing v's are the largest values and
+            # land in the top bin, keeping the binning monotone.
+            width = vhi / n_bins - vlo / n_bins
             return F.least(
                 F.greatest(
                     F.floor((F.col('v') - F.lit(vlo)) / F.lit(width)),
@@ -223,7 +237,29 @@ def quantiles_exact(df: DataFrame, col: str, qs,
             nxt = {}
             for path, (pred, vlo, vhi, cnt, shrunk, ranks) in \
                     live.items():
-                if cnt <= collect_limit or vlo == vhi or not shrunk:
+                if not shrunk and cnt > collect_limit:
+                    # The parent's bin geometry failed to split this
+                    # slice (all rows in one parent bin).  Re-seed
+                    # the range from the slice's OWN min/max -- one
+                    # tiny agg -- instead of collecting an unbounded
+                    # distinct-value set: with fresh bounds, min and
+                    # max land in different bins, so the next
+                    # histogram is guaranteed to shrink (outlier-
+                    # skewed data resolves in O(1) extra passes).
+                    mm = base.filter(pred).agg(
+                        F.min('v').alias('lo'),
+                        F.max('v').alias('hi')).collect()[0]
+                    vlo, vhi = mm['lo'], mm['hi']
+                    if vlo == vhi:
+                        # heavy duplicate: every row equals vlo
+                        for q, k in ranks:
+                            out.append((q, float(vlo)))
+                        continue
+                b, width = _bin_expr(vlo, vhi)
+                if cnt <= collect_limit or vlo == vhi or width <= 0:
+                    # width <= 0: the slice spans < n_bins ulps, so
+                    # it holds a handful of distinct values -- the
+                    # by-value collect is bounded either way.
                     vals = (base.filter(pred)
                             .groupBy('v').agg(F.count('*').alias('c'))
                             .orderBy('v').collect())
@@ -235,7 +271,6 @@ def quantiles_exact(df: DataFrame, col: str, qs,
                                 out.append((q, float(r['v'])))
                                 break
                     continue
-                b, width = _bin_expr(vlo, vhi)
                 hist = (base.filter(pred)
                         .groupBy(b.alias('bin'))
                         .agg(F.count('*').alias('c'))

@@ -287,3 +287,51 @@ def test_bloom_contains_zero_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     probe_side = plan.split('BroadcastExchange')[0]
     assert 'Exchange hashpartitioning' not in probe_side, probe_side
+
+
+def test_quantiles_outlier_skew_reseeds_not_collects(spark):
+    """A huge outlier makes every level-1 bin width dwarf the data
+    cluster, so the cluster slice cannot shrink under the PARENT's
+    geometry -- the re-seed branch must narrow from the slice's own
+    min/max instead of collecting the whole cluster by value
+    (driver-OOM shape at scale)."""
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.stats import quantiles_exact
+    # 40k distinct values in [0, 4e-6) plus one outlier at 1e9
+    df = spark.range(40_000).select(
+        (F.col('id') * 1e-10).alias('v')).unionByName(
+        spark.range(1).select(F.lit(1e9).alias('v')))
+    got = {r['q']: r['value'] for r in quantiles_exact(
+        df, 'v', (0.0, 0.5, 1.0), n_bins=64,
+        collect_limit=256).collect()}
+    import math
+    k50 = math.floor(0.5 * (40_001 - 1)) + 1       # rank 20001
+    assert got[0.0] == 0.0
+    assert got[0.5] == (k50 - 1) * 1e-10
+    assert got[1.0] == 1e9
+
+
+def test_quantiles_nan_and_null_excluded(spark):
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.stats import quantiles_exact
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,), (float('nan'),)],
+        'v double')
+    got = {r['q']: r['value'] for r in quantiles_exact(
+        df, 'v', (0.0, 0.5, 1.0)).collect()}
+    assert got == {0.0: 1.0, 0.5: 2.0, 1.0: 3.0}
+
+
+def test_hll_cms_null_keys_dropped(spark):
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.stats import (
+        cms_sketch, hll_estimate, hll_sketch)
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,)], 'k long')
+    sk = hll_sketch(df, 'k', p=6)
+    assert sk.filter(F.col('register').isNull()).count() == 0
+    est = hll_estimate(sk, p=6)           # must not crash on nulls
+    assert 1 <= est <= 4
+    cm = cms_sketch(df, 'k', depth=2, width=16)
+    assert cm.filter(F.col('register').isNull()).count() == 0
+    assert cm.agg(F.sum('n')).collect()[0][0] == 6   # 3 keys x 2 depths
