@@ -2633,7 +2633,7 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ROLLING = """
 WITH daily AS (
   SELECT date_trunc('day', ts) AS day,
-         sum(CAST(value AS DECIMAL(18,6))) AS day_sum
+         sum(CAST(value AS DECIMAL(38,6))) AS day_sum
   FROM events GROUP BY 1
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
@@ -3989,10 +3989,12 @@ grid AS (
   FROM bounds, unnest(generate_series(b0, b1)) AS g(bucket)
 )
 SELECT g.key, g.bucket, g.bucket * {_GF_STEP} AS grid_ts_s,
-       last_value(o.obs_v IGNORE NULLS) OVER (
+       (last_value(CASE WHEN o.key IS NOT NULL
+                        THEN struct_pack(v := o.obs_v) END
+                   IGNORE NULLS) OVER (
          PARTITION BY g.key ORDER BY g.bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-       o.obs_v IS NULL AS is_gap
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS value,
+       o.key IS NULL AS is_gap
 FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket = o.bucket
 """
 

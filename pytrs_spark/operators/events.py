@@ -24,6 +24,7 @@ cross join, no Python:
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def sessionize(events: DataFrame, user_col: str = 'user_id',
@@ -43,11 +44,15 @@ def sessionize(events: DataFrame, user_col: str = 'user_id',
     healthy key distribution; a single pathological user still sorts
     externally rather than OOMing.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
     # parquet NTZ timestamps need the cast (session tz is pinned UTC
     # engine-wide; only DIFFERENCES feed the gap test, so the cast is
     # tz-invariant anyway).
     us = F.unix_micros(F.col(ts_col).cast('timestamp'))
+    # Order by the CASTED micros, not the raw column: a string ts
+    # column would otherwise sort lexicographically while the gap
+    # test runs chronologically -- sessions would break in the wrong
+    # places.  (For a real timestamp column the two orders agree.)
+    w = Window.partitionBy(user_col).orderBy(us, order_col)
     brk = (F.lag(us).over(w).isNull()
            | (us - F.lag(us).over(w) > gap_s * 1_000_000)) \
         .cast('long')
@@ -66,10 +71,12 @@ def session_stats(sessions: DataFrame, user_col: str = 'user_id',
     start/end, duration seconds.  One partial-agg exchange on the
     session key."""
     us = F.unix_micros(F.col(ts_col).cast('timestamp'))
+    # min_by/max_by on the casted micros so the bounds are
+    # chronological even for non-timestamp ts representations.
     return (sessions.groupBy(user_col, 'session_id')
             .agg(F.count('*').alias('n_events'),
-                 F.min(ts_col).alias('session_start'),
-                 F.max(ts_col).alias('session_end'),
+                 F.min_by(F.col(ts_col), us).alias('session_start'),
+                 F.max_by(F.col(ts_col), us).alias('session_end'),
                  ((F.max(us) - F.min(us)) / 1e6).alias('duration_s')))
 
 
@@ -91,26 +98,39 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     to the left row (ts_r <= ts_l is inclusive).  One exchange on
     ``key``, one window sort, a filter back to left rows.  Never a
     range join (quadratic on hot keys), never a Python crossing.
+
+    Join-semantics edges (matching DuckDB's native ASOF JOIN, the
+    oracle): right rows with a null key or null timestamp can never
+    match and are dropped; left rows with a null key/timestamp are
+    kept with null attached values.  The value columns fill as ONE
+    struct, so a left row always receives the fields of a single
+    right row -- per-column fills would stitch fields from different
+    right rows whenever a right value is null.
     """
     val_list = list(value_cols)
     lcols = [c for c in left.columns]
+    rstruct = T.StructType([
+        T.StructField(c, right.schema[c].dataType) for c in val_list])
     tagged_l = left.select(
         F.col(key), F.col(left_ts).alias('_ts'), F.lit(1).alias('_is_l'),
         *[F.col(c).alias(f'_l_{c}') for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f'_r_{c}')
-          for c in val_list])
-    tagged_r = right.select(
-        F.col(key), F.col(right_ts).alias('_ts'), F.lit(0).alias('_is_l'),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f'_l_{c}')
-          for c in lcols],
-        *[F.col(c).alias(f'_r_{c}') for c in val_list])
+        F.lit(None).cast(rstruct).alias('_r'))
+    tagged_r = (right
+                .filter(F.col(key).isNotNull()
+                        & F.col(right_ts).isNotNull())
+                .select(
+                    F.col(key), F.col(right_ts).alias('_ts'),
+                    F.lit(0).alias('_is_l'),
+                    *[F.lit(None).cast(left.schema[c].dataType)
+                      .alias(f'_l_{c}') for c in lcols],
+                    F.struct(*[F.col(c).alias(c) for c in val_list])
+                    .alias('_r')))
     w = (Window.partitionBy(key).orderBy('_ts', '_is_l')
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = tagged_l.unionByName(tagged_r).select(
-        '*', *[F.last(f'_r_{c}', ignorenulls=True).over(w)
-               .alias(f'_f_{c}') for c in val_list])
+        '*', F.last('_r', ignorenulls=True).over(w).alias('_f'))
     out_cols = [F.col(f'_l_{c}').alias(c) for c in lcols] + \
-        [F.col(f'_f_{c}').alias(f'{c}{suffix}') for c in val_list]
+        [F.col('_f')[c].alias(f'{c}{suffix}') for c in val_list]
     return filled.filter(F.col('_is_l') == 1).select(*out_cols)
 
 
@@ -139,14 +159,11 @@ def funnel(events: DataFrame, steps, user_col: str = 'user_id',
     for i, step in enumerate(steps[1:], start=2):
         nxt = events.filter(F.col(type_col) == step) \
             .select(user_col, F.col(ts_col).alias('_ts'))
-        prev_cols = [f't_{j}' for j in range(1, i)]
         advanced = (cur.join(nxt, user_col)
                     .filter(F.col('_ts') > F.col(f't_{i - 1}'))
                     .groupBy(user_col)
-                    .agg(*[F.max(c).alias(c) for c in prev_cols],
-                         F.min('_ts').alias(f't_{i}')))
-        cur = cur.join(advanced.select(user_col, f't_{i}'),
-                       user_col, 'left')
+                    .agg(F.min('_ts').alias(f't_{i}')))
+        cur = cur.join(advanced, user_col, 'left')
     stage = sum((F.col(f't_{i}').isNotNull().cast('int')
                  for i in range(2, len(steps) + 1)), F.lit(1))
     return cur.withColumn('funnel_stage', stage)
@@ -195,11 +212,16 @@ def rolling_sum_days(events: DataFrame, days: int = 7,
     single-task sort over the daily table -- fine, because that
     table has one row per calendar day, not per event.
     """
+    if days < 1:
+        raise ValueError(f'days must be >= 1, got {days}')
     key_cols = [key_cols] if isinstance(key_cols, str) \
         else list(key_cols)
     day = F.date_trunc('day', F.col(ts_col).cast('timestamp'))
+    # decimal(38,6): 10^32 integral digits of headroom -- a
+    # decimal(18,6) cast nulls out (or, under ANSI, fails on) values
+    # >= 10^12, silently dropping them from the "exact" sums.
     daily = (events.groupBy(*key_cols, day.alias('day'))
-             .agg(F.sum(F.col(value_col).cast('decimal(18,6)'))
+             .agg(F.sum(F.col(value_col).cast('decimal(38,6)'))
                   .alias('_day_sum')))
     w = (Window.partitionBy(*key_cols)
          .orderBy(F.unix_date(F.col('day').cast('date')))
@@ -262,7 +284,7 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         .withColumn('_s_us', s_us).withColumn('_e_us', e_us) \
         .filter(F.col('_e_us') >= F.col('_s_us'))
 
-    n_iv = None
+    n_iv = avg_us = max_us = None
     if bucket_s is None or broadcast_intervals is None:
         # One skinny pass over the (small) interval side; driver
         # receives a single row.
@@ -271,21 +293,40 @@ def interval_join(points: DataFrame, intervals: DataFrame,
             F.avg(F.col('_e_us') - F.col('_s_us')).alias('avg_us'),
             F.max(F.col('_e_us') - F.col('_s_us')).alias('max_us')
         ).collect()[0]
-        n_iv = row['n']
+        n_iv, avg_us, max_us = row['n'], row['avg_us'], row['max_us']
         if bucket_s is None:
             if not n_iv:
                 bucket_us = 1_000_000
             else:
-                bucket_us = int(max(row['avg_us'],
-                                    row['max_us'] / max_buckets, 1))
+                bucket_us = int(max(avg_us, max_us / max_buckets, 1))
         else:
             bucket_us = max(int(bucket_s * 1_000_000), 1)
+            if n_iv and max_us / bucket_us > max_buckets:
+                # The explosion cap is not only an auto-path nicety:
+                # an explicit 1-second bucket against month-long
+                # intervals would explode each to ~10^6 rows.
+                # Bucket size is internal (never visible in output),
+                # so coarsening it is always safe.
+                bucket_us = int(max(bucket_us,
+                                    max_us / max_buckets, 1))
     else:
         bucket_us = max(int(bucket_s * 1_000_000), 1)
     if broadcast_intervals is None:
-        broadcast_intervals = (n_iv or 0) <= 512_000
+        # Size the decision by the ESTIMATED EXPLODED row count
+        # (intervals x avg covered buckets), not the raw interval
+        # count -- a wide-interval side explodes far past its row
+        # count.
+        est = (n_iv or 0) * (1 + (avg_us or 0) / bucket_us)
+        broadcast_intervals = est <= 512_000
 
-    bkt = F.lit(int(bucket_us))
+    # Exact int64 floor-div bucketing: floor(col / lit) goes through
+    # a DOUBLE division, which misassigns boundary micros once
+    # timestamps exceed 2^53; (a - pmod(a, b)) div b is exact at any
+    # magnitude and floors correctly for pre-1970 (negative) epochs.
+    def _fdiv(col):
+        b = int(bucket_us)
+        return F.expr(f'({col} - pmod({col}, {b})) div {b}')
+
     # Interval payload columns that collide with a point column get
     # an '_iv' suffix so the output schema has no duplicate names.
     taken = set(points.columns)
@@ -294,14 +335,13 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         for c in intervals.columns if c not in keys]
     exploded = iv.select(
         *keys, *iv_cols, '_s_us', '_e_us',
-        F.explode(F.sequence(F.floor(F.col('_s_us') / bkt),
-                             F.floor(F.col('_e_us') / bkt)))
+        F.explode(F.sequence(_fdiv('_s_us'), _fdiv('_e_us')))
         .alias('_bkt'))
     if broadcast_intervals:
         exploded = F.broadcast(exploded)
 
     pt = points.withColumn('_p_us', p_us) \
-        .withColumn('_bkt', F.floor(F.col('_p_us') / bkt))
+        .withColumn('_bkt', _fdiv('_p_us'))
     out = pt.join(exploded, keys + ['_bkt']) \
         .filter((F.col('_p_us') >= F.col('_s_us'))
                 & (F.col('_p_us') <= F.col('_e_us')))
@@ -324,8 +364,12 @@ def gap_fill(events: DataFrame, key_col: str = 'user_id',
     ``(ts, value)`` -- the value tie-break keeps exact-duplicate
     timestamps deterministic).  Returns one row per (key, grid
     bucket): ``(key, bucket, grid_ts_s, value, is_gap)`` --
-    ``is_gap`` marks carried-forward rows; the first bucket is always
-    observed, so ``value`` is never null.
+    ``is_gap`` marks buckets with NO observation (an observed null
+    value is still an observation: is_gap stays false and the null
+    carries forward as the value, exactly as recorded); the first
+    bucket of every key is observed by construction.  Buckets use
+    exact int64 floor division, so pre-1970 (negative-epoch)
+    timestamps land on the correct grid line.
 
     Scale shape: per-(key, bucket) reduction is a partial-agg
     ``groupBy`` (raw events collapse BEFORE any window); the grid
@@ -346,12 +390,19 @@ def gap_fill(events: DataFrame, key_col: str = 'user_id',
                    F.unix_micros(F.col(ts_col).cast('timestamp'))
                    .alias('_us'),
                    F.col(val_col).alias('_v'))
-           .withColumn('bucket', F.expr(f'_us div {step_us}'))
+           .withColumn('bucket', F.expr(
+               f'(_us - pmod(_us, {step_us})) div {step_us}'))
            .groupBy('key', 'bucket')
            .agg(F.max(F.struct(F.col('_us').alias('u'),
                                F.col('_v').alias('v')))
                 .alias('_last'))
-           .select('key', 'bucket', F.col('_last.v').alias('_obs')))
+           # one-field struct marker: non-null iff the bucket was
+           # observed, even when the observed VALUE is null -- the
+           # forward fill then carries whole observations, never
+           # skipping a null-valued one.
+           .select('key', 'bucket',
+                   F.struct(F.col('_last.v').alias('v'))
+                   .alias('_ob')))
 
     bounds = obs.groupBy('key').agg(F.min('bucket').alias('_b0'),
                                     F.max('bucket').alias('_b1'))
@@ -364,6 +415,6 @@ def gap_fill(events: DataFrame, key_col: str = 'user_id',
             .select('key', 'bucket',
                     (F.col('bucket') * F.lit(int(step_s)))
                     .alias('grid_ts_s'),
-                    F.last('_obs', ignorenulls=True).over(w)
+                    F.last('_ob', ignorenulls=True).over(w)['v']
                     .alias('value'),
-                    F.col('_obs').isNull().alias('is_gap')))
+                    F.col('_ob').isNull().alias('is_gap')))

@@ -234,3 +234,64 @@ def test_interval_join_point_side_never_shuffles(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert 'BroadcastExchange' in plan
     assert 'Exchange hashpartitioning' not in plan, plan
+
+
+def test_asof_attaches_one_atomic_right_row(spark):
+    """Multi-column as-of values must come from ONE right row: a
+    null field in the latest right row must NOT be patched with an
+    older row's value (per-column forward fills do exactly that)."""
+    from pytrs_spark.operators.events import asof_join
+    left = spark.createDataFrame([('k', 3)], 'key string, ts long')
+    right = spark.createDataFrame(
+        [('k', 1, 1.0, None), ('k', 2, None, 2.0)],
+        'key string, ts long, a double, b double')
+    out = asof_join(left, right, 'key',
+                    value_cols=('a', 'b')).collect()[0]
+    # the ts=2 row is the as-of row: a is null THERE, b is 2.0
+    assert out['a_asof'] is None and out['b_asof'] == 2.0
+
+
+def test_asof_null_key_and_null_ts_never_match(spark):
+    """DuckDB ASOF semantics (the oracle): null keys and null right
+    timestamps never match; null-key left rows keep null values."""
+    from pytrs_spark.operators.events import asof_join
+    left = spark.createDataFrame(
+        [('k', 5), (None, 5)], 'key string, ts long')
+    right = spark.createDataFrame(
+        [('k', None, 99.0), (None, 1, 77.0)],
+        'key string, ts long, value double')
+    rows = {r['key']: r['value_asof']
+            for r in asof_join(left, right, 'key').collect()}
+    assert rows == {'k': None, None: None}
+
+
+def test_gap_fill_null_value_is_still_an_observation(spark):
+    """An event whose VALUE is null is an observation: its bucket is
+    not a gap, and the recorded null carries forward -- it must not
+    be patched by an older value."""
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.events import gap_fill
+    df = spark.createDataFrame(
+        [('u', 0, 5.0), ('u', 86_400_000_000, None)],
+        'user_id string, us long, value double').select(
+        'user_id', F.timestamp_micros('us').alias('ts'), 'value')
+    rows = {r['bucket']: (r['value'], r['is_gap'])
+            for r in gap_fill(df, step_s=86400).collect()}
+    assert rows[0] == (5.0, False)
+    assert rows[1] == (None, False)      # observed null, NOT a gap
+
+
+def test_gap_fill_negative_epoch_floor_buckets(spark):
+    """Pre-1970 timestamps floor to the correct grid line (int64
+    truncation would fold buckets -1 and 0 together)."""
+    from pyspark.sql import functions as F
+    from pytrs_spark.operators.events import gap_fill
+    df = spark.createDataFrame(
+        [('u', -1, 1.0), ('u', 1, 2.0)],
+        'user_id string, us long, value double').select(
+        'user_id', F.timestamp_micros('us').alias('ts'), 'value')
+    rows = {r['bucket']: (r['value'], r['is_gap'])
+            for r in gap_fill(df, step_s=86400).collect()}
+    assert rows[-1] == (1.0, False)
+    assert rows[0] == (2.0, False)
+    assert set(rows) == {-1, 0}
