@@ -3265,7 +3265,8 @@ r AS (
          count(s) OVER (PARTITION BY grp) AS n
   FROM p WHERE s IS NOT NULL
 )
-SELECT image_id, caption_id, grp FROM r WHERE rk <= ceil(0.25 * n)
+SELECT image_id, caption_id, grp FROM r
+WHERE rk <= ceil(0.25 * n - 1e-9)
 """
 
 

@@ -96,6 +96,8 @@ def sample_video_frames(videos: DataFrame, every_nth: int = 10,
 
     Real container formats raise through :func:`decode_video_real`;
     the SGV1 synthetic container exercises the full plumbing."""
+    if every_nth < 1:
+        raise ValueError(f'every_nth must be >= 1, got {every_nth}')
 
     def sample(batches):
         for pdf in batches:
@@ -168,7 +170,8 @@ def audio_window_features(audio: DataFrame, window_ms: int = 250,
 
     def extract(batches):
         for pdf in batches:
-            rows = []
+            c_id, c_wi, c_st, c_rms, c_zc, c_pk = \
+                [], [], [], [], [], []
             for aid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 if blob is None:
                     continue
@@ -178,20 +181,57 @@ def audio_window_features(audio: DataFrame, window_ms: int = 250,
                 else:
                     pcm, rate = decode_audio_real(data)
                 win = max(1, rate * window_ms // 1000)
-                n_win = (len(pcm) + win - 1) // win
-                x = pcm.astype(np.float64)
-                for i in range(n_win):
-                    seg = x[i * win:(i + 1) * win]
-                    segi = pcm[i * win:(i + 1) * win]
-                    rows.append((
-                        aid, i, i * win * 1000.0 / rate,
-                        float(np.sqrt(np.mean(seg * seg))),
-                        int(np.count_nonzero(np.diff(np.signbit(segi)))),
-                        int(np.abs(segi).max(initial=0)),
-                    ))
-            yield pd.DataFrame(rows, columns=[
-                'audio_id', 'window_idx', 'start_ms', 'rms',
-                'zero_crossings', 'peak'])
+                n = len(pcm)
+                n_win = (n + win - 1) // win
+                if n_win == 0:
+                    continue
+                # One set of whole-clip array ops instead of a
+                # Python loop per 250 ms window (a 10-minute clip is
+                # thousands of windows); windows emit as flat numpy
+                # columns, the T37 window-stream pattern.
+                # Zero-padding is safe for the sums (adds 0) and
+                # masked out elsewhere.
+                x = np.zeros(n_win * win, dtype=np.float64)
+                x[:n] = pcm
+                lens = np.full(n_win, win, dtype=np.int64)
+                lens[-1] = n - (n_win - 1) * win
+                rms = np.sqrt((x * x).reshape(n_win, win).sum(axis=1)
+                              / lens)
+                # zero crossings: sign transitions strictly inside a
+                # window (the j -> j+1 step counts for window j//win
+                # iff j+1 is in the same window) -- identical to the
+                # per-window np.diff(signbit) count.
+                sb = np.signbit(pcm)
+                d = np.nonzero(sb[1:] != sb[:-1])[0]
+                d = d[(d + 1) % win != 0]
+                zc = np.bincount(d // win, minlength=n_win)
+                # int32 abs: int16 np.abs wraps -32768 to itself and
+                # a full-scale negative peak would report as 0.
+                ap = np.zeros(n_win * win, dtype=np.int32)
+                ap[:n] = np.abs(pcm.astype(np.int32))
+                peak = ap.reshape(n_win, win).max(axis=1)
+                idx = np.arange(n_win, dtype=np.int32)
+                c_id.extend([aid] * n_win)
+                c_wi.append(idx)
+                # same association order as the scalar formula
+                # (i * win * 1000.0 / rate) for bit-identical floats
+                c_st.append(idx.astype(np.int64) * win * 1000.0
+                            / rate)
+                c_rms.append(rms)
+                c_zc.append(zc.astype(np.int32))
+                c_pk.append(peak)
+            yield pd.DataFrame({
+                'audio_id': c_id,
+                'window_idx': np.concatenate(c_wi) if c_wi
+                else np.empty(0, np.int32),
+                'start_ms': np.concatenate(c_st) if c_st
+                else np.empty(0, np.float64),
+                'rms': np.concatenate(c_rms) if c_rms
+                else np.empty(0, np.float64),
+                'zero_crossings': np.concatenate(c_zc) if c_zc
+                else np.empty(0, np.int32),
+                'peak': np.concatenate(c_pk) if c_pk
+                else np.empty(0, np.int32)})
 
     return audio.select(id_col, bytes_col) \
         .mapInPandas(extract, schema=_AUDIO_SCHEMA)
@@ -332,7 +372,12 @@ def alignment_filter(pairs: DataFrame, left_col: str = 'image_emb',
     rk = F.row_number().over(
         grp.orderBy(F.col(out_col).desc_nulls_last(), F.col(id_col)))
     n = F.count(out_col).over(grp)  # non-null scores only
+    # ceil on exact-rational intent: the double product can land just
+    # ABOVE an integer (0.07 * 100 = 7.000000000000001 -> ceil 8,
+    # keeping one extra row); nudge below the integer before ceil.
+    # The oracle applies the same epsilon.
     keep = (F.col(out_col).isNotNull()
-            & (rk <= F.ceil(F.lit(float(top_frac)) * n)))
+            & (rk <= F.ceil(F.lit(float(top_frac)) * n
+                            - F.lit(1e-9))))
     return (scored.withColumn('_keep', keep)
             .filter('_keep').drop('_keep'))

@@ -92,6 +92,12 @@ def stream_dedup_first_seen(stream: DataFrame,
     ``key_cols`` that any stateful op requires; state lookups are
     partition-local.  Equivalent batch semantics: ``dedup_exact`` /
     ``exact_duplicates`` keep-min-id.
+
+    Null keys: rows with ANY null key column pass through UNDEDUPED
+    (absence of evidence is not equality -- the G21 caption
+    convention; Spark's groupBy would otherwise collapse every
+    null-key row into one state group and silently drop all but the
+    first for the stream's lifetime).
     """
     out_schema = stream.schema
     state_schema = 'seen byte'
@@ -101,6 +107,12 @@ def stream_dedup_first_seen(stream: DataFrame,
     def first_seen(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
+            return
+        if any(k is None for k in key):
+            # null-key group: emit everything, keep no state
+            for pdf in pdfs:
+                if len(pdf):
+                    yield pdf[cols]
             return
         already = state.exists
         best = None
@@ -201,6 +213,7 @@ def stream_batch_dealer(stream: DataFrame,
     if batch_size < 1:
         raise ValueError(f'batch_size must be >= 1, got {batch_size}')
     import numpy as np
+    import pandas as pd
 
     out_fields = stream.schema.fieldNames()
     out_schema = T.StructType(
@@ -212,9 +225,15 @@ def stream_batch_dealer(stream: DataFrame,
 
     def deal(key, pdfs, state):
         nxt = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # A group larger than one Arrow batch arrives as MULTIPLE
+        # chunks whose boundaries depend on shuffle fetch order --
+        # sorting each chunk independently would make the dealt
+        # (batch_id, pos) depend on that order and differ across
+        # replays.  Concatenate first, sort once, number once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (chunks[0] if len(chunks) == 1
+                   else pd.concat(chunks, ignore_index=True))
             pdf = pdf.sort_values(id_col, kind='mergesort',
                                   ignore_index=True)
             rn = np.arange(len(pdf), dtype=np.int64) + nxt

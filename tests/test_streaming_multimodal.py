@@ -168,6 +168,12 @@ def test_audio_window_features(spark):
         pcm = rng.integers(-2000, 2000, size=n).astype(np.int16)
         clips[f'a{i}'] = pcm
         rows.append((f'a{i}', encode_fake_audio(pcm, rate)))
+    # full-scale clipped clip: int16 np.abs wraps -32768 to itself,
+    # so a peak computed in int16 would report 0 here -- regression
+    # pin for the int32 widening
+    pcm = np.full(win + 3, -32768, dtype=np.int16)
+    clips['afs'] = pcm
+    rows.append(('afs', encode_fake_audio(pcm, rate)))
     df = spark.createDataFrame(rows, 'audio_id string, bytes binary')
     got = {(r['audio_id'], r['window_idx']): r
            for r in audio_window_features(df, window_ms=window_ms).collect()}
@@ -175,7 +181,7 @@ def test_audio_window_features(spark):
     assert len(got) == n_expected
     for (aid, idx), r in got.items():
         seg = clips[aid][idx * win:(idx + 1) * win]
-        assert r['peak'] == int(np.abs(seg).max())
+        assert r['peak'] == int(np.abs(seg.astype(np.int32)).max())
         assert r['zero_crossings'] == int(
             np.count_nonzero(np.diff(np.signbit(seg))))
         assert abs(r['rms'] - float(np.sqrt(np.mean(
