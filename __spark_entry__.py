@@ -3949,7 +3949,9 @@ pairs AS (
 SELECT zone_id, COUNT(*) AS n_feats,
        SUM(dx * dy) AS area_sum,
        SUM(val * dx * dy) AS val_area_sum,
-       SUM(val * dx * dy) / SUM(dx * dy) AS area_wmean
+       SUM(val * dx * dy)
+         / SUM(CASE WHEN val IS NOT NULL THEN dx * dy END)
+         AS area_wmean
 FROM pairs GROUP BY zone_id
 """
 

@@ -125,6 +125,11 @@ def zorder_ranges(x0: float, y0: float, x1: float, y1: float,
     cx1 = _quantize_py(x1, ex0, ex1, bits)
     cy0 = _quantize_py(y0, ey0, ey1, bits)
     cy1 = _quantize_py(y1, ey0, ey1, bits)
+    if cx0 > cx1 or cy0 > cy1:
+        # inverted box: empty query, like a plain x0 <= x <= x1
+        # filter with x0 > x1 (the recursion would prune every leaf
+        # and the merge below would index into an empty list)
+        return []
     out = []
 
     def rec(nx: int, ny: int, size: int, z0: int):
@@ -184,7 +189,7 @@ def bbox_scan(df: DataFrame, x0: float, y0: float, x1: float,
     """
     ranges = zorder_ranges(x0, y0, x1, y1, bits, extent, max_ranges)
     zc = F.col(key_col)
-    pred = None
+    pred = F.lit(False) if not ranges else None
     for lo, hi in ranges:
         leg = zc.between(lo, hi)
         pred = leg if pred is None else pred | leg

@@ -45,19 +45,27 @@ and the count -- both skinny (id, cell) / (id, dist) rows; raw payload
 columns never ride any of it.
 """
 
+from __future__ import annotations
+
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.textops import connected_components
+from .grid import RES_SIZE
 from .radius import radius_join
 
 DBSCAN_RES = 8
 
 
-#: Above this many points the eps-pair stage stops broadcasting the
-#: cell-disk side (the "centers" of the self-join are the WHOLE corpus
-#: -- broadcasting it is the polygon-layer trap at planetary scale)
-#: and degrades to the always-correct cell equi-join.
-BROADCAST_MAX_POINTS = 2_000_000
+#: Above this many EXPLODED rows (points x eps-disk cells -- the
+#: relation actually broadcast, not the raw point count: a wide eps
+#: at fine res multiplies each point by (2*ceil(eps/size)+1)^2) the
+#: eps-pair stage stops broadcasting the cell-disk side (the
+#: "centers" of the self-join are the WHOLE corpus -- broadcasting it
+#: is the polygon-layer trap at planetary scale) and degrades to the
+#: always-correct cell equi-join.
+BROADCAST_MAX_ROWS = 8_000_000
 
 
 def dbscan(points: DataFrame, eps: float, min_pts: int,
@@ -73,16 +81,19 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     cell-disk side (fastest when the corpus fits an executor) or
     shuffle both sides on the cell key (the only shape that works at
     10^12 points, since the "centers" here ARE the corpus).
-    ``'auto'`` (default) counts the skinny id column once and
-    broadcasts only under ``BROADCAST_MAX_POINTS`` -- the same
+    ``'auto'`` (default) counts the skinny id column once, scales it
+    by the per-point disk arity, and broadcasts only under
+    ``BROADCAST_MAX_ROWS`` exploded rows -- the same
     size-gated-broadcast convention as the fused-assign polygon guard
     and the jaccard bitmap-verify guard.
     """
     if min_pts < 1:
         raise ValueError(f'min_pts must be >= 1, got {min_pts}')
     if broadcast == 'auto':
-        broadcast = (points.select(point_id).limit(
-            BROADCAST_MAX_POINTS + 1).count() <= BROADCAST_MAX_POINTS)
+        disk_arity = (2 * math.ceil(eps / RES_SIZE[res]) + 1) ** 2
+        max_pts = max(1, BROADCAST_MAX_ROWS // disk_arity)
+        broadcast = (points.select(point_id).limit(max_pts + 1)
+                     .count() <= max_pts)
     centers = points.select(F.col(point_id).alias('_c'),
                             F.col('x').alias('cx'),
                             F.col('y').alias('cy'))

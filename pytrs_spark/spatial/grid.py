@@ -177,6 +177,30 @@ def cover_cells(xmin, ymin, xmax, ymax, res: int) -> Column:
                         + (cy + _OFFSET)))))
 
 
+def cover_cells_closed(xmin, ymin, xmax, ymax, res: int) -> Column:
+    """All cells overlapping a CLOSED box, as an array column.
+
+    Differs from :func:`cover_cells` (half-open) only when a max edge
+    lands exactly on a cell boundary: the closed form includes the
+    cell containing that boundary point.  This is the correct cover
+    for closed-ball predicates (``dist <= r``): with the half-open
+    form, a point at exactly distance ``r`` whose coordinate is
+    cell-aligned passes the exact filter but its cell is missing from
+    the disk, so the pair silently never meets in the equi-join."""
+    size = RES_SIZE[res]
+    cx0 = F.floor(xmin / size).cast('long')
+    cx1 = F.floor(xmax / size).cast('long')
+    cy0 = F.floor(ymin / size).cast('long')
+    cy1 = F.floor(ymax / size).cast('long')
+    return F.flatten(F.transform(
+        F.sequence(cx0, cx1),
+        lambda cx: F.transform(
+            F.sequence(cy0, cy1),
+            lambda cy: (F.lit(res).cast('long') * (2 ** 58)
+                        + (cx + _OFFSET) * (2 ** 29)
+                        + (cy + _OFFSET)))))
+
+
 def anchor_xy(phash) -> tuple:
     """phash int64 -> anchor (x, y), native columns.
 

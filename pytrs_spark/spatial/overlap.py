@@ -147,10 +147,19 @@ def zonal_overlap_stats(zones: DataFrame, feats: DataFrame,
              .filter((ix0 < ix1) & (iy0 < iy1)
                      & (F.col('cell') == cell_id(ix0, iy0, res)))
              .select(zone_id, oa.alias('_oa'),
-                     (F.col('_val') * oa).alias('_voa')))
+                     (F.col('_val') * oa).alias('_voa'),
+                     # area of VALUED features only: the weighted
+                     # mean's denominator must not count null-valued
+                     # features' area (that silently treats their
+                     # value as 0); they still count in n_feats and
+                     # area_sum, which describe coverage, not value.
+                     F.when(F.col('_val').isNotNull(), oa)
+                     .alias('_oav')))
     return (pairs.groupBy(zone_id)
             .agg(F.count('*').alias('n_feats'),
                  F.sum('_oa').alias('area_sum'),
-                 F.sum('_voa').alias('val_area_sum'))
+                 F.sum('_voa').alias('val_area_sum'),
+                 F.sum('_oav').alias('_va'))
             .withColumn('area_wmean',
-                        F.col('val_area_sum') / F.col('area_sum')))
+                        F.col('val_area_sum') / F.col('_va'))
+            .drop('_va'))

@@ -31,7 +31,7 @@ false candidate, and the disk covers the ball by construction.
 
 from pyspark.sql import DataFrame, functions as F
 
-from .grid import RES_SIZE, cell_id, cover_cells
+from .grid import RES_SIZE, cell_id, cover_cells_closed
 
 JOIN_RES = 7
 
@@ -51,10 +51,13 @@ def radius_join(points: DataFrame, centers: DataFrame, radius: float,
     if res not in RES_SIZE:
         raise ValueError(f'res must be one of {sorted(RES_SIZE)}')
     cx, cy, r = F.col('cx'), F.col('cy'), F.lit(float(radius))
+    # CLOSED cover: the ball is dist <= r, so a cell-aligned cx + r
+    # boundary point's cell must be in the disk (the half-open
+    # cover_cells would drop exactly-at-distance pairs there).
     disk = centers.select(
         center_id, 'cx', 'cy',
-        F.explode(cover_cells(cx - r, cy - r, cx + r, cy + r, res))
-        .alias('cell'))
+        F.explode(cover_cells_closed(cx - r, cy - r, cx + r, cy + r,
+                                     res)).alias('cell'))
     if broadcast_centers:
         disk = F.broadcast(disk)
     pts = points.select(

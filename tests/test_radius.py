@@ -92,3 +92,37 @@ def test_radius_join_plan_has_no_point_side_shuffle(spark):
     assert 'BroadcastHashJoin' in plan
     # the only exchange is the broadcast of the expanded centers
     assert 'Exchange hashpartitioning' not in plan
+
+
+def test_radius_closed_ball_cell_aligned_boundary(spark):
+    """A point at EXACTLY distance r whose coordinate is cell-aligned
+    must be found: the half-open cover would drop the cell containing
+    it even though the exact filter passes (regression pin for the
+    closed cover)."""
+    from pytrs_spark.spatial.radius import radius_join
+    centers = spark.createDataFrame(
+        [('c', -600.0, 900.0)], 'center_id string, cx double, cy double')
+    # res=7 cells are 1.0 wide; -600 + 5 = -595 is a cell edge
+    points = spark.createDataFrame(
+        [('p_edge', -595.0, 900.0),     # dist exactly 5.0, on an edge
+         ('p_in', -596.5, 900.0),       # well inside
+         ('p_out', -594.9, 900.0)],     # just outside
+        'image_id string, x double, y double')
+    got = {r['image_id']: r['dist']
+           for r in radius_join(points, centers, 5.0, res=7).collect()}
+    assert set(got) == {'p_edge', 'p_in'}
+    assert abs(got['p_edge'] - 5.0) < 1e-12
+
+
+def test_dbscan_cell_aligned_core_edge(spark):
+    """Two cores exactly eps apart on a cell edge must connect (the
+    half-open disk made the pair asymmetric and could split the
+    cluster)."""
+    from pytrs_spark.spatial.dbscan import dbscan
+    rows = [(1, -600.0, 900.0), (2, -599.0, 900.0)]
+    df = spark.createDataFrame(rows, 'id long, x double, y double')
+    out = {r['id']: (r['cluster_id'], r['role'])
+           for r in dbscan(df, eps=1.0, min_pts=2, res=7).collect()}
+    # each point's closed ball holds both points -> both core, one
+    # cluster labeled by the min id
+    assert out == {1: (1, 'core'), 2: (1, 'core')}

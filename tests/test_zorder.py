@@ -171,3 +171,14 @@ def test_zorder_cluster_rowgroup_stats_are_tight(spark, tmp_path):
     z_spans, r_spans = spans(zpath), spans(rpath)
     assert max(z_spans) < full * 0.3, z_spans
     assert min(r_spans) > full * 0.7, r_spans
+
+
+def test_bbox_scan_inverted_box_is_empty(spark):
+    """An inverted (x0 > x1) in-extent box is an empty query, not an
+    IndexError from the quadtree pruning every leaf."""
+    from pytrs_spark.spatial.cluster import bbox_scan, zorder_ranges
+    assert zorder_ranges(-580.0, 900.0, -600.0, 910.0) == []
+    df = spark.createDataFrame(
+        [(1, -590.0, 905.0, 0)],
+        'id long, x double, y double, zkey long')
+    assert bbox_scan(df, -580.0, 900.0, -600.0, 910.0).count() == 0
