@@ -38,16 +38,34 @@ def _dynamic_parse_udf(default_config: str = None):
         def kwargs_for(cfg, layout):
             key = (cfg, layout)
             if key not in memo:
-                kw = dict(base)
-                if cfg:
-                    kw = {**kw, **parse_config(cfg)}
+                # reference parse_csv semantics: a non-empty per-row
+                # config REPLACES the table default entirely ("if
+                # config_col is specified, then config= will be
+                # ignored, assuming the config_col actually contains
+                # data" -- samples/csv_parser/parse_csv.py:49-50),
+                # never merges with it.
+                kw = parse_config(cfg) if cfg else dict(base)
                 if layout:
                     kw['layout'] = layout
                 memo[key] = kw
             return memo[key]
 
-        rows = []
-        for text, cfg, layout in zip(texts, configs, layouts):
+        # Group the batch's rows by distinct (config, layout) and run
+        # each group through the BATCHED kernel -- one combined
+        # preprocess regex scan per group per Arrow batch, the same
+        # path the static _full_parse_udf takes, instead of paying
+        # the per-document scalar parse for every row.  Typical bulk
+        # CSV ingests carry a handful of distinct configs across
+        # millions of rows, so this is ~the static path's speed.
+        groups = {}
+        for i, (text, cfg, layout) in enumerate(
+                zip(texts, configs, layouts)):
+            key = (cfg or None, layout or None)
+            groups.setdefault(key, ([], []))
+            groups[key][0].append(i)
+            groups[key][1].append(text or '')
+        rows = [None] * len(texts)
+        for (cfg, layout), (idxs, txts) in groups.items():
             kw = kwargs_for(cfg, layout)
             doc_kw = {k: kw[k] for k in
                       ('layout', 'default_ns', 'default_ew', 'ocr_scrub',
@@ -57,21 +75,24 @@ def _dynamic_parse_udf(default_config: str = None):
                         ('clean_qq', 'suppress_lot_divs', 'qq_depth',
                          'qq_depth_min', 'qq_depth_max', 'break_halves')
                         if k in kw}
-            r = doc_kernel.parse_document(text or '', **doc_kw)
-            tracts = []
-            for t in r['tracts']:
-                d = trs_kernel.trs_decompose(t['trs'])
-                tp = tract_kernel.parse_tract(t['desc'], **tract_kw)
-                tracts.append((
-                    d['trs'], t['desc'], t['sec_within'],
-                    d['twp'], d['twp_num'], d['twp_ns'], d['twp_undef'],
-                    d['rge'], d['rge_num'], d['rge_ew'], d['rge_undef'],
-                    d['sec'], d['sec_num'], d['sec_undef'],
-                    tp['lots'], tp['qqs'], tp['lot_acres'],
-                    tp['aliquots_whole'], tp['pp_desc'],
-                    tp['w_flags'], tp['w_flag_lines']))
-            rows.append((tracts, r['w_flags'], r['w_flag_lines'],
-                         r['e_flags'], r['e_flag_lines'], r['layout']))
+            results = doc_kernel.parse_documents_kernel(txts, **doc_kw)
+            for i, r in zip(idxs, results):
+                tracts = []
+                for t in r['tracts']:
+                    d = trs_kernel.trs_decompose(t['trs'])
+                    tp = tract_kernel.parse_tract(t['desc'], **tract_kw)
+                    tracts.append((
+                        d['trs'], t['desc'], t['sec_within'],
+                        d['twp'], d['twp_num'], d['twp_ns'],
+                        d['twp_undef'],
+                        d['rge'], d['rge_num'], d['rge_ew'],
+                        d['rge_undef'],
+                        d['sec'], d['sec_num'], d['sec_undef'],
+                        tp['lots'], tp['qqs'], tp['lot_acres'],
+                        tp['aliquots_whole'], tp['pp_desc'],
+                        tp['w_flags'], tp['w_flag_lines']))
+                rows[i] = (tracts, r['w_flags'], r['w_flag_lines'],
+                           r['e_flags'], r['e_flag_lines'], r['layout'])
         return pd.DataFrame(rows, columns=[
             'tracts', 'w_flags', 'w_flag_lines', 'e_flags',
             'e_flag_lines', 'layout'])
@@ -110,6 +131,14 @@ def parse_plss_table(df: DataFrame, desc_col: str,
         t['lots'].alias('lots'),
         t['qqs'].alias('qqs'),
         t['lot_acres'].alias('lot_acres'),
+        # the writable attributes NICE_HEADERS advertises (and
+        # dedup_key('desc') consumes) must survive this path too
+        t['aliquots_whole'].alias('aliquots_whole'),
+        t['pp_desc'].alias('pp_desc'),
+        # flag hand-down (L8): per-tract flags + the document's, the
+        # same composition parse_documents_full emits
+        F.concat(t['t_w_flags'], F.col('doc_w_flags'))
+        .alias('w_flags'),
         'orig_desc', 'layout', 'doc_w_flags', 'doc_e_flags',
         (F.size('doc_e_flags') > 0).alias('desc_is_flawed'),
     )
@@ -242,7 +271,12 @@ def stringify_tracts(df: DataFrame, attributes, doc_col: str = None,
         # the export (same size class as df itself), so forcing a
         # broadcast is a driver/executor-memory trap on large exports.
         # AQE still broadcasts it at runtime when it measures small.
-        df = df.join(doc_nums, doc_col)
+        # Null-safe join: a null doc id is still a doc in the export
+        # (distinct() kept its row and ranked it); a plain equi-join
+        # would silently drop every null-doc row from the sink.
+        dn = doc_nums.withColumnRenamed(doc_col, '_dn_doc')
+        df = df.join(dn, F.col(doc_col).eqNullSafe(F.col('_dn_doc'))) \
+            .drop('_dn_doc')
         wdoc = Window.partitionBy(doc_col)
         worder = wdoc.orderBy('orig_index')
         cols.append(uid_col(
@@ -371,7 +405,11 @@ def shard_by_bytes(df: DataFrame, bytes_col: str, id_col: str,
         bucket = F.lit(0)
         for b in bounds:
             bucket = bucket + (F.col(id_col) > F.lit(b)).cast('int')
-        bucketed = skinny.withColumn('_bkt', bucket)
+        # null ids: every comparison is null -> null bucket, which
+        # breaks the offset map.  Nulls sort FIRST in the ascending
+        # id window, so bucket 0 is where they belong.
+        bucketed = skinny.withColumn('_bkt',
+                                     F.coalesce(bucket, F.lit(0)))
     else:
         bucketed = (skinny.repartitionByRange(nparts, id_col)
                     .withColumn('_bkt', F.spark_partition_id())
@@ -434,6 +472,6 @@ def write_sharded(df: DataFrame, path: str, bytes_col: str,
         F.countDistinct('shard').alias('n'),
         F.sum('nbytes').alias('b'),
         F.count('*').alias('r')).collect()[0]
-    return {'n_shards': int(row['n']), 'total_bytes': int(row['b']),
+    return {'n_shards': int(row['n']), 'total_bytes': int(row['b'] or 0),
             'target_bytes': target_bytes, 'rows': int(row['r']),
             'path': path}

@@ -74,7 +74,12 @@ def filter_duplicates(df: DataFrame, method='trs',
     """Return the duplicate rows (first occurrence is NOT a duplicate),
     or with ``keep_first=True`` drop them instead (the reference's
     ``drop`` split).  Window over the dedup key ordered by creation
-    order."""
+    order.
+
+    ``order_col`` must be GLOBALLY unique for a deterministic
+    keep-first on multi-document tables (``orig_index`` restarts per
+    document; the registry queries pass a ``doc_key * K +
+    orig_index`` composite)."""
     w = Window.partitionBy(dedup_key(method, instance_cols)) \
         .orderBy(order_col)
     out = df.withColumn('_rn', F.row_number().over(w))
@@ -164,8 +169,11 @@ def custom_sort(df: DataFrame, key: str = 'i,s,r,t', reverse=False,
     sorts, so ties also flip -- emulated by appending the creation
     order, descending, as the least-significant key)."""
     exprs = compile_sort_key(key, order_col, reverse)
-    if reverse:
-        exprs.append(F.col(order_col).desc())
+    # creation order is always the least-significant key: the
+    # reference's stable multi-pass sorts preserve it for ties, and
+    # without it tied rows come back in shuffle-dependent order
+    exprs.append(F.col(order_col).desc() if reverse
+                 else F.col(order_col).asc())
     return df.orderBy(*exprs)
 
 
@@ -191,16 +199,23 @@ def group_by(df: DataFrame, attributes,
                 F.count('*').alias('n_tracts')))
 
 
-def consolidate(df: DataFrame, desc_delim: str = '; ') -> DataFrame:
+def consolidate(df: DataFrame, desc_delim: str = '; ',
+                order_col: str = 'orig_index') -> DataFrame:
     """Merge tracts by TRS: concat unique descs, union lots and qqs
     preserving first-seen order (containers.py:1722-1763).
 
     Order-preserving dedup: explode with position, keep each value's
     first global position, re-aggregate sorted by it.
+
+    ``order_col`` defines "first seen".  For multi-document tables
+    pass a GLOBALLY unique creation order (e.g. the
+    ``doc_key * K + orig_index`` composite the registry queries use):
+    ``orig_index`` alone restarts per document, so cross-document
+    ties would concatenate in shuffle-dependent order.
     """
     ordered = df.withColumn(
         '_ord', F.row_number().over(
-            Window.partitionBy('trs').orderBy('orig_index')))
+            Window.partitionBy('trs').orderBy(order_col)))
 
     def first_seen(col):
         exploded = (ordered
@@ -263,6 +278,11 @@ def contains_trs(df: DataFrame, trs_values, match_all=False) -> bool:
     ANY (semi-join non-empty) or ALL (anti-join empty)."""
     if isinstance(trs_values, str):
         trs_values = [trs_values]
+    trs_values = list(trs_values)
+    if not trs_values:
+        # vacuous truth: ALL of nothing is present; ANY of nothing
+        # is not (and an empty untyped createDataFrame would raise)
+        return bool(match_all)
     spark = df.sparkSession
     probe = spark.createDataFrame([(v,) for v in trs_values], ['trs'])
     if match_all:

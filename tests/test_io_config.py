@@ -109,3 +109,42 @@ def test_uid_sink_has_no_single_partition_exchange(spark):
     rows = out.select('uid').distinct().collect()
     nums = sorted({int(r['uid'].split('.')[0]) for r in rows})
     assert nums == list(range(1, 101))
+
+
+def test_per_row_config_replaces_table_default(spark):
+    """Reference parse_csv semantics (samples/csv_parser/
+    parse_csv.py:49-50): a non-empty config_col value means the
+    table-level config is IGNORED for that row -- never merged.  Row
+    2's 'n' config must parse WITHOUT the table's clean_qq."""
+    desc = 'T154N-R97W Sec 14: NE'
+    df = spark.createDataFrame(
+        [(1, desc, None), (2, desc, 'n')],
+        'doc_id long, desc string, cfg string')
+    out = {r['doc_id']: r for r in parse_plss_table(
+        df, 'desc', config_col='cfg', config='clean_qq').collect()}
+    # row 1: table default applies -> clean_qq breaks 'NE' into QQs
+    assert out[1]['qqs'] == ['NENE', 'NWNE', 'SENE', 'SWNE']
+    # row 2: per-row 'n' REPLACES the default -> no clean_qq
+    assert out[2]['qqs'] == []
+    # parity with the reference library under the same configs
+    import sys
+    sys.path.insert(0, '/root/reference')
+    try:
+        import pytrs
+    except ImportError:
+        return                      # reference tree absent: engine
+                                    # assertions above still gate
+    ref = pytrs.PLSSDesc(desc, config='n', parse_qq=True)
+    assert [t.qqs for t in ref.tracts] == [out[2]['qqs'] or []]
+
+
+def test_uid_sink_keeps_null_doc_rows(spark):
+    """A null doc id is still an exported row: the UID join must be
+    null-safe, not an inner equi-join that silently drops it."""
+    df = spark.createDataFrame(
+        [(1, '154n97w14', 0), (None, '154n97w15', 0)],
+        'doc_id long, trs string, orig_index long')
+    out = stringify_tracts(df, ['trs'], doc_col='doc_id',
+                           include_uid=True).collect()
+    assert len(out) == 2
+    assert {r['trs'] for r in out} == {'154n97w14', '154n97w15'}
