@@ -3545,7 +3545,10 @@ def _pii_oracle() -> str:
     sel = []
     for kind, pat, repl in textops.PII_PATTERNS:
         p = pat.replace("'", "''")
-        sel.append(f"len(regexp_extract_all(txt, '{p}')) AS n_{kind}")
+        # count on the chain stage (post earlier masks), mirroring
+        # the engine: n_<kind> == tokens actually written
+        sel.append(
+            f"len(regexp_extract_all({masked}, '{p}')) AS n_{kind}")
         masked = f"regexp_replace({masked}, '{p}', '{repl}', 'g')"
     return f"""
 WITH d AS (

@@ -56,11 +56,16 @@ def exact_duplicates(df: DataFrame, text_col='text',
     Only the 64-bit hash + id shuffle; dup groups found by window.
     """
     h = F.xxhash64(normalized_text(F.col(text_col)))
-    w = Window.partitionBy('_h').orderBy(id_col)
-    return (df.withColumn('_h', h)
-            .withColumn('_rn', F.row_number().over(w))
-            .filter(F.col('_rn') > 1)
-            .drop('_h', '_rn'))
+    # The window runs over a SKINNY (id, hash) projection -- running
+    # it over df directly would ship every column (the text!) through
+    # the hash exchange; the dup ids then semi-join back, and the
+    # full rows never shuffle.
+    skinny = df.select(F.col(id_col).alias('_i'), h.alias('_h'))
+    w = Window.partitionBy('_h').orderBy('_i')
+    dup_ids = (skinny.withColumn('_rn', F.row_number().over(w))
+               .filter(F.col('_rn') > 1)
+               .select(F.col('_i').alias(id_col)))
+    return df.join(dup_ids, id_col, 'left_semi')
 
 
 def tokens_col(text_col) -> F.Column:
@@ -199,8 +204,15 @@ def _minhash_sig_udf(k: int, num_perm: int):
             hashes = (win * powers).sum(axis=1, dtype=np.uint64)
             hashes = (hashes ^ (hashes >> np.uint64(29))) * _FNV_PRIME
             h31 = np.mod(np.unique(hashes).astype(np.int64), prime)
-            # (n_shingles, num_perm) products stay < 2^62: int64-safe.
-            return ((h31[:, None] * a_vec + b_vec) % prime).min(axis=0)
+            # One pass per permutation over the 1-D shingle array
+            # (products stay < 2^62: int64-safe).  The (n_shingles,
+            # num_perm) matrix form computed identical values but
+            # materialized ~8 * num_perm bytes per distinct shingle
+            # -- a multi-GB transient for a 10 MB document.
+            out = np.empty(len(a_vec), dtype=np.int64)
+            for i in range(len(a_vec)):
+                out[i] = ((h31 * a_vec[i] + b_vec[i]) % prime).min()
+            return out
         return texts.map(one)
     return udf
 
@@ -246,6 +258,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col='text',
     count job), otherwise a warning with the cap is emitted whenever a
     cap is set.
     """
+    if not 1 <= bands <= num_perm or num_perm % bands:
+        # bands > num_perm would make every band slice empty (one
+        # degenerate bucket -> O(n^2) self-join); a non-divisor would
+        # silently ignore trailing signature slots.  No silent caps.
+        raise ValueError(
+            f'bands must divide num_perm ({num_perm}), got {bands}')
     rows_per_band = num_perm // bands
     with_sig = minhash_signatures(df, text_col, id_col, k, num_perm)
     banded = with_sig.select(
@@ -447,11 +465,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col='text',
         return df.persist(StorageLevel.MEMORY_AND_DISK) if persist \
             else df
 
-    grams = (docs.select(F.col(id_col).alias('id'),
-                         char_ngrams_col(F.col(text_col), n)
-                         .alias('grams'))
-             .withColumn('sz', F.size('grams'))
-             .filter(F.col('sz') > 0))
+    # Persist the GRAM TABLE itself (not just its explosion): every
+    # downstream branch -- the exploded index, the bitmap packs, and
+    # the array-verify fallback's two join sides -- re-evaluates the
+    # gram-extraction UDF otherwise (a full re-tokenization of the
+    # corpus per branch).
+    grams = _persist(
+        docs.select(F.col(id_col).alias('id'),
+                    char_ngrams_col(F.col(text_col), n)
+                    .alias('grams'))
+        .withColumn('sz', F.size('grams'))
+        .filter(F.col('sz') > 0))
     ex = _persist(grams.select('id', 'sz', F.explode('grams')
                                .alias('g')))
 
@@ -681,17 +705,34 @@ def _simhash_kernel(texts: pd.Series) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.int64)
     if not flat:
         return out
-    # Token table as a padded byte matrix (tokens are ASCII by regex
-    # construction); FNV-1a advances column-by-column, masked past
-    # each token's end (S-dtype pads with NUL).
-    maxlen = max(len(t) for t in flat)
-    mat = np.array(flat, dtype=f'S{maxlen}') \
-        .view(np.uint8).reshape(len(flat), maxlen)
+    # FNV-1a per LENGTH GROUP (tokens are ASCII by regex
+    # construction): each group's byte matrix is exactly
+    # group_size x L -- total bytes across groups == total token
+    # chars.  The single batch-wide matrix padded to the LONGEST
+    # token was a trap: one long unbroken junk run (5 MB of 'aaaa',
+    # exactly the low-quality content this pipeline filters) padded
+    # EVERY token to 5 MB -- a multi-TB allocation.  Hash values are
+    # bit-identical (the padded form masked the NUL columns out).
+    flat_arr = np.array(flat, dtype=object)
+    lens = np.fromiter((len(t) for t in flat), dtype=np.int64,
+                       count=len(flat))
     h = np.full(len(flat), _FNV_OFFSET, dtype=np.uint64)
-    for j in range(maxlen):
-        col = mat[:, j]
-        live = col != 0
-        h[live] = (h[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
+    order = np.argsort(lens, kind='stable')
+    sorted_lens = lens[order]
+    g_starts = np.flatnonzero(np.concatenate(
+        ([True], sorted_lens[1:] != sorted_lens[:-1])))
+    for gi, s0 in enumerate(g_starts):
+        s1 = g_starts[gi + 1] if gi + 1 < len(g_starts) else len(order)
+        L = int(sorted_lens[s0])
+        if L == 0:
+            continue
+        idxs = order[s0:s1]
+        sub = flat_arr[idxs].astype(f'S{L}') \
+            .view(np.uint8).reshape(len(idxs), L)
+        hh = np.full(len(idxs), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(L):
+            hh = (hh ^ sub[:, j].astype(np.uint64)) * _FNV_PRIME
+        h[idxs] = hh
     # Per-bit one-counts per doc: unpackbits -> reduceat over doc
     # boundaries -> packbits.  All C-kernels on byte-sized temporaries
     # (a broadcasted uint64 shift matrix measured ~30x slower and 8x
@@ -949,10 +990,12 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
             drop_stats['dropped_buckets'] = dropped['buckets']
         else:
             warnings.warn(
-                f'simhash_near_dup_pairs: buckets over {max_bucket} '
+                f'hamming_near_dup_pairs: buckets over {max_bucket} '
                 'rows are dropped from the candidate join (pass '
                 'drop_stats to count them); exactness no longer holds '
-                'for pairs that only met in a dropped bucket',
+                'for pairs that ONLY met in dropped buckets (pairs '
+                'that also met in a kept bucket survive: the capped '
+                'path dedups by distinct, not the least-table rule)',
                 stacklevel=2)
         banded = banded.filter(F.col('_bsize') <= max_bucket) \
             .drop('_bsize')
@@ -967,16 +1010,7 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
     # all-blocks equality), so dedup costs zero exchanges (the old
     # distinct() shuffled the full pre-verify candidate set -- at 10M
     # hashes that was ~60M rows for ~600k survivors).
-    first_band = [
-        (F.col('band') <= t)
-        | (_anchor_key(F.col('sh_a'), anchors[t])
-           != _anchor_key(F.col('sh_b'), anchors[t]))
-        for t in range(len(anchors) - 1)
-    ]
-    cond = F.lit(True)
-    for c in first_band:
-        cond = cond & c
-    near_reps = (
+    cand = (
         left.join(right, ['band', 'bucket'])
         .filter(F.col('l.id') < F.col('r.id'))
         .select(F.col('l.id').alias('rep_a'), F.col('l.sh').alias('sh_a'),
@@ -984,8 +1018,27 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
                 'band')
         .withColumn('hamming', F.bit_count(
             F.col('sh_a').bitwiseXOR(F.col('sh_b'))))
-        .filter((F.col('hamming') <= max_hamming) & cond)
-        .select('rep_a', 'rep_b', 'hamming'))
+        .filter(F.col('hamming') <= max_hamming))
+    if max_bucket is None:
+        first_band = [
+            (F.col('band') <= t)
+            | (_anchor_key(F.col('sh_a'), anchors[t])
+               != _anchor_key(F.col('sh_b'), anchors[t]))
+            for t in range(len(anchors) - 1)
+        ]
+        cond = F.lit(True)
+        for c in first_band:
+            cond = cond & c
+        near_reps = cand.filter(cond).select('rep_a', 'rep_b', 'hamming')
+    else:
+        # Capped buckets break the least-matching-table invariant: a
+        # pair whose minimal matching bucket was DROPPED still has
+        # equal anchors there, so the zero-exchange conjunction would
+        # kill its surviving rows from the kept buckets too --
+        # silently losing pairs that met in buckets the cap retained.
+        # Under a cap, dedup with distinct() instead (its shuffle is
+        # bounded by the cap: <= sum over kept buckets of size^2).
+        near_reps = cand.select('rep_a', 'rep_b', 'hamming').distinct()
 
     # Cross-group expansion: members inherit their reps' distance
     # (members share their rep's simhash exactly).
@@ -1126,6 +1179,21 @@ def _pow_mod(k: int, n: int) -> np.ndarray:
 _FP_CHUNK_CHARS = 4_000_000
 
 
+def _fp_norm(texts: pd.Series, window: int) -> pd.Series:
+    """THE normalization of the rolling-hash family (fingerprint /
+    ExactSubstr spans / ExactSubstr trim): Python lower, the pinned
+    ASCII whitespace class collapsed to one space, ASCII-space strip,
+    right-pad to ``window``.  One definition -- the span offsets and
+    the trim splice MUST see byte-identical text (any engine split
+    here shifts splice offsets; the whitespace class was pinned for
+    exactly that reason, and lowercasing stays on the Python side for
+    the same reason -- JVM/ICU lower() differs on locale-sensitive
+    and length-changing mappings)."""
+    return texts.fillna('').astype(str).str.lower() \
+        .str.replace(r'[ \t\n\r\f\x0b]+', ' ', regex=True) \
+        .str.strip(' ').str.pad(window, side='right', fillchar=' ')
+
+
 def _fp_kernel(texts: pd.Series, window: int):
     """Batched across documents: all docs' codepoints of a chunk are
     flattened into ONE array; the window hash stays shift-invariant
@@ -1133,9 +1201,7 @@ def _fp_kernel(texts: pd.Series, window: int):
     a per-doc scalar multiply re-bases the global exponents.  No
     per-character or per-document Python work remains beyond the
     string join (one C pass via ''.join + a single utf-32 encode)."""
-    norm = texts.fillna('').astype(str).str.lower() \
-        .str.replace(r'[ \t\n\r\f\x0b]+', ' ', regex=True).str.strip(' ') \
-        .str.pad(window, side='right', fillchar=' ')
+    norm = _fp_norm(texts, window)
     lens_all = norm.str.len().to_numpy(dtype=np.int64)
     m = np.uint64(_M31)
     shift = np.uint64(31)
@@ -1275,9 +1341,7 @@ def _window_hash_list(texts: pd.Series, window: int) -> list:
     chunking, and prefix-sum arithmetic as :func:`_fp_kernel` -- the
     two must stay bit-identical (shared constants, shared oracle CTE
     shape)."""
-    norm = texts.fillna('').astype(str).str.lower() \
-        .str.replace(r'[ \t\n\r\f\x0b]+', ' ', regex=True).str.strip(' ') \
-        .str.pad(window, side='right', fillchar=' ')
+    norm = _fp_norm(texts, window)
     lens_all = norm.str.len().to_numpy(dtype=np.int64)
     m = np.uint64(_M31)
     shift = np.uint64(31)
@@ -1392,9 +1456,11 @@ def exact_substr_trim(df: DataFrame, text_col='text', id_col='doc_id',
     per-doc span-list aggregate is skinny; AQE broadcasts it when it
     fits and the corpus side never shuffles.  When duplication mass
     is itself huge the join degrades to one co-partitioned exchange
-    on the id — the floor for any corpus rewrite.  The splice is a
-    native ``aggregate`` HOF over the sorted span array (substring +
-    concat, JVM-side); text crosses no Python boundary.
+    on the id — the floor for any corpus rewrite.  The normalized
+    base text comes from the SAME pandas kernel the spans were
+    offset against (:func:`_fp_norm` via one ``mapInPandas`` pass);
+    the splice itself is a native ``aggregate`` HOF over the sorted
+    span array (substring + concat, JVM-side).
     """
     spans = exact_substr_spans(df, text_col, id_col, window)
     per_doc = (spans.groupBy(id_col)
@@ -1402,12 +1468,22 @@ def exact_substr_trim(df: DataFrame, text_col='text', id_col='doc_id',
                         F.struct('span_begin', 'span_end'))).alias('_sp'),
                     F.count(F.lit(1)).alias('n_spans'),
                     F.sum('dup_len').alias('chars_removed')))
-    t0 = F.trim(F.regexp_replace(
-        F.lower(F.coalesce(F.col(text_col), F.lit(''))),
-        r'[ \t\n\r\f\x0b]+', ' '))
-    t = F.when(F.length(t0) < window,
-               F.rpad(t0, window, ' ')).otherwise(t0)
-    base = df.select(F.col(id_col), t.alias('_t'))
+
+    # The spliced text comes from the SAME pandas kernel that
+    # produced the span offsets (_fp_norm): a JVM re-derivation of
+    # the normalization risks engine-split divergence (Python vs
+    # JVM/ICU lower(), regex class details) silently shifting the
+    # splice offsets -- the same hazard class the whitespace pinning
+    # closed.
+    def norm_gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                '_t': _fp_norm(pdf[text_col], window)})
+
+    id_type = dict(df.dtypes)[id_col]
+    base = df.select(id_col, text_col).mapInPandas(
+        norm_gen, schema=f'{id_col} {id_type}, _t string')
     joined = base.join(per_doc, id_col, 'left')
     # Splice: fold over the (disjoint, sorted) spans carrying
     # (chars consumed so far, kept prefix); finish appends the tail.
@@ -1906,18 +1982,22 @@ def mask_pii(docs: DataFrame, text_col: str = 'text',
     Returns ``(id_col, masked, n_email, n_ssn, n_phone, n_ipv4)``.
 
     Scale shape: pure whole-stage codegen -- a ``regexp_count`` per
-    kind on the original text plus a sequential ``regexp_replace``
-    chain; no UDF, no shuffle, fully pushdown-compatible.  Counts are
-    taken on the ORIGINAL text (the patterns cannot overlap each
-    other's spans, so count-before-mask == count-during-mask).
+    kind plus a sequential ``regexp_replace`` chain; no UDF, no
+    shuffle, fully pushdown-compatible.  Each kind's count is taken
+    on the text AS ITS MASK STAGE SEES IT (after the earlier kinds
+    masked), so ``n_<kind>`` equals the number of ``<KIND>`` tokens
+    actually written -- counting every kind on the original text
+    would report phantom matches when one pattern's span sits inside
+    another's (an IP/SSN/phone-shaped local part of an email, e.g.
+    ``192.168.1.1@corp.com``: the email mask consumes it, no ``<IP>``
+    token exists, and the density signal must agree).
     """
     masked = F.coalesce(F.col(text_col), F.lit(''))
     cols = [F.col(id_col)]
     counts = []
     for kind, pat, repl in PII_PATTERNS:
         counts.append(
-            F.regexp_count(F.coalesce(F.col(text_col), F.lit('')),
-                           F.lit(pat)).alias(f'n_{kind}'))
+            F.regexp_count(masked, F.lit(pat)).alias(f'n_{kind}'))
         masked = F.regexp_replace(masked, pat, repl)
     return docs.select(*cols, masked.alias('masked'), *counts)
 
@@ -1959,6 +2039,16 @@ def pack_sequences(docs: DataFrame, context_len: int,
         raise ValueError(f'context_len must be >= 1, got {context_len}')
     if n_shards < 1:
         raise ValueError(f'n_shards must be >= 1, got {n_shards}')
+    id_type = dict(docs.dtypes).get(id_col, '')
+    if id_type not in ('tinyint', 'smallint', 'int', 'bigint'):
+        # the spec'd hash_mix casts its key to long: a string id
+        # would cast to null (or fail under ANSI), collapsing every
+        # row into one null shard -- the whole corpus in one sort
+        # task, silently.  Require an integer key; hash string ids
+        # to int64 first (e.g. F.xxhash64) if needed.
+        raise TypeError(
+            f'pack_sequences needs an integer id_col for the spec\'d '
+            f'shard mix; {id_col!r} is {id_type!r}')
     low = F.lower(F.coalesce(F.col(text_col), F.lit('')))
     toks = (docs.select(
         F.col(id_col),
