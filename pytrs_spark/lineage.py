@@ -71,8 +71,19 @@ def finished_buckets(spark: SparkSession, lineage_path: str) -> set:
     try:
         rows = spark.read.format(LINEAGE_FORMAT).load(lineage_path) \
             .select('bucket').distinct().collect()
-    except AnalysisException:
-        return set()
+    except AnalysisException as e:
+        # ONLY first-run path-not-found means "no lineage yet".  An
+        # existing-but-unreadable table (no parquet footers after a
+        # crashed append, permissions, ...) must raise: treating it
+        # as empty silently reprocesses every bucket AND rewrites
+        # partitions whose lineage rows are lost.
+        try:
+            klass = e.getErrorClass() or ''
+        except Exception:
+            klass = ''
+        if 'PATH_NOT_FOUND' in klass or 'PATH_NOT_FOUND' in str(e):
+            return set()
+        raise
     return {r['bucket'] for r in rows}
 
 
@@ -107,6 +118,23 @@ def run_checkpointed(spark: SparkSession, source: DataFrame,
             .agg(F.count('*').alias('n')).collect()}
     out = process(part.drop('_bucket')) \
         .withColumn('bucket', bucket_of(F.col(id_col), n_buckets))
+    # Guard the commit contract: a process() that re-keys id_col can
+    # emit rows whose re-derived bucket lies OUTSIDE the pending
+    # batch -- dynamic overwrite would then silently clobber
+    # already-committed buckets' partitions while their lineage rows
+    # still say finished.  Fail the task instead (scan-stage codegen
+    # assert, no extra job).
+    msg = F.concat(
+        F.lit('run_checkpointed: process() emitted a row outside the '
+              f'pending batch (re-keyed {id_col}?): bucket='),
+        F.col('bucket').cast('string'))
+    # assert_true is fused into the surviving bucket column (a
+    # dropped helper column would be pruned away, assert included):
+    # it returns null on success, so the when() always keeps bucket.
+    out = out.withColumn(
+        'bucket',
+        F.when(F.assert_true(F.col('bucket').isin(batch), msg).isNull(),
+               F.col('bucket')))
     # Clear the pending buckets' partition dirs up front: dynamic
     # partition overwrite only rewrites partitions PRESENT in the new
     # output, so a rerun whose process() legitimately emits zero rows

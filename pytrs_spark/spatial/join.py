@@ -23,13 +23,15 @@ polygon-cell index is exploded x S, and the join key becomes
 ``(cell, salt)`` -- plus AQE skew-join as belt and braces.
 """
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .grid import RES_SIZE, cover_cells
+from .grid import cover_cells
 
 JOIN_RES = 9   # 0.25 mi cells == depth-2 QQ size: ~1 candidate/point
 
@@ -326,11 +328,11 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
 
     The polygon table is bounded (O(sections x aliquots) rows; ~37k at
     bench scale, a few MB as numpy) -- small-dim broadcast is the
-    same contract the broadcast hash join relied on.  ``salt > 0``
-    spreads hot cells exactly as in :func:`spatial_join`.
+    same contract the broadcast hash join relied on.  ``salt > 0`` is
+    a NO-OP here (warned): salting spreads a hot key across exchange
+    partitions, and the broadcast path has no probe-side exchange --
+    use the shuffle join (:func:`spatial_join`) when salting matters.
     """
-    import numpy as np
-
     spark = points.sparkSession
     dt = dict(points.dtypes)
     payload_cols = tuple(payload_cols)
@@ -456,14 +458,20 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
     cell_col = f'cell{res}'
     pts = points.select(*in_cols, F.col(cell_col).alias('cell'))
     if salt > 0:
-        pts = pts.withColumn(
-            'salt', F.pmod(F.xxhash64('image_id'), F.lit(salt)))
-        sindex = index.withColumn(
-            'salt', F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))) \
-            .withColumn('salt', F.col('salt').cast('long'))
-        cand = pts.join(F.broadcast(sindex), ['cell', 'salt'])
-    else:
-        cand = pts.join(F.broadcast(index), 'cell')
+        # Salting is a SHUFFLE-join concept: it spreads a hot join
+        # key across exchange partitions.  This path is a broadcast
+        # hash join -- there IS no probe-side exchange to spread (a
+        # hot cell's rows already sit wherever the input layout put
+        # them), so exploding the broadcast index x salt would only
+        # multiply the broadcast bytes for zero skew relief.  Keep
+        # the plain broadcast and point callers at the shuffle join,
+        # where the same salt actually works (tests pin row parity).
+        warnings.warn(
+            'assign_tiles_fused: salt has no effect on the broadcast '
+            'path (no probe-side exchange to spread); use '
+            'spatial_join/assign path for the salted shuffle join',
+            stacklevel=2)
+    cand = pts.join(F.broadcast(index), 'cell')
     do_pip_in_kernel = uniform_m == 0
     if do_pip_in_kernel:
         reduce_in = in_cols
@@ -563,11 +571,9 @@ def assign_tiles_fused(points: DataFrame, polygons: DataFrame,
                 keep = np.arange(n)
             if len(keep):
                 if len(keep) == n:
-                    keep_pa = None
                     ids_f = ids
                 else:
-                    keep_pa = pa.array(keep)
-                    ids_f = pc.take(ids, keep_pa)
+                    ids_f = pc.take(ids, pa.array(keep))
                 m = len(keep)
                 new = np.empty(m, dtype=bool)
                 new[0] = True
@@ -670,4 +676,9 @@ def pick_salt_factor(points: DataFrame, res: int = JOIN_RES,
     """Choose S from the measured histogram: hottest cell divided by
     the per-task target, capped sanely."""
     hot = cell_histogram(points, res).agg(F.max('count')).first()[0] or 0
-    return int(min(64, max(0, hot // target_per_task)))
+    if hot <= target_per_task:
+        return 0
+    # ceil, not floor: floor leaves the hottest cell at up to 2x the
+    # target per task, and returns 1 (salt engaged, nothing spread --
+    # pmod(h, 1) == 0) for hot counts in [target, 2*target).
+    return int(min(64, -(-hot // target_per_task)))

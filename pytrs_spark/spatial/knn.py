@@ -126,7 +126,12 @@ def _topk_udf(k: int, radius: int):
         gy2 = np.minimum(gap_y_lo, gap_y_hi) ** 2
         bound = np.minimum(gx2 + bdy2, gy2 + bdx2)
         with np.errstate(invalid='ignore'):
-            safe = fin & (n_valid >= k) & (top['d2'][:, k - 1] <= bound)
+            # kk clamps the safety probe for k > window capacity
+            # ((2r+2)^2 candidates): such rows are already unsafe via
+            # n_valid >= k, and the raw [:, k-1] index would throw
+            # inside the task instead of letting the radius grow.
+            kk = min(k, top.shape[1])
+            safe = fin & (n_valid >= k) & (top['d2'][:, kk - 1] <= bound)
         topk_col = [
             [(float(r['d2']), float(r['cx']), float(r['cy']))
              for r in row[:min(k, nv)]]
@@ -175,6 +180,10 @@ def knn_section_corners(points: DataFrame, k: int = 4,
     # Smallest radius that can possibly satisfy the safety margin for
     # k corners -- for k <= 4 every finite point is provably safe at
     # r=2 (see docstring), so the loop runs once.
+    if max_radius < 2:
+        raise ValueError(
+            f'max_radius must be >= 2 (the starting ring), '
+            f'got {max_radius}')
     radius = 2
     finished = []
     remaining = pts
@@ -188,6 +197,13 @@ def knn_section_corners(points: DataFrame, k: int = 4,
         # only rows left behind are non-finite, handled below.
         if k <= 4 and radius == 2:
             break
+        # Persist the (skinny, shrinking) remainder: without it every
+        # radius's isEmpty probe and the final union re-execute the
+        # whole chain of earlier radii's kernel passes -- O(R^2) UDF
+        # evaluations.  Each finished part derives from the PREVIOUS
+        # round's persisted remainder, so the final action runs each
+        # kernel once.
+        remaining = remaining.persist()
         if remaining.isEmpty():
             break
         radius += 1

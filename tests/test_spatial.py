@@ -244,3 +244,27 @@ def test_fused_prep_over_cap_falls_back_to_shuffle(spark, polygons,
     # the shuffle marker, never the collected-prep tuple.
     from pytrs_spark.spatial.join import JOIN_RES
     assert fresh._fused_prep[JOIN_RES] == '_shuffle'
+
+
+def test_knn_large_k_grows_radius_instead_of_crashing(spark):
+    """k above the first window's capacity ((2r+2)^2 = 36 at r=2) must
+    trigger ring expansion, not an IndexError inside the kernel."""
+    from pytrs_spark.spatial.knn import knn_section_corners
+    pts = spark.createDataFrame(
+        [('a', -590.0, 905.0), ('b', -599.5, 901.5)],
+        'image_id string, x double, y double')
+    out = knn_section_corners(pts, k=40, max_radius=8)
+    assert out.count() == 80
+    # and ranks are dense 1..40 per point
+    import pyspark.sql.functions as F
+    mx = out.groupBy('image_id').agg(F.max('rank').alias('m')).collect()
+    assert all(r['m'] == 40 for r in mx)
+
+
+def test_knn_max_radius_validated(spark):
+    from pytrs_spark.spatial.knn import knn_section_corners
+    import pytest as _pt
+    pts = spark.createDataFrame([('a', -590.0, 905.0)],
+                                'image_id string, x double, y double')
+    with _pt.raises(ValueError, match='max_radius'):
+        knn_section_corners(pts, k=4, max_radius=1)
