@@ -2492,8 +2492,10 @@ a AS (
   FROM qq
 )
 SELECT key,
-       sum(640.0 / (power(2.0, k2)
-                    * power(4.0, length(qq) / 2 - k2))) AS total_acres,
+       sum(CASE WHEN qq = 'ALL' THEN 640.0
+                ELSE 640.0 / (power(2.0, k2)
+                              * power(4.0, length(qq) / 2 - k2))
+           END) AS total_acres,
        count(*) AS n_aliquots
 FROM a GROUP BY key
 """

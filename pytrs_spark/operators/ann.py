@@ -96,7 +96,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         cosine(F.col('_vec'), F.col('_qvec')).alias('cos_sim'))
     w = Window.partitionBy('query_id').orderBy(
         F.col('cos_sim').desc(), F.col('vec_id'))
-    return (scored.withColumn('rank', F.row_number().over(w))
+    # malformed/zero-norm rows score null; with fewer than k valid
+    # candidates they would otherwise pass rank <= k as garbage rows
+    return (scored.filter(F.col('cos_sim').isNotNull())
+            .withColumn('rank', F.row_number().over(w))
             .filter(F.col('rank') <= k))
 
 
@@ -354,7 +357,10 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
                              F.col('_query_id_v')).alias('cos_sim')))
     w = Window.partitionBy('query_id').orderBy(
         F.col('cos_sim').desc(), F.col('vec_id'))
-    return (scored.withColumn('rank', F.row_number().over(w))
+    # null cos_sim (zero-norm rows that still bucketed) must not
+    # occupy ranks in a sparse bucket -- same contract as pq_topk
+    return (scored.filter(F.col('cos_sim').isNotNull())
+            .withColumn('rank', F.row_number().over(w))
             .filter(F.col('rank') <= k))
 
 
@@ -422,8 +428,13 @@ def _stable_norm_sample(corpus: DataFrame, id_col: str, vec_col: str,
         # re-implements the whole IVF quantizer; xxhash64 has no
         # DuckDB twin).  Decorrelation from insertion order is all the
         # sample needs -- k-means washes the seeds out.
-        key = F.pmod(F.col('id').cast('long') * F.lit(40503),
-                     F.lit(65536))
+        # ((id % 65536) * 40503) % 65536 == (id * 40503) % 65536
+        # (same residues -- verified algebra), but the reduced form
+        # cannot overflow long under ANSI mode for snowflake-scale
+        # ids (id * 40503 overflows past |id| ~ 2.3e14).
+        key = F.pmod(
+            F.pmod(F.col('id').cast('long'), F.lit(65536))
+            * F.lit(40503), F.lit(65536))
     else:
         key = F.xxhash64(F.col('id').cast('string'))
     rows = (base.withColumn('_h', key)
@@ -582,7 +593,14 @@ def _auto_nprobe(C: np.ndarray, X: np.ndarray, k: int = 10,
     Q, R = X[:nq], X[nq:]
     order = np.argsort(-(Q @ R.T), axis=1)[:, :min(k, len(R))]
     cell_of = np.argmax(R @ C.T, axis=1)       # ties -> lowest id,
-    qcell_rank = np.argsort(-(Q @ C.T), axis=1)  # same as _cell_udf
+    # lexsort (-sim, cell): the SAME deterministic tie-break
+    # _cell_udf executes -- a bare argsort breaks centroid-similarity
+    # ties by quicksort internals, so calibration could measure a
+    # probe order the real query path doesn't take
+    sims_qc = Q @ C.T
+    qcell_rank = np.lexsort(
+        (np.broadcast_to(np.arange(C.shape[0]), sims_qc.shape),
+         -sims_qc), axis=1)
     rows = np.arange(nq)[:, None]
     pos = np.empty((nq, n_cells), dtype=np.int64)
     pos[rows, qcell_rank] = np.arange(n_cells)[None, :]
@@ -617,7 +635,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              index: DataFrame = None,
              id_col='vec_id', vec_col='embedding',
              qid_col='query_id', qvec_col='embedding',
-             target_recall: float = 0.9) -> DataFrame:
+             target_recall: float = 0.9,
+             train_sample: int = 8192) -> DataFrame:
     """IVF approximate top-k: a deterministic coarse quantizer
     partitions the corpus into ``n_cells`` inverted lists; each query
     probes its ``nprobe`` nearest cells and exact-cosine re-ranks only
@@ -637,7 +656,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cells keep the scan fraction small; structureless corpora get the
     wide probe they actually need instead of a silent recall floor.
     """
-    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    # train_sample MUST match the one the index (if any) was built
+    # with: the memo keys on it, so a mismatch silently probes a
+    # DIFFERENT quantizer than the index rows were assigned under.
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col,
+                       train_sample=train_sample)
     if nprobe == 'auto':
         nprobe = _calibrated_nprobe(corpus, C, id_col, vec_col,
                                     k=k, target=target_recall)
@@ -662,7 +685,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       .alias('cos_sim')))
     w = Window.partitionBy('query_id').orderBy(
         F.col('cos_sim').desc(), F.col('vec_id'))
-    return (scored.withColumn('rank', F.row_number().over(w))
+    # null cos_sim (zero-norm corpus rows that still landed in a
+    # cell) must not occupy ranks when a probed cell holds < k valid
+    # candidates -- same contract as the pq paths' isNotNull filter.
+    return (scored.filter(F.col('cos_sim').isNotNull())
+            .withColumn('rank', F.row_number().over(w))
             .filter(F.col('rank') <= k))
 
 
@@ -846,11 +873,10 @@ def pq_index(corpus: DataFrame, m: int = 4, nbits: int = 8,
     """Materializable PQ code table: (vec_id, _code) -- m bytes per
     vector.  Build once, persist, pass to :func:`pq_topk` via
     ``index=`` so the ADC scan reads codes without re-encoding the
-    corpus per call."""
-    B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
-    return corpus.select(F.col(id_col).alias('vec_id'),
-                         _pq_encode_udf(B)(F.col(vec_col))
-                         .alias('_code'))
+    corpus per call.  (One implementation with :func:`pq_encode`;
+    pq_topk's ``index=`` accepts either column name.)"""
+    return pq_encode(corpus, m, nbits, id_col, vec_col) \
+        .withColumnRenamed('code', '_code')
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -871,10 +897,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     gate and at 1M-row scale.
     """
     B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
-    codes = index if index is not None else \
-        corpus.select(F.col(id_col).alias('vec_id'),
-                      _pq_encode_udf(B)(F.col(vec_col))
-                      .alias('_code'))
+    if index is not None:
+        # accept a pq_index ('_code') OR a pq_encode ('code') table
+        codes = index.withColumnRenamed('code', '_code') \
+            if 'code' in index.columns else index
+    else:
+        codes = corpus.select(F.col(id_col).alias('vec_id'),
+                              _pq_encode_udf(B)(F.col(vec_col))
+                              .alias('_code'))
     q = queries.select(F.col(qid_col).alias('query_id'),
                        F.col(qvec_col).alias('_qvec'))
     scored = (codes.crossJoin(F.broadcast(q))
@@ -915,14 +945,16 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def ivfpq_index(corpus: DataFrame, n_cells: int = 16, m: int = 4,
                 nbits: int = 8, id_col='vec_id',
-                vec_col='embedding') -> DataFrame:
+                vec_col='embedding',
+                train_sample: int = 8192) -> DataFrame:
     """Materializable IVF-PQ index: (vec_id, cell, _code) -- the full
     production index of a 10^12-vector corpus in ~(8 + 4 + m) bytes
     per row.  Build once, persist (or write ``partitionBy('cell')``
     for file-level probe pruning), pass to :func:`ivfpq_topk` via
     ``index=``: queries then never touch raw corpus vectors except
     the bounded re-rank pool."""
-    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col,
+                       train_sample=train_sample)
     B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
     assign = _cell_udf(C, 1)
     return (corpus.select(F.col(id_col).alias('vec_id'),
@@ -938,7 +970,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                index: DataFrame = None,
                id_col='vec_id', vec_col='embedding',
                qid_col='query_id', qvec_col='embedding',
-               target_recall: float = 0.9) -> DataFrame:
+               target_recall: float = 0.9,
+               train_sample: int = 8192) -> DataFrame:
     """IVF-PQ: the composed production shape for 10^12-vector corpora.
 
     The IVF coarse quantizer bounds the scan FRACTION (each query
@@ -958,7 +991,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the centroids/codebooks are re-fetched from the corpus memo (or
     retrained deterministically) for query-side probing/LUTs.
     """
-    C = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    # train_sample MUST match the index build's (quantizer memo keys
+    # on it; a mismatch probes a different quantizer than the index
+    # rows were assigned under).
+    C = _ivf_centroids(corpus, n_cells, id_col, vec_col,
+                       train_sample=train_sample)
     B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
     if nprobe == 'auto':
         nprobe = _calibrated_nprobe(corpus, C, id_col, vec_col,

@@ -146,13 +146,24 @@ def tile_embedding_stats(assignments: DataFrame, embeddings: DataFrame,
     ``assemble_centroids`` packs the exploded form back into
     ``array<double>`` when a vector-shaped centroid is needed
     (e.g. to seed IVF cells per region).
+
+    Null embeddings are excluded from BOTH the mean and
+    ``n_vectors`` (the count is the averaging denominator).  The
+    corpus is assumed dimension-uniform (the embeddings-table
+    contract); ragged rows would skew later positions' denominators
+    -- run the ann suite's ``_valid_mask`` discipline upstream if
+    the corpus can be ragged.
     """
     if key is None:
         key = F.substring(F.col('trs'), 1,
                           F.length('trs') - F.lit(2)).alias('twprge')
     keyed = assignments.select(F.col(id_col), key)
     key_name = keyed.columns[1]
-    j = keyed.join(embeddings.select(id_col, vec_col), id_col)
+    # Null embeddings contribute nothing to the mean (posexplode
+    # skips them), so they must not count in n_vectors either -- the
+    # count is the averaging denominator the consumer reasons with.
+    j = keyed.join(embeddings.select(id_col, vec_col), id_col) \
+        .filter(F.col(vec_col).isNotNull())
     counts = (j.groupBy(key_name)
               .agg(F.count('*').alias('n_vectors')))
     per_dim = (j.select(key_name,
@@ -195,7 +206,12 @@ def qq_acres(qq) -> Column:
     k2 = F.length(q) - F.length(F.replace(q, F.lit('2'), F.lit('')))
     n_comp = (F.length(q) / 2).cast('int')
     kq = n_comp - k2
-    return F.lit(640.0) / (F.pow(F.lit(2.0), k2) * F.pow(F.lit(4.0), kq))
+    # 'ALL' is a real aliquot value (qq_depth=0 parses, the quadtree
+    # simplifier, tract.py's ALL detector): the whole section, 640 ac
+    # -- the component formula would misread its 3 chars as one
+    # quarter (160 ac).
+    return F.when(q == 'ALL', F.lit(640.0)).otherwise(
+        F.lit(640.0) / (F.pow(F.lit(2.0), k2) * F.pow(F.lit(4.0), kq)))
 
 
 def acreage_rollup(qqs: DataFrame, key_col: str = 'key',
