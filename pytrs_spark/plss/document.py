@@ -241,8 +241,10 @@ def preprocess_plss_batch(texts, default_ns=None, default_ew=None,
     if default_ew is None:
         default_ew = DEFAULT_EW
     if any(t is None or '\x00' in t for t in texts):
-        # NUL in input defeats the join trick -- scalar fallback.
-        return [preprocess_plss(t, default_ns, default_ew,
+        # NUL in input defeats the join trick -- scalar fallback
+        # (None normalizes to '' here; the scalar kernel's regex
+        # scans need a string).
+        return [preprocess_plss(t or '', default_ns, default_ew,
                                 ocr_scrub, no_pm) for t in texts]
     cur = list(texts)
     originals = _batch_find_twprge(cur, default_ns, default_ew)
@@ -405,9 +407,15 @@ def _find_twprge_matches(text, layout, flags, flag_lines):
             matches.append((short, mo.start(0), mo.end(0)))
         else:
             ignored = twprge_natural_to_short(unpack_twprge(mo))
-            flags.append(f'twprge_ignored<{ignored}>')
+            flag = f'twprge_ignored<{ignored}>'
+            flags.append(flag)
             left = max(0, i - 20)
-            flag_lines.append(text[left:mo.end(0)])
+            # (flag, context) tuple: the reference appends the bare
+            # context line here (plss_parse.py:114-116, its
+            # flag_lines are shape-heterogeneous); our Arrow flag
+            # struct requires the uniform pair -- same content,
+            # normalized shape.
+            flag_lines.append((flag, text[left:mo.end(0)]))
     return matches
 
 
@@ -450,7 +458,7 @@ def _find_sec_matches(text, layout, require_colon, flags, flag_lines,
     sec_nums = []
     for sec_txt, mstart, mend, colon_none, rightmost_none in _ms:
         legit = True
-        sec_nums, _, _ = unpack_secs(sec_txt)
+        sec_nums, unpack_flags, unpack_flag_lines = unpack_secs(sec_txt)
         # In sec-first layouts, a section preceded by 'of'/'said'/'in'/
         # 'within' is a continuation, not a new tract.
         illegal = (' of', ' said', ' in', ' within')
@@ -471,18 +479,22 @@ def _find_sec_matches(text, layout, require_colon, flags, flag_lines,
             flag = f"multisec_found<{','.join(sec_nums)}>"
             flags.append(flag)
             flag_lines.append((flag, sec_txt))
-        unpack_flags = []
-        unpack_flag_lines = []
-        secs, unpack_flags, unpack_flag_lines = unpack_secs(sec_txt)
         flags.extend(unpack_flags)
         flag_lines.extend(unpack_flag_lines)
-        matches.append((secs, mstart, mend))
+        matches.append((sec_nums, mstart, mend))
 
     if matches and require_colon != _SECOND_PASS:
         return matches
     if matches:
         flag = f"pulled_sec_without_colon<{','.join(sec_nums)}>"
-        flags.append((flag, flag))
+        # The reference appends the (flag, flag) TUPLE into its
+        # string flags list (plss_parse.py:245-246 -- its own shape
+        # bug); our Arrow schema types w_flags as array<string>, so
+        # we carry the string in flags and the pair in flag_lines --
+        # same information, serializable shape (documented
+        # divergence, like the pinned unused_sec crash).
+        flags.append(flag)
+        flag_lines.append((flag, flag))
         return matches
     if require_colon == SEC_COLON_CAUTIOUS and layout in (TRS_DESC, S_DESC_TR):
         # Second pass: relax the colon requirement, discard staged flags.

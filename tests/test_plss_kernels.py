@@ -487,3 +487,56 @@ def test_parse_kernels_survive_fragment_fuzz():
         r = parse_document(doc)                      # must not raise
         for t in r['tracts']:
             parse_tract(t['desc'])                   # must not raise
+
+
+def test_flag_lines_are_always_pairs():
+    """Every w/e flag-line the kernel emits must be a (flag, context)
+    pair: the reference's own lists are shape-heterogeneous (bare
+    strings at plss_parse.py:114, a (flag, flag) tuple pushed into
+    FLAGS at :246), but our Arrow flag struct requires the uniform
+    shape -- a bare string/tuple crashes serialization mid-stage."""
+    from pytrs_spark.plss.document import parse_document
+    docs = [
+        # twprge_ignored path ('Section N of T...R...' false positive)
+        ('T154N-R97W Sec 14: that part of the NE/4 lying within '
+         'Section 22 of T155N-R98W', {}),
+        # pulled_sec_without_colon path (cautious second pass)
+        ('T154N-R97W Sec 14 NE/4',
+         {'require_colon': 'sec_colon_cautious'}),
+    ]
+    for text, kw in docs:
+        r = parse_document(text, **kw)
+        for fl in r['w_flag_lines'] + r['e_flag_lines']:
+            assert isinstance(fl, tuple) and len(fl) == 2, (text, fl)
+            assert all(isinstance(x, str) for x in fl), (text, fl)
+        for f in r['w_flags'] + r['e_flags']:
+            assert isinstance(f, str), (text, f)
+
+
+def test_preprocess_batch_none_fallback():
+    """The NUL/None scalar fallback must survive None inputs (the
+    guard that routes to it explicitly anticipates them)."""
+    from pytrs_spark.plss.document import preprocess_plss_batch
+    out = preprocess_plss_batch([None, 'T154N-R97W Sec 14: NE\x00'])
+    assert len(out) == 2
+
+
+def test_ocr_scrub_bracket_parity_with_reference():
+    """']' inside a township number is NOT in the OCR map -- in the
+    reference either (unpackers.py:508-513), so both engines emit the
+    same (wrong-looking) truncated township.  Bug-for-bug parity is
+    the contract; this pin keeps any one-sided 'fix' from landing."""
+    import sys
+    sys.path.insert(0, '/root/reference')
+    from pytrs_spark.plss.document import parse_document
+    r = parse_document('Township 1]4 North, Range 97 West, Sec 14: NE/4',
+                       ocr_scrub=True)
+    ours = [t['trs'] for t in r['tracts']]
+    try:
+        import pytrs
+    except ImportError:
+        assert ours == ['4n97w14']
+        return
+    d = pytrs.PLSSDesc('Township 1]4 North, Range 97 West, Sec 14: NE/4',
+                       config='ocr_scrub', parse_qq=True)
+    assert ours == [t.trs for t in d.tracts] == ['4n97w14']
