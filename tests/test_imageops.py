@@ -445,8 +445,9 @@ class TestRobustness:
         from pytrs_spark.operators.events import gap_fill
         rows = [
             Row(user_id=1, ts='2024-01-01 00:10:00', value=4.0),
-            # bucket 1's only obs has a NULL value: the grid row is
-            # a gap (no usable observation) and carries 4.0 forward
+            # bucket 1's only obs has a NULL value: an observed null
+            # is still an observation (is_gap=False) and the null is
+            # carried as the bucket's value, exactly as recorded
             Row(user_id=1, ts='2024-01-01 01:10:00', value=None),
             Row(user_id=1, ts='2024-01-01 02:10:00', value=9.0),
         ]
@@ -456,8 +457,8 @@ class TestRobustness:
             'value')
         out = sorted(gap_fill(df, step_s=3600).collect(),
                      key=lambda r: r.bucket)
-        assert [r.value for r in out] == [4.0, 4.0, 9.0]
-        assert [r.is_gap for r in out] == [False, True, False]
+        assert [r.value for r in out] == [4.0, None, 9.0]
+        assert [r.is_gap for r in out] == [False, False, False]
 
     def test_gap_fill_same_ts_ties_prefer_larger_value(self, spark):
         from pytrs_spark.operators.events import gap_fill
