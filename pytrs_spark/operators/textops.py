@@ -1732,9 +1732,66 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _cc_local(edges: DataFrame, stats: dict = None) -> DataFrame:
+    """Driver-side closure for a SMALL symmetric edge set: collect the
+    skinny (src, dst) rows and resolve min-id components with a
+    vectorized numpy label-propagation (neighbor-min via
+    ``np.minimum.at`` + pointer jumping per round, O(log diameter)
+    rounds of O(E) vector work).  Semantics are identical to the
+    distributed loop: component_id = smallest vertex id reachable
+    (ids compare in their column type's order; ``np.unique`` sorts,
+    so index order == value order).
+
+    Only called under the ``local_max_edges`` gate (see
+    ``connected_components``): the collect is bounded the same way
+    broadcast joins are bounded by ``BROADCAST_MAX_ROWS`` -- a few
+    million 16-byte rows, far below driver memory, in exchange for
+    skipping ~7 pointer-jumping rounds x per-round job overhead
+    (the fixed floor that dominated dbscan_200k / multimodal_keep_one
+    / semdedup bench walls; the data work itself is tiny there).
+    """
+    spark = edges.sparkSession
+    id_type = edges.schema['src'].dataType
+    pdf = edges.toPandas()
+    out_schema = T.StructType([T.StructField('doc_id', id_type),
+                               T.StructField('component_id', id_type)])
+    if len(pdf) == 0:
+        if stats is not None:
+            stats['iterations'] = 0
+            stats['mode'] = 'local'
+        return spark.createDataFrame([], out_schema)
+    both = np.concatenate([pdf['src'].to_numpy(), pdf['dst'].to_numpy()])
+    ids, inv = np.unique(both, return_inverse=True)
+    m = len(pdf)
+    src_i, dst_i = inv[:m], inv[m:]
+    label = np.arange(len(ids), dtype=np.int64)
+    rounds = 0
+    while True:
+        rounds += 1
+        new = label.copy()
+        # neighbor-min: edges are already symmetric, one direction of
+        # minimum.at floods both ways across the round sequence
+        np.minimum.at(new, dst_i, label[src_i])
+        # pointer jumping to the round's fixpoint (pure O(V) hops)
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, label):
+            break
+        label = new
+    if stats is not None:
+        stats['iterations'] = rounds
+        stats['mode'] = 'local'
+    out = pd.DataFrame({'doc_id': ids, 'component_id': ids[label]})
+    return spark.createDataFrame(out, out_schema)
+
+
 def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
                          max_iters: int = 50,
-                         stats: dict = None) -> DataFrame:
+                         stats: dict = None,
+                         local_max_edges: int = 2_000_000) -> DataFrame:
     """Resolve a pairwise near-duplicate graph into dedup clusters:
     (doc_id, component_id) where component_id = the smallest doc id
     reachable through any chain of pairs.  This is the step that turns
@@ -1775,7 +1832,14 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
 
     ``stats``: optional dict; on return ``stats['iterations']`` holds
     the number of propagation rounds run to reach the fixpoint
-    (``scripts/cc_scale_probe.py`` reports it).
+    (``scripts/cc_scale_probe.py`` reports it) and ``stats['mode']``
+    is ``'local'`` or ``'distributed'``.
+
+    ``local_max_edges``: when the materialized symmetric edge set has
+    at most this many rows, the closure runs driver-side
+    (``_cc_local``) -- identical min-id semantics, none of the
+    per-round job overhead that otherwise floors small graphs at
+    ~7 rounds x scheduler latency.  0 forces the distributed path.
     """
     # Single-scan symmetrization: explode each pair into both
     # directions instead of UNIONing two selects of `pairs` -- a union
@@ -1791,6 +1855,19 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     # way.
     edges = _checkpoint_fresh(sym.distinct())
     n_edges = edges.count()
+    # Size-gated driver closure: when the (materialized, skinny,
+    # symmetric) edge set is small, the distributed loop's wall is
+    # ~100% fixed per-round JOB overhead, not data -- collect the
+    # (long, long) rows and close locally instead (same min-id
+    # semantics, pinned by tests/test_cc_checkpoint.py equivalence).
+    # The gate mirrors the BROADCAST_MAX_ROWS convention; pass
+    # local_max_edges=0 to force the distributed path.
+    if n_edges <= local_max_edges:
+        out = _cc_local(edges, stats=stats)
+        _unpersist_checkpoint(edges)
+        return out
+    if stats is not None:
+        stats['mode'] = 'distributed'
     labels = (edges.select(F.col('src').alias('id')).distinct()
               .withColumn('comp', F.col('id')))
     labels = _checkpoint_fresh(labels)

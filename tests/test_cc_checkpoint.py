@@ -104,7 +104,11 @@ def test_cc_geometric_grid_bounded_rounds(spark):
         F.col('v').alias('id_a'), (F.col('v') + n).alias('id_b'))
     edges = right.unionByName(down)
     st = {}
-    comp = connected_components(edges, stats=st)
+    # local_max_edges=0 forces the distributed loop (this test pins
+    # ITS round bound; the local path is covered by the equivalence
+    # tests below).
+    comp = connected_components(edges, stats=st, local_max_edges=0)
+    assert st['mode'] == 'distributed'
     rows = comp.agg(F.countDistinct('component_id').alias('nc'),
                     F.min('component_id').alias('mn'),
                     F.max('component_id').alias('mx'),
@@ -113,3 +117,58 @@ def test_cc_geometric_grid_bounded_rounds(spark):
     assert rows['nv'] == n * n
     # diameter 78; contraction keeps rounds ~log2: allow generous slack
     assert st['iterations'] <= 14, st
+
+
+def test_cc_local_matches_distributed_mixed_graph(spark):
+    """The size-gated driver closure (_cc_local) must produce
+    component checksums IDENTICAL to the distributed loop on a graph
+    mixing cliques, a long path (high diameter), rings, and
+    singletons-by-absence."""
+    edges = []
+    # three 5-cliques at 0-4, 100-104, 200-204
+    for base in (0, 100, 200):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    # a 300-node path (diameter 299) at 1000..1299
+    edges += [(1000 + i, 1001 + i) for i in range(299)]
+    # a 12-ring at 2000..2011
+    edges += [(2000 + i, 2000 + (i + 1) % 12) for i in range(12)]
+    # a bridge merging clique 2 into the path's component
+    edges.append((104, 1150))
+    df = spark.createDataFrame(edges, 'id_a long, id_b long')
+    st_l, st_d = {}, {}
+    local = connected_components(df, stats=st_l)
+    dist = connected_components(df, stats=st_d, local_max_edges=0)
+    assert st_l['mode'] == 'local' and st_d['mode'] == 'distributed'
+    a = sorted(tuple(r) for r in local.collect())
+    b = sorted(tuple(r) for r in dist.collect())
+    assert a == b
+    # min-id representative spot checks
+    comp = dict(a)
+    assert comp[204] == 200 and comp[104] == 100
+    assert comp[1299] == 100  # bridged through 104 -> min id 100
+    assert comp[2011] == 2000
+
+
+def test_cc_local_matches_distributed_string_ids(spark):
+    """String vertex ids: min is lexicographic in both paths."""
+    df = spark.createDataFrame(
+        [('b', 'c'), ('c', 'a'), ('x', 'y')], 'id_a string, id_b string')
+    local = connected_components(df)
+    dist = connected_components(df, local_max_edges=0)
+    a = sorted(tuple(r) for r in local.collect())
+    b = sorted(tuple(r) for r in dist.collect())
+    assert a == b
+    assert dict(a) == {'a': 'a', 'b': 'a', 'c': 'a', 'x': 'x', 'y': 'x'}
+    assert local.schema == dist.schema
+
+
+def test_cc_local_empty_edges(spark):
+    df = spark.createDataFrame([], 'id_a long, id_b long')
+    st = {}
+    out = connected_components(df, stats=st)
+    assert out.count() == 0
+    assert st['mode'] == 'local'
+    assert [f.name for f in out.schema.fields] == ['doc_id',
+                                                   'component_id']
