@@ -78,6 +78,26 @@ def cosine(a, b) -> F.Column:
     return _cosine_udf(a, b)
 
 
+def _rank_topk(scored: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Per-query top-k over a (query_id, vec_id, <score>) table with
+    null scores (malformed/zero-norm rows) excluded.
+
+    The null filter sits ABOVE the window on the rank, not below it:
+    a ``.filter(score.isNotNull())`` placed under the window is
+    pushed by Catalyst into its own Filter node that RE-EVALUATES the
+    Arrow UDF producing the score (two ArrowEvalPython nodes in the
+    physical plan -- measured 1.38x wall on ann_topk, pinned by
+    scripts/pin_regressions_r4.py).  Ranking with ``desc_nulls_last``
+    first is semantically identical -- a null can never displace a
+    valid row from the top k -- and keeps ONE UDF evaluation.
+    """
+    w = Window.partitionBy('query_id').orderBy(
+        F.col(score_col).desc_nulls_last(), F.col('vec_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .filter((F.col('rank') <= k)
+                    & F.col(score_col).isNotNull()))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col='vec_id', vec_col='embedding',
                      qid_col='query_id', qvec_col='embedding') -> DataFrame:
@@ -94,13 +114,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = joined.select(
         'query_id', 'vec_id',
         cosine(F.col('_vec'), F.col('_qvec')).alias('cos_sim'))
-    w = Window.partitionBy('query_id').orderBy(
-        F.col('cos_sim').desc(), F.col('vec_id'))
-    # malformed/zero-norm rows score null; with fewer than k valid
-    # candidates they would otherwise pass rank <= k as garbage rows
-    return (scored.filter(F.col('cos_sim').isNotNull())
-            .withColumn('rank', F.row_number().over(w))
-            .filter(F.col('rank') <= k))
+    # malformed/zero-norm rows score null; _rank_topk keeps them out
+    # of the top k without re-evaluating the scoring UDF
+    return _rank_topk(scored, 'cos_sim', k)
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list:
@@ -355,13 +371,10 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, dim: int,
               .select('query_id', 'vec_id',
                       cosine(F.col('_vec_id_v'),
                              F.col('_query_id_v')).alias('cos_sim')))
-    w = Window.partitionBy('query_id').orderBy(
-        F.col('cos_sim').desc(), F.col('vec_id'))
     # null cos_sim (zero-norm rows that still bucketed) must not
-    # occupy ranks in a sparse bucket -- same contract as pq_topk
-    return (scored.filter(F.col('cos_sim').isNotNull())
-            .withColumn('rank', F.row_number().over(w))
-            .filter(F.col('rank') <= k))
+    # occupy ranks in a sparse bucket -- same contract as pq_topk;
+    # _rank_topk keeps the scoring UDF single-evaluated
+    return _rank_topk(scored, 'cos_sim', k)
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.4,
@@ -683,14 +696,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select('query_id', 'vec_id',
                       cosine(F.col('_cv'), F.col('_qv'))
                       .alias('cos_sim')))
-    w = Window.partitionBy('query_id').orderBy(
-        F.col('cos_sim').desc(), F.col('vec_id'))
     # null cos_sim (zero-norm corpus rows that still landed in a
     # cell) must not occupy ranks when a probed cell holds < k valid
-    # candidates -- same contract as the pq paths' isNotNull filter.
-    return (scored.filter(F.col('cos_sim').isNotNull())
-            .withColumn('rank', F.row_number().over(w))
-            .filter(F.col('rank') <= k))
+    # candidates -- same contract as the pq paths; _rank_topk keeps
+    # the scoring UDF single-evaluated.
+    return _rank_topk(scored, 'cos_sim', k)
 
 
 # --- Product quantization (PQ) --------------------------------------
@@ -910,17 +920,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = (codes.crossJoin(F.broadcast(q))
               .select('query_id', 'vec_id',
                       _pq_score_udf(B)(F.col('_code'), F.col('_qvec'))
-                      .alias('_adc'))
-              # malformed rows score null -- drop them here so they
-              # never occupy a rank (desc ordering would otherwise
-              # append them when k >= corpus size)
-              .filter(F.col('_adc').isNotNull()))
-    w = Window.partitionBy('query_id').orderBy(
-        F.col('_adc').desc(), F.col('vec_id'))
+                      .alias('_adc')))
+    # malformed rows score null -- _rank_topk keeps them out of every
+    # rank without re-evaluating the ADC UDF (see its docstring)
     if rerank and rerank > 0:
-        pool = (scored.withColumn('_r', F.row_number().over(w))
-                .filter(F.col('_r') <= max(rerank, k))
-                .select('query_id', 'vec_id'))
+        pool = _rank_topk(scored, '_adc', max(rerank, k)) \
+            .select('query_id', 'vec_id')
         cv = corpus.select(F.col(id_col).alias('vec_id'),
                            F.col(vec_col).alias('_cv'))
         # Broadcast the bounded pool (<= rerank x |queries| ids) so
@@ -930,17 +935,10 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  .join(F.broadcast(q), 'query_id')
                  .select('query_id', 'vec_id',
                          cosine(F.col('_cv'), F.col('_qvec'))
-                         .alias('cos_sim'))
-                 .filter(F.col('cos_sim').isNotNull()))
-        w2 = Window.partitionBy('query_id').orderBy(
-            F.col('cos_sim').desc(), F.col('vec_id'))
-        return (exact.withColumn('rank', F.row_number().over(w2))
-                .filter(F.col('rank') <= k))
-    return (scored.withColumnRenamed('_adc', 'cos_sim')
-            .withColumn('rank', F.row_number().over(
-                Window.partitionBy('query_id').orderBy(
-                    F.col('cos_sim').desc(), F.col('vec_id'))))
-            .filter(F.col('rank') <= k))
+                         .alias('cos_sim')))
+        return _rank_topk(exact, 'cos_sim', k)
+    return _rank_topk(scored.withColumnRenamed('_adc', 'cos_sim'),
+                      'cos_sim', k)
 
 
 def ivfpq_index(corpus: DataFrame, n_cells: int = 16, m: int = 4,
@@ -1018,21 +1016,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = (cb.join(F.broadcast(qb), 'cell')
               .select('query_id', 'vec_id',
                       _pq_score_udf(B)(F.col('_code'), F.col('_qvec'))
-                      .alias('_adc'))
-              .filter(F.col('_adc').isNotNull()))
-    w = Window.partitionBy('query_id').orderBy(
-        F.col('_adc').desc(), F.col('vec_id'))
+                      .alias('_adc')))
+    # null _adc handled by _rank_topk (single ADC-UDF evaluation)
     if not rerank or rerank <= 0:
         # ADC-only contract, mirroring pq_topk: rerank=0 returns the
         # approximate scores directly (no raw-vector pass at all).
-        return (scored.withColumnRenamed('_adc', 'cos_sim')
-                .withColumn('rank', F.row_number().over(
-                    Window.partitionBy('query_id').orderBy(
-                        F.col('cos_sim').desc(), F.col('vec_id'))))
-                .filter(F.col('rank') <= k))
-    pool = (scored.withColumn('_r', F.row_number().over(w))
-            .filter(F.col('_r') <= max(rerank, k))
-            .select('query_id', 'vec_id'))
+        return _rank_topk(scored.withColumnRenamed('_adc', 'cos_sim'),
+                          'cos_sim', k)
+    pool = _rank_topk(scored, '_adc', max(rerank, k)) \
+        .select('query_id', 'vec_id')
     cv = corpus.select(F.col(id_col).alias('vec_id'),
                        F.col(vec_col).alias('_cv'))
     # Bounded pool broadcast: the raw-vector table streams, never
@@ -1041,12 +1033,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              .join(F.broadcast(q), 'query_id')
              .select('query_id', 'vec_id',
                      cosine(F.col('_cv'), F.col('_qvec'))
-                     .alias('cos_sim'))
-             .filter(F.col('cos_sim').isNotNull()))
-    w2 = Window.partitionBy('query_id').orderBy(
-        F.col('cos_sim').desc(), F.col('vec_id'))
-    return (exact.withColumn('rank', F.row_number().over(w2))
-            .filter(F.col('rank') <= k))
+                     .alias('cos_sim')))
+    return _rank_topk(exact, 'cos_sim', k)
 
 
 def semdedup(corpus: DataFrame, n_cells: int = 16,
