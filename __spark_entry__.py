@@ -3272,6 +3272,67 @@ WHERE rk <= ceil(0.25 * n - 1e-9)
 """
 
 
+def q_clip_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22c: sample-calibrated per-group alignment threshold -- the
+    documented scale move for top-frac mode's extreme groups (hash-
+    sample 50% of pairs, per-group quantile-boundary score).  The
+    rounded threshold AND the sampled count are projected so the gate
+    verifies the calibration itself."""
+    from pytrs_spark import multimodal
+    thr = multimodal.alignment_threshold_from_sample(
+        _alignment_pairs(spark, sf_dir), 'grp', top_frac=0.25,
+        sample_rate=0.5)
+    return thr.select('grp', F.round('threshold', 3).alias('threshold'),
+                      'n_sampled')
+
+
+def _clip_CAL_CTES() -> str:
+    # sample the pairs on the documented hash mix of image_id, then
+    # per group take the score at rank ceil(0.25 * n - 1e-9) under
+    # (s DESC, image_id) over non-null sampled scores
+    return f"""
+WITH p AS ({_ALIGN_PAIR_SQL}),
+samp AS (
+  SELECT image_id, caption_id, grp, s FROM (
+    SELECT *, {_mix_sql('image_id', 0)} AS _h FROM p
+  ) WHERE _h < {int(0.5 * (1 << 31))}
+),
+r AS (
+  SELECT grp, s,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY s DESC, image_id) AS rk,
+         count(s) OVER (PARTITION BY grp) AS n
+  FROM samp WHERE s IS NOT NULL
+),
+thr AS (
+  SELECT grp, s AS t, n AS n_sampled FROM r
+  WHERE rk = ceil(0.25 * n - 1e-9)
+)"""
+
+
+_ORACLE_CLIP_THRESHOLD = _clip_CAL_CTES() + """
+SELECT grp, round(t, 3) AS threshold, n_sampled FROM thr
+"""
+
+
+def q_clip_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22d: the calibrated thresholds re-applied through threshold
+    mode's zero-corpus-exchange plan shape (broadcast |groups|-row
+    threshold table + scan filter); tests pin the plan."""
+    from pytrs_spark import multimodal
+    kept = multimodal.alignment_filter_calibrated(
+        _alignment_pairs(spark, sf_dir), 'grp', top_frac=0.25,
+        sample_rate=0.5)
+    return kept.select('image_id', 'caption_id', 'grp')
+
+
+_ORACLE_CLIP_CALIBRATED = _clip_CAL_CTES() + """
+SELECT p.image_id, p.caption_id, p.grp
+FROM p JOIN thr ON p.grp = thr.grp
+WHERE p.s >= thr.t
+"""
+
+
 # --- G17 bbox overlap join ---------------------------------------------
 
 
@@ -4046,6 +4107,9 @@ _RAW_QUERIES = {
         'mixture_sample': q_mixture_sample,
         'mixture_tokens': q_mixture_tokens,
         'semdedup': q_semdedup,
+        # -- new in round 5 --
+        'clip_threshold': q_clip_threshold,
+        'clip_calibrated': q_clip_calibrated,
         # -- driver-verified green in CORRECTNESS_r04 --
         'aspect_bucket': q_aspect_bucket,
         'pack_patches': q_pack_patches,
@@ -4169,6 +4233,8 @@ def oracle_sql() -> dict[str, str]:
         'multimodal_keep_one': _ORACLE_MM_KEEP,
         'clip_filter': _ORACLE_CLIP_FILTER,
         'clip_topq': _ORACLE_CLIP_TOPQ,
+        'clip_threshold': _ORACLE_CLIP_THRESHOLD,
+        'clip_calibrated': _ORACLE_CLIP_CALIBRATED,
         'bbox_overlap': _ORACLE_BBOX,
         'lm_score': _ORACLE_LM,
         'dbscan': _ORACLE_DBSCAN,

@@ -360,9 +360,16 @@ def alignment_filter(pairs: DataFrame, left_col: str = 'image_emb',
 
     if (threshold is None) == (top_frac is None):
         raise ValueError('pass exactly one of threshold= / top_frac=')
-    scored = alignment_scores(pairs, left_col, right_col, out_col)
     if threshold is not None:
+        # score-then-filter scan shape: use the Catalyst-barrier
+        # clone so the kernel runs ONCE (a filter on a deterministic
+        # UDF column is pushed below the projection and re-evaluates
+        # it -- see operators/ann.py cosine_scan)
+        from .operators.ann import cosine_scan
+        scored = pairs.withColumn(out_col,
+                                  cosine_scan(left_col, right_col))
         return scored.filter(F.col(out_col) >= float(threshold))
+    scored = alignment_scores(pairs, left_col, right_col, out_col)
     keys = [by] if isinstance(by, str) else list(by or ())
     if not keys:
         raise ValueError('top_frac mode needs a group key (by=...)')
@@ -381,3 +388,90 @@ def alignment_filter(pairs: DataFrame, left_col: str = 'image_emb',
                             - F.lit(1e-9))))
     return (scored.withColumn('_keep', keep)
             .filter('_keep').drop('_keep'))
+
+
+def alignment_threshold_from_sample(
+        pairs: DataFrame, by, top_frac: float, sample_rate: float,
+        key_col: str = 'image_id', left_col: str = 'image_emb',
+        right_col: str = 'caption_emb', salt: int = 0,
+        out_col: str = 'threshold') -> DataFrame:
+    """Per-group alignment threshold calibrated from a deterministic
+    hash sample -- the scale move for ``top_frac`` mode's extreme
+    groups (spec above: when one group is half the corpus, ranking it
+    costs a corpus-scale sort; sampling its score distribution and
+    re-running THRESHOLD mode costs a scan).
+
+    Method: keep the ``sample_rate`` hash-sample of ``key_col``
+    (``sample_by_hash`` -- stable under repartitioning, pure scan
+    filter), score it, and per group take the score at deterministic
+    rank ``ceil(top_frac * n_sampled - 1e-9)`` under
+    ``(score desc, key asc)`` -- the sampled estimate of the
+    ``top_frac`` quantile boundary, same epsilon convention as
+    ``alignment_filter``.  Returns one row per group that had at
+    least one valid sampled score: ``(by..., <out_col>, n_sampled)``.
+    Groups with NO sampled valid score get no row (absence of
+    evidence; size ``sample_rate`` so every group of interest is
+    hit -- this is a calibration for LARGE groups by construction).
+
+    Scale shape: the only exchange is the group-key hash of the
+    SAMPLED rows (~``sample_rate`` x corpus); the output is
+    |groups|-bounded and broadcastable -- see
+    :func:`alignment_filter_calibrated`.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import sample_by_hash
+    keys = [by] if isinstance(by, str) else list(by or ())
+    if not keys:
+        raise ValueError('calibration needs a group key (by=...)')
+    if not 0.0 < top_frac <= 1.0:
+        raise ValueError('top_frac must be in (0, 1]')
+    samp = sample_by_hash(pairs, key_col, sample_rate, salt)
+    scored = alignment_scores(samp, left_col, right_col, '_s')
+    grp = Window.partitionBy(*keys)
+    rk = F.row_number().over(
+        grp.orderBy(F.col('_s').desc_nulls_last(), F.col(key_col)))
+    n = F.count('_s').over(grp)
+    # rank == boundary selects exactly the quantile row; the
+    # null-exclusion rides the rank (nulls sort last), evaluated
+    # ABOVE the window so the scoring UDF runs once (see
+    # operators/ann.py _rank_topk for the double-eval pathology).
+    return (scored.withColumn('_rk', rk).withColumn('_n', n)
+            .filter(F.col('_s').isNotNull()
+                    & (F.col('_rk') == F.ceil(
+                        F.lit(float(top_frac)) * F.col('_n')
+                        - F.lit(1e-9))))
+            .select(*keys, F.col('_s').alias(out_col),
+                    F.col('_n').alias('n_sampled')))
+
+
+def alignment_filter_calibrated(
+        pairs: DataFrame, by, top_frac: float, sample_rate: float,
+        key_col: str = 'image_id', left_col: str = 'image_emb',
+        right_col: str = 'caption_emb', salt: int = 0,
+        out_col: str = 'alignment') -> DataFrame:
+    """Sample-calibrate per-group thresholds, then keep rows through
+    THRESHOLD mode's plan shape: score in the scan stage, broadcast
+    the |groups|-row threshold table, filter ``score >= threshold``.
+    ZERO exchange on the corpus side (the sample leg's group hash is
+    ~``sample_rate`` of the corpus) -- vs a corpus-scale group sort
+    in exact ``top_frac`` mode.  Keeps ~``top_frac`` of each group
+    (sampling error; exactness is what the corpus-sort buys).  Rows
+    in groups without a calibrated threshold drop.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.ann import cosine_scan
+    keys = [by] if isinstance(by, str) else list(by or ())
+    thr = alignment_threshold_from_sample(
+        pairs, keys, top_frac, sample_rate, key_col=key_col,
+        left_col=left_col, right_col=right_col, salt=salt,
+        out_col='_thr')
+    # corpus side scores through the scan-stage barrier clone (one
+    # kernel evaluation; the >= join condition would otherwise push
+    # an inferred isnotnull(UDF) below the projection)
+    scored = pairs.withColumn(out_col, cosine_scan(left_col, right_col))
+    return (scored.join(F.broadcast(thr.select(*keys, '_thr')), keys)
+            .filter(F.col(out_col) >= F.col('_thr'))
+            .drop('_thr'))

@@ -78,6 +78,25 @@ def cosine(a, b) -> F.Column:
     return _cosine_udf(a, b)
 
 
+# The same kernel flagged non-deterministic (it IS deterministic --
+# the flag is a Catalyst barrier): a filter placed on a
+# deterministic-UDF column gets pushed below the projection
+# (PushDownPredicate, and InferFiltersFromConstraints adds an
+# isnotnull twin from any null-intolerant comparison), leaving TWO
+# ArrowEvalPython nodes that each run the kernel over the full scan.
+# Scoring through the ND clone pins the filter ABOVE the projection:
+# one evaluation.  Use it for scan-stage score-then-filter shapes
+# (threshold-mode alignment); windows/aggregates consume the score
+# ATTRIBUTE, so ranking paths keep the plain UDF.
+_cosine_udf_nd = _cosine_udf.asNondeterministic()
+
+
+def cosine_scan(a, b) -> F.Column:
+    """`cosine` for score-then-filter scan stages (see the barrier
+    note above)."""
+    return _cosine_udf_nd(a, b)
+
+
 def _rank_topk(scored: DataFrame, score_col: str, k: int) -> DataFrame:
     """Per-query top-k over a (query_id, vec_id, <score>) table with
     null scores (malformed/zero-norm rows) excluded.

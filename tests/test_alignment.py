@@ -111,3 +111,68 @@ def test_threshold_plan_has_no_exchange(spark):
         _pairs(spark, BASE), threshold=0.5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert 'Exchange' not in plan
+
+
+def test_threshold_plan_single_udf_eval(spark):
+    # the score-then-filter shape must evaluate the cosine kernel
+    # ONCE (a deterministic-UDF filter gets pushed below the
+    # projection and re-runs the kernel -- cosine_scan barrier)
+    plan = multimodal.alignment_filter(
+        _pairs(spark, BASE), threshold=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('ArrowEvalPython') == 1
+
+
+def test_threshold_from_sample_values(spark):
+    # sample_rate=1.0 keeps every row deterministic, so the
+    # calibrated threshold is exactly the rank-ceil(q*n) score
+    thr = multimodal.alignment_threshold_from_sample(
+        _pairs(spark, BASE), 'grp', top_frac=0.5, sample_rate=1.0)
+    got = {r['grp']: (round(r['threshold'], 6), r['n_sampled'])
+           for r in thr.collect()}
+    # en: scores [1.0, .707, 0.0, -1.0], ceil(.5*4)=2 -> .707
+    # de: scores [1.0, .707], ceil(.5*2)=1 -> 1.0
+    assert got == {'en': (round(_cos([1.0, 0.0], [1.0, 1.0]), 6), 4),
+                   'de': (1.0, 2)}
+
+
+def test_threshold_from_sample_null_scores_excluded(spark):
+    rows = BASE + [(7, 'de', None, [1.0, 0.0]),
+                   (8, 'fr', None, [1.0, 0.0])]  # fr: only invalid
+    thr = multimodal.alignment_threshold_from_sample(
+        _pairs(spark, rows), 'grp', top_frac=0.5, sample_rate=1.0)
+    got = {r['grp']: r['n_sampled'] for r in thr.collect()}
+    # null score doesn't count toward n; all-null group gets no row
+    assert got == {'en': 4, 'de': 2}
+
+
+def test_calibrated_filter_matches_threshold_rerun(spark):
+    # at sample_rate=1.0 the calibrated filter keeps exactly the
+    # rows a manual threshold re-run would
+    rows = [(i, 'en',
+             [1.0, 0.0],
+             [math.cos(i / 7.0), math.sin(i / 7.0)])
+            for i in range(40)]
+    cal = multimodal.alignment_filter_calibrated(
+        _pairs(spark, rows), 'grp', top_frac=0.3, sample_rate=1.0)
+    thr = multimodal.alignment_threshold_from_sample(
+        _pairs(spark, rows), 'grp', top_frac=0.3, sample_rate=1.0) \
+        .collect()[0]['threshold']
+    manual = multimodal.alignment_filter(
+        _pairs(spark, rows), threshold=thr)
+    assert (sorted(r['image_id'] for r in cal.collect())
+            == sorted(r['image_id'] for r in manual.collect()))
+    # ~top_frac of the group kept (exact here: full sample)
+    assert cal.count() == math.ceil(0.3 * 40 - 1e-9)
+
+
+def test_calibrated_plan_shape(spark):
+    # corpus side: broadcast threshold attach + scan filter, ONE
+    # cosine eval; the only hash exchange is the sample leg's
+    # group-key window
+    cal = multimodal.alignment_filter_calibrated(
+        _pairs(spark, BASE), 'grp', top_frac=0.5, sample_rate=0.5)
+    plan = cal._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('Exchange hashpartitioning') == 1
+    assert 'BroadcastExchange' in plan
+    assert plan.count('_cosine_udf') == 2  # sample leg + corpus leg
