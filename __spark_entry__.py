@@ -3945,6 +3945,53 @@ FROM c, t
 """
 
 
+def q_write_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35 sink: run the ACTUAL sharded export (one ``shard=K/``
+    directory per shard) to a scratch dir and return what is ON DISK
+    -- the gate verifies the writer end-to-end (rows survive the
+    write, each lands in its assigned shard directory) against the
+    same SQL re-derivation that gates ``shard_by_bytes``."""
+    import tempfile
+
+    from pytrs_spark.operators.io import write_sharded
+    orders = spark.read.parquet(f'{sf_dir}/orders.parquet')
+    blobs = orders.select(
+        F.col('o_orderkey').alias('image_key'),
+        (F.lit(1024) + (F.col('o_orderkey') * 2654435761) % 1048576)
+        .alias('nbytes'))
+    path = tempfile.mkdtemp(prefix='q_write_sharded_') + '/export'
+    write_sharded(blobs, path, 'nbytes', 'image_key',
+                  n_shards=_SB_SHARDS, mode='overwrite')
+    back = spark.read.parquet(path)
+    return back.select('image_key',
+                       F.col('nbytes').cast('long').alias('nbytes'),
+                       F.col('shard').cast('long').alias('shard'))
+
+
+_ORACLE_WRITE_SHARDED = f"""
+WITH b AS (
+  SELECT o_orderkey AS image_key,
+         1024 + (o_orderkey * 2654435761) % 1048576 AS nbytes
+  FROM orders
+),
+t AS (
+  SELECT CAST((SUM(nbytes) + {_SB_SHARDS - 1}) // {_SB_SHARDS}
+              AS BIGINT) AS tgt
+  FROM b
+),
+c AS (
+  SELECT image_key, nbytes,
+         CAST(COALESCE(SUM(nbytes) OVER (ORDER BY image_key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum
+  FROM b
+)
+SELECT image_key, CAST(nbytes AS BIGINT) AS nbytes,
+       CAST(cum // t.tgt AS BIGINT) AS shard
+FROM c, t
+"""
+
+
 # --- G20 area-weighted zonal overlap ----------------------------------
 
 # Zones: 25 overlapping 16x16 boxes on a 12-unit lattice (nation
@@ -4110,6 +4157,7 @@ _RAW_QUERIES = {
         # -- new in round 5 --
         'clip_threshold': q_clip_threshold,
         'clip_calibrated': q_clip_calibrated,
+        'write_sharded': q_write_sharded,
         # -- driver-verified green in CORRECTNESS_r04 --
         'aspect_bucket': q_aspect_bucket,
         'pack_patches': q_pack_patches,
@@ -4235,6 +4283,7 @@ def oracle_sql() -> dict[str, str]:
         'clip_topq': _ORACLE_CLIP_TOPQ,
         'clip_threshold': _ORACLE_CLIP_THRESHOLD,
         'clip_calibrated': _ORACLE_CLIP_CALIBRATED,
+        'write_sharded': _ORACLE_WRITE_SHARDED,
         'bbox_overlap': _ORACLE_BBOX,
         'lm_score': _ORACLE_LM,
         'dbscan': _ORACLE_DBSCAN,

@@ -288,3 +288,60 @@ def test_stream_batch_dealer_counts_survive_restart(spark, tmp_path):
     assert rows[6] == (1, 2) and rows[7] == (2, 0)
     assert rows[12] == (0, 2)
     assert len(rows) == 10
+
+
+def test_stream_batch_dealer_restart_mid_stream(spark, tmp_path):
+    """Dealer exactly-once under a MID-STREAM kill: a slow-trigger
+    query over a 3-file source is stop()ped after its first
+    micro-batch commits (later files still unprocessed), then a
+    fresh query drains the rest from the same checkpoint.  The file
+    sink's commit log + the checkpointed counter must give every row
+    exactly once with contiguous per-group numbering -- no gap at
+    the interruption point, no replayed duplicates."""
+    import time
+
+    from pytrs_spark.streaming import stream_batch_dealer
+
+    src = str(tmp_path / 'msrc')
+    out = str(tmp_path / 'mout')
+    ckpt = str(tmp_path / 'mckpt')
+    schema = 'image_id bigint, bucket_id int, shard int'
+    # three source files, one group of 7 rows + one of 2
+    files = [[(1, 0, 0), (2, 0, 0), (3, 0, 0)],
+             [(4, 0, 0), (10, 1, 0)],
+             [(5, 0, 0), (6, 0, 0), (7, 0, 0), (11, 1, 0)]]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode('append').parquet(src)
+
+    def build():
+        stream = (spark.readStream.schema(schema)
+                  .option('maxFilesPerTrigger', 1).parquet(src))
+        return stream_batch_dealer(stream, batch_size=3)
+
+    # leg 1: slow trigger; kill after the first commit
+    q = (build().writeStream.format('parquet')
+         .option('path', out).option('checkpointLocation', ckpt)
+         .trigger(processingTime='2 seconds').start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p['numInputRows'] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # leg 2: drain everything left from the same checkpoint
+    q2 = (build().writeStream.format('parquet')
+          .option('path', out).option('checkpointLocation', ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.image_id for r in rows)
+    assert ids == [1, 2, 3, 4, 5, 6, 7, 10, 11]  # exactly once
+    # per group: dealt sequence numbers are contiguous from 0
+    for grp, n in ((0, 7), (1, 2)):
+        rns = sorted(r.batch_id * 3 + r.pos_in_batch
+                     for r in rows if r.bucket_id == grp)
+        assert rns == list(range(n)), (grp, rns)
