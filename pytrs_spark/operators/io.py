@@ -24,7 +24,8 @@ from ..plss import tract as tract_kernel
 from ..plss import trs as trs_kernel
 
 
-def _dynamic_parse_udf(default_config: str = None):
+def _dynamic_parse_udf(default_config: str = None,
+                       has_config_col: bool = False):
     """Fused parse with per-row config/layout strings.  Distinct
     config strings are memoized per batch (typically a handful of
     values across millions of rows)."""
@@ -38,13 +39,17 @@ def _dynamic_parse_udf(default_config: str = None):
         def kwargs_for(cfg, layout):
             key = (cfg, layout)
             if key not in memo:
-                # reference parse_csv semantics: a non-empty per-row
-                # config REPLACES the table default entirely ("if
-                # config_col is specified, then config= will be
-                # ignored, assuming the config_col actually contains
-                # data" -- samples/csv_parser/parse_csv.py:49-50),
-                # never merges with it.
-                kw = parse_config(cfg) if cfg else dict(base)
+                # reference parse_csv semantics: when a config COLUMN
+                # is wired, the row cell replaces config= for EVERY
+                # row -- an empty/null cell parses with config ''
+                # (parse_csv.py:189 assigns `config = row[...]`
+                # unconditionally; only a missing column keeps
+                # config=).  Without a config column, cfg is the
+                # all-null literal and the table default applies.
+                if has_config_col:
+                    kw = parse_config(cfg or '')
+                else:
+                    kw = parse_config(cfg) if cfg else dict(base)
                 if layout:
                     kw['layout'] = layout
                 memo[key] = kw
@@ -104,15 +109,19 @@ def parse_plss_table(df: DataFrame, desc_col: str,
                      config: str = None, keep_cols=None,
                      parallelism='auto') -> DataFrame:
     """Parse a description column with optional per-row config/layout
-    override columns (reference parse_csv semantics: a non-empty
-    ``config_col`` value overrides ``config`` for that row)."""
+    override columns (reference parse_csv semantics: once
+    ``config_col`` is wired, the row cell replaces ``config=`` for
+    every row -- an empty cell means config '', not the table
+    default)."""
     if keep_cols is None:
         keep_cols = [c for c in df.columns if c != desc_col]
     df = _ensure_parallelism(df, parallelism)
     cfg = F.col(config_col) if config_col else F.lit(None).cast('string')
     lay = F.col(layout_col) if layout_col else F.lit(None).cast('string')
     parsed = df.withColumn(
-        '_doc', _dynamic_parse_udf(config)(F.col(desc_col), cfg, lay))
+        '_doc',
+        _dynamic_parse_udf(config, has_config_col=config_col is not None)
+        (F.col(desc_col), cfg, lay))
     t = F.col('_tract')
     return parsed.select(
         *keep_cols,

@@ -187,34 +187,55 @@ def knn_section_corners(points: DataFrame, k: int = 4,
     radius = 2
     finished = []
     remaining = pts
+    prev = None     # previous round's persisted remainder
     while radius <= max_radius:
         staged = _topk_at_radius(remaining, k, radius)
-        finished.append(staged.filter('_safe'))
-        remaining = staged.filter('NOT _safe') \
-            .select('image_id', 'x', 'y')
         # k <= 4 is provably complete at the first radius for every
-        # finite point -- skip the emptiness probe (an extra job); the
+        # finite point -- no probe, no caching, loop runs once; the
         # only rows left behind are non-finite, handled below.
         if k <= 4 and radius == 2:
+            finished.append(staged.filter('_safe'))
+            remaining = staged.filter('NOT _safe') \
+                .select('image_id', 'x', 'y')
             break
-        # Persist the (skinny, shrinking) remainder: without it every
-        # radius's isEmpty probe and the final union re-execute the
-        # whole chain of earlier radii's kernel passes -- O(R^2) UDF
-        # evaluations.  Each finished part derives from the PREVIOUS
-        # round's persisted remainder, so the final action runs each
-        # kernel once.
-        remaining = remaining.persist()
-        if remaining.isEmpty():
+        # Iterative-round cache hygiene: persist `staged` so the
+        # round's kernel runs ONCE (three consumers below), make the
+        # round's outputs self-contained -- the safe part via eager
+        # localCheckpoint, the remainder via persist + a FULL
+        # materialization (count, not isEmpty: isEmpty stops at the
+        # first non-empty partition and would leave holes that
+        # recompute through freed ancestors) -- then free `staged`
+        # AND the previous round's remainder.  Without the frees,
+        # every generation's blocks stay pinned until session end
+        # (bounded by max_radius, but pure waste: each finished part
+        # only needs ITS round's blocks until the final action, and
+        # the checkpoint decouples it from them).
+        staged = staged.persist()
+        finished.append(staged.filter('_safe').localCheckpoint())
+        nxt = staged.filter('NOT _safe') \
+            .select('image_id', 'x', 'y').persist()
+        n_remaining = nxt.count()
+        staged.unpersist()
+        if prev is not None:
+            prev.unpersist()
+        prev = remaining = nxt
+        if n_remaining == 0:
             break
         radius += 1
 
     if on_unresolved == 'error':
         n_left = remaining.count()
         if n_left:
+            if prev is not None:
+                prev.unpersist()
             raise ValueError(
                 f'knn_section_corners: {n_left} rows unresolved '
                 f'(non-finite coords, or k={k} unsafe past radius '
                 f'{max_radius})')
+    # the output unions only the finished parts; the last remainder's
+    # blocks are no longer needed
+    if prev is not None:
+        prev.unpersist()
 
     out = finished[0]
     for part in finished[1:]:

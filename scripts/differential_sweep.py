@@ -33,7 +33,14 @@ def main():
                {'break_halves': True}, {'segment': True},
                {'sec_within': True}, {'require_colon': True},
                {'suppress_lot_divs': True},
-               {'ocr_scrub': True, 'clean_qq': True}]
+               {'ocr_scrub': True, 'clean_qq': True},
+               # round-5 additions: the two interactions the r4
+               # sweep left uncovered (exact qq_depth forcing
+               # subdivision THROUGH halves, and segmentation with
+               # the cautious colon second-pass)
+               {'qq_depth': 2, 'break_halves': True},
+               {'segment': True,
+                'require_colon': 'sec_colon_cautious'}]
     total = mismatches = ref_crashes = 0
     t0 = time.time()
     for seed in seeds:

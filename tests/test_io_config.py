@@ -113,19 +113,26 @@ def test_uid_sink_has_no_single_partition_exchange(spark):
 
 def test_per_row_config_replaces_table_default(spark):
     """Reference parse_csv semantics (samples/csv_parser/
-    parse_csv.py:49-50): a non-empty config_col value means the
-    table-level config is IGNORED for that row -- never merged.  Row
-    2's 'n' config must parse WITHOUT the table's clean_qq."""
+    parse_csv.py:187-192): once config_col is wired, the row cell
+    replaces config= for EVERY row -- `config = row[config_col - 1]`
+    is unconditional, so an empty/null cell parses with config ''
+    (NOT the table default), and a non-empty cell is never merged
+    with it."""
     desc = 'T154N-R97W Sec 14: NE'
     df = spark.createDataFrame(
         [(1, desc, None), (2, desc, 'n')],
         'doc_id long, desc string, cfg string')
     out = {r['doc_id']: r for r in parse_plss_table(
         df, 'desc', config_col='cfg', config='clean_qq').collect()}
-    # row 1: table default applies -> clean_qq breaks 'NE' into QQs
-    assert out[1]['qqs'] == ['NENE', 'NWNE', 'SENE', 'SWNE']
+    # row 1: empty cell -> config '' (table clean_qq IGNORED, the
+    # reference's unconditional-overwrite rule) -> no QQ breakdown
+    assert out[1]['qqs'] == []
     # row 2: per-row 'n' REPLACES the default -> no clean_qq
     assert out[2]['qqs'] == []
+    # without a config column the table default applies to all rows
+    out2 = {r['doc_id']: r for r in parse_plss_table(
+        df.drop('cfg'), 'desc', config='clean_qq').collect()}
+    assert out2[1]['qqs'] == ['NENE', 'NWNE', 'SENE', 'SWNE']
     # parity with the reference library under the same configs
     import sys
     sys.path.insert(0, '/root/reference')
