@@ -1835,11 +1835,12 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     (``scripts/cc_scale_probe.py`` reports it) and ``stats['mode']``
     is ``'local'`` or ``'distributed'``.
 
-    ``local_max_edges``: when the materialized symmetric edge set has
-    at most this many rows, the closure runs driver-side
-    (``_cc_local``) -- identical min-id semantics, none of the
-    per-round job overhead that otherwise floors small graphs at
-    ~7 rounds x scheduler latency.  0 forces the distributed path.
+    ``local_max_edges``: when the graph has at most this many
+    UNDIRECTED pairs (the materialized symmetric edge set is twice
+    that), the closure runs driver-side (``_cc_local``) -- identical
+    min-id semantics, none of the per-round job overhead that
+    otherwise floors small graphs at ~7 rounds x scheduler latency.
+    0 forces the distributed path.
     """
     # Single-scan symmetrization: explode each pair into both
     # directions instead of UNIONing two selects of `pairs` -- a union
@@ -1855,14 +1856,16 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     # way.
     edges = _checkpoint_fresh(sym.distinct())
     n_edges = edges.count()
-    # Size-gated driver closure: when the (materialized, skinny,
-    # symmetric) edge set is small, the distributed loop's wall is
-    # ~100% fixed per-round JOB overhead, not data -- collect the
-    # (long, long) rows and close locally instead (same min-id
-    # semantics, pinned by tests/test_cc_checkpoint.py equivalence).
-    # The gate mirrors the BROADCAST_MAX_ROWS convention; pass
+    # Size-gated driver closure: when the (materialized, skinny)
+    # edge set is small, the distributed loop's wall is ~100% fixed
+    # per-round JOB overhead, not data -- collect the (long, long)
+    # rows and close locally instead (same min-id semantics, pinned
+    # by tests/test_cc_checkpoint.py equivalence).  The gate counts
+    # UNDIRECTED pairs (n_edges is the symmetric materialization, 2x
+    # that); at the 2M default the collect is ~64 MB of int64
+    # columns -- the BROADCAST_MAX_ROWS convention.  Pass
     # local_max_edges=0 to force the distributed path.
-    if n_edges <= local_max_edges:
+    if n_edges <= 2 * local_max_edges:
         out = _cc_local(edges, stats=stats)
         _unpersist_checkpoint(edges)
         return out
