@@ -1846,10 +1846,19 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     # directions instead of UNIONing two selects of `pairs` -- a union
     # evaluates the (possibly expensive: grouped BLAS kernels, LSH
     # joins) pair-derivation subtree TWICE inside the first job.
-    sym = (pairs.select(F.explode(F.array(
-        F.struct(F.col(id_a).alias('src'), F.col(id_b).alias('dst')),
-        F.struct(F.col(id_b).alias('src'), F.col(id_a).alias('dst'))))
-        .alias('_e')).select('_e.src', '_e.dst'))
+    # Null endpoints take no edges (absence of evidence, the caption-
+    # edge convention): a null id cannot name a document, and letting
+    # it through would emit a junk (null, null) label row from the
+    # distributed loop and break the driver closure's int64 columns
+    # (pandas coerces a nullable long to float64 NaN).
+    sym = (pairs.filter(F.col(id_a).isNotNull()
+                        & F.col(id_b).isNotNull())
+           .select(F.explode(F.array(
+               F.struct(F.col(id_a).alias('src'),
+                        F.col(id_b).alias('dst')),
+               F.struct(F.col(id_b).alias('src'),
+                        F.col(id_a).alias('dst'))))
+               .alias('_e')).select('_e.src', '_e.dst'))
     # Checkpoint (not just persist) the initial edge set too: the
     # contraction loop below replaces it per round, and every generation
     # must be plan-truncated + stats-stripped + unpersistable the same

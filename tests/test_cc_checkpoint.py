@@ -172,3 +172,39 @@ def test_cc_local_empty_edges(spark):
     assert st['mode'] == 'local'
     assert [f.name for f in out.schema.fields] == ['doc_id',
                                                    'component_id']
+
+
+def test_cc_null_endpoints_take_no_edges(spark):
+    """A pair with a null endpoint is no evidence: it must not crash
+    the driver closure (pandas would coerce nullable long to float64
+    NaN) nor emit a junk null label row from the distributed loop."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None), (5, 6)],
+        'id_a long, id_b long')
+    for force in (2_000_000, 0):     # local, then distributed
+        out = sorted(tuple(r) for r in
+                     connected_components(
+                         df, local_max_edges=force).collect())
+        assert out == [(1, 1), (2, 1), (5, 5), (6, 5)], (force, out)
+
+
+def test_cc_local_matches_distributed_property(spark):
+    """Property check: on random small graphs (dense ints, self
+    loops, duplicate edges, multiple components) the driver closure
+    and the distributed loop produce identical labels."""
+    from hypothesis import given, settings, strategies as st
+
+    edge = st.tuples(st.integers(0, 40), st.integers(0, 40))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=60))
+    def check(edges):
+        df = spark.createDataFrame(edges, 'id_a long, id_b long')
+        a = sorted(tuple(r) for r in
+                   connected_components(df).collect())
+        b = sorted(tuple(r) for r in
+                   connected_components(
+                       df, local_max_edges=0).collect())
+        assert a == b
+
+    check()
