@@ -49,8 +49,7 @@ def _valid_mask(vals: np.ndarray, dim: int = None):
 _STACK_ELEMS = 8_000_000
 
 
-@F.pandas_udf(T.DoubleType())
-def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     av, bv = a.to_numpy(), b.to_numpy()
     ma, dim = _valid_mask(av)
     mb, _ = _valid_mask(bv, dim)
@@ -73,6 +72,9 @@ def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+_cosine_udf = F.pandas_udf(T.DoubleType())(_cosine_kernel)
+
+
 def cosine(a, b) -> F.Column:
     """Batch-vectorized cosine similarity of two vector columns."""
     return _cosine_udf(a, b)
@@ -87,8 +89,13 @@ def cosine(a, b) -> F.Column:
 # Scoring through the ND clone pins the filter ABOVE the projection:
 # one evaluation.  Use it for scan-stage score-then-filter shapes
 # (threshold-mode alignment); windows/aggregates consume the score
-# ATTRIBUTE, so ranking paths keep the plain UDF.
-_cosine_udf_nd = _cosine_udf.asNondeterministic()
+# ATTRIBUTE, so ranking paths keep the plain UDF.  The clone is a
+# SEPARATE UDF instance wrapped from the same kernel --
+# ``asNondeterministic()`` mutates its receiver in place and returns
+# self, so calling it on ``_cosine_udf`` itself would silently flag
+# every ranking path's UDF too (and cost THEM pushdown).
+_cosine_udf_nd = F.pandas_udf(T.DoubleType())(
+    _cosine_kernel).asNondeterministic()
 
 
 def cosine_scan(a, b) -> F.Column:

@@ -1872,9 +1872,11 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     # by tests/test_cc_checkpoint.py equivalence).  The gate counts
     # UNDIRECTED pairs (n_edges is the symmetric materialization, 2x
     # that); at the 2M default the collect is ~64 MB of int64
-    # columns -- the BROADCAST_MAX_ROWS convention.  Pass
-    # local_max_edges=0 to force the distributed path.
-    if n_edges <= 2 * local_max_edges:
+    # columns -- the BROADCAST_MAX_ROWS convention.
+    # local_max_edges=0 forces the distributed path, including for an
+    # empty graph -- a forced caller must always see
+    # mode='distributed'.
+    if local_max_edges and n_edges <= 2 * local_max_edges:
         out = _cc_local(edges, stats=stats)
         _unpersist_checkpoint(edges)
         return out

@@ -175,4 +175,28 @@ def test_calibrated_plan_shape(spark):
     plan = cal._jdf.queryExecution().executedPlan().toString()
     assert plan.count('Exchange hashpartitioning') == 1
     assert 'BroadcastExchange' in plan
-    assert plan.count('_cosine_udf') == 2  # sample leg + corpus leg
+    # one kernel eval on the sample leg + one on the corpus leg
+    assert plan.count('ArrowEvalPython') == 2
+
+
+def test_cosine_determinism_split(spark):
+    """asNondeterministic() mutates its receiver in place: the ND
+    scan clone must be a SEPARATE instance so ranking paths keep a
+    deterministic UDF (and its pushdown).  Pins both flags and the
+    plans: a key filter over alignment_scores pushes below the
+    scoring projection; over the threshold path it must not re-split
+    the kernel."""
+    import pytrs_spark.operators.ann as A
+    assert A._cosine_udf.deterministic is True
+    assert A._cosine_udf_nd.deterministic is False
+    # deterministic scoring: cheap key predicate reaches the scan
+    scored = multimodal.alignment_scores(_pairs(spark, BASE))
+    plan = scored.filter(F.col('image_id') < 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    scan_part = plan.split('ArrowEvalPython')[-1]
+    assert 'image_id' in scan_part and 'Filter' in scan_part
+    # ND threshold path: still exactly one kernel evaluation
+    plan2 = multimodal.alignment_filter(
+        _pairs(spark, BASE), threshold=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count('ArrowEvalPython') == 1
