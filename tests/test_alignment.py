@@ -200,3 +200,16 @@ def test_cosine_determinism_split(spark):
         _pairs(spark, BASE), threshold=0.5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan2.count('ArrowEvalPython') == 1
+
+
+def test_calibration_validation(spark):
+    df = _pairs(spark, BASE)
+    with pytest.raises(ValueError):
+        multimodal.alignment_threshold_from_sample(
+            df, None, top_frac=0.5, sample_rate=1.0)   # no group key
+    with pytest.raises(ValueError):
+        multimodal.alignment_threshold_from_sample(
+            df, 'grp', top_frac=0.0, sample_rate=1.0)  # frac range
+    with pytest.raises(ValueError):
+        multimodal.alignment_threshold_from_sample(
+            df, 'grp', top_frac=0.5, sample_rate=1.5)  # rate range
