@@ -181,9 +181,17 @@ def zonal_pixel_stats(assignments: DataFrame, images: DataFrame,
     without a matching image are dropped by the inner join.
     """
     keys = list(keys)
+    # Null-bytes rows are dropped on the NATIVE column BEFORE the
+    # decode: null stats occur iff bytes is null (decode_pixel_stats
+    # contract), and filtering on the UDF-derived ``n_px`` instead
+    # gets pushed below the decode projection by Catalyst, which
+    # re-evaluates the decode kernel -- the 100-TB-dominant stage --
+    # a second time (two ArrowEvalPython nodes; same pathology as
+    # operators/ann.py _rank_topk).  The bytes predicate also reaches
+    # the parquet scan as a PushedFilter, which n_px never could.
     stats = decode_pixel_stats(
-        images.select(id_col, bytes_col), bytes_col) \
-        .filter(F.col('n_px').isNotNull()) \
+        images.select(id_col, bytes_col)
+        .filter(F.col(bytes_col).isNotNull()), bytes_col) \
         .select(id_col, 'n_px', 'px_sum')
     joined = assignments.select(id_col, *keys).join(stats, id_col)
     return (joined.groupBy(*keys)
