@@ -708,7 +708,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         cb = index.select('vec_id', F.col(vec_col).alias('_cv'),
                           'cell')
     else:
-        assign = _cell_udf(C, 1)
+        # per-call UDF instance flagged ND: the cell column becomes
+        # the JOIN key below, and InferFiltersFromConstraints would
+        # otherwise push an isnotnull(assign-UDF) filter under the
+        # projection -- the centroid-matmul kernel then runs TWICE
+        # over the corpus (two ArrowEvalPython nodes, verified).
+        # Per-call instance, so no other path is affected.
+        assign = _cell_udf(C, 1).asNondeterministic()
         cb = (corpus.select(F.col(id_col).alias('vec_id'),
                             F.col(vec_col).alias('_cv'))
               .select('vec_id', '_cv',
@@ -1028,7 +1034,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if index is not None:
         cb = index
     else:
-        assign = _cell_udf(C, 1)
+        # ND per-call instance: see ivf_topk -- the inferred
+        # isnotnull(cell) join-key filter would re-run the assign
+        # kernel over the corpus otherwise.
+        assign = _cell_udf(C, 1).asNondeterministic()
         cb = (corpus.select(F.col(id_col).alias('vec_id'),
                             F.col(vec_col).alias('_cv'))
               .select('vec_id',

@@ -365,8 +365,7 @@ def _pack_bits_udf(n_bits: int):
     return udf
 
 
-@F.pandas_udf(T.IntegerType())
-def _popcount_and_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _popcount_and_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     """|A & B| of two equal-length packed bitmaps: one reshape + AND +
     8-bit popcount table lookup across the whole Arrow batch."""
     av, bv = a.to_numpy(), b.to_numpy()
@@ -384,6 +383,15 @@ def _popcount_and_udf(a: pd.Series, b: pd.Series) -> pd.Series:
                           np.uint8).reshape(len(idx), -1)
         out[idx] = _POPCNT8[A & B].sum(axis=1, dtype=np.int64)
     return pd.Series(out, dtype=object)
+
+
+# ND instance (the kernel IS deterministic; the flag is a Catalyst
+# barrier): the verify threshold filter references the n_inter
+# column, and a deterministic UDF there gets pushed below the
+# projection and re-evaluated -- two ArrowEvalPython popcount passes
+# over the candidate set (same pathology as ann.py _rank_topk).
+_popcount_and_udf = F.pandas_udf(T.IntegerType())(
+    _popcount_and_kernel).asNondeterministic()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col='text',
@@ -828,8 +836,13 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
     fingerprint, cf. Manku et al., WWW'07 -- the r+1-band pigeonhole
     trick is theirs).
     """
+    # Persist the skinny (id, simhash) projection: the banded join
+    # below consumes it from many branches, and un-cached each one
+    # re-runs the simhash kernel over the full text corpus (measured
+    # TEN ArrowEvalPython evaluations in one plan).  16 B/row
+    # MEMORY_AND_DISK -- the CC loop's skinny-cache convention.
     sh = docs.select(F.col(id_col).alias('id'),
-                     simhash_col(F.col(text_col)).alias('sh'))
+                     simhash_col(F.col(text_col)).alias('sh')).persist()
     return hamming_near_dup_pairs(
         sh, id_col='id', hash_col='sh', max_hamming=max_hamming,
         bands=bands, max_bucket=max_bucket, drop_stats=drop_stats)
@@ -927,6 +940,15 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
     if not 0 <= k <= 63:
         raise ValueError('need 0 <= max_hamming <= 63')
 
+    # NOTE for callers whose hash column is UDF-derived (simhash over
+    # text): the plan below consumes the (id, hash) projection from
+    # MULTIPLE branches (key-count probe, distinct-hash reps, member
+    # attach, band explode) -- persist your skinny hash table FIRST
+    # or the kernel re-runs per branch (measured TEN ArrowEvalPython
+    # evaluations of the simhash kernel in one un-cached plan;
+    # simhash_near_dup_pairs does this).  Native hash columns (phash)
+    # should NOT be persisted: re-deriving them is codegen arithmetic,
+    # cheaper than the 10M-row cache write (measured +25% wall).
     sh = hashes.select(F.col(id_col).alias('id'),
                        F.col(hash_col).cast('long').alias('sh'))
     if n_blocks is None:
