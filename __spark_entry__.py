@@ -3960,12 +3960,17 @@ def q_write_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col('o_orderkey').alias('image_key'),
         (F.lit(1024) + (F.col('o_orderkey') * 2654435761) % 1048576)
         .alias('nbytes'))
-    # FIXED scratch path (per sf tag), overwritten each run: the
-    # returned DataFrame lazily reads from it, so it cannot be
-    # removed here, and a mkdtemp per evaluation would accumulate
-    # one full export per gate/bench sweep for the host's lifetime.
+    # Scratch path fixed PER PROCESS (uid + pid + sf tag),
+    # overwritten on re-evaluation within the process: the returned
+    # DataFrame lazily reads from it, so it cannot be removed here; a
+    # mkdtemp per evaluation would accumulate one full export per
+    # EVALUATION, while a globally fixed path would race two
+    # concurrent harness processes (overwrite-delete under a sibling
+    # process's in-flight scan) and collide across users.  Leftover
+    # is bounded at one small export per harness process.
     path = os.path.join(
-        tempfile.gettempdir(), 'pytrs_spark_q_write_sharded',
+        tempfile.gettempdir(),
+        f'pytrs_spark_q_write_sharded_{os.getuid()}_{os.getpid()}',
         os.path.basename(os.path.normpath(sf_dir)), 'export')
     write_sharded(blobs, path, 'nbytes', 'image_key',
                   n_shards=_SB_SHARDS, mode='overwrite')

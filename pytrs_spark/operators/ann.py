@@ -588,7 +588,12 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     through Arrow to recompute assignments."""
     C = _ivf_centroids(corpus, n_cells, id_col, vec_col,
                        train_sample=train_sample)
-    assign = _cell_udf(C, 1)
+    # ND per-call instance, same reason as the ad-hoc ivf_topk path:
+    # an UNPERSISTED index handed to ivf_topk/ivfpq_topk joins on
+    # 'cell', and the inferred isnotnull(cell) would re-run the
+    # assign kernel over the corpus (two ArrowEvalPython nodes).
+    # Persisted/written indexes are unaffected either way.
+    assign = _cell_udf(C, 1).asNondeterministic()
     return (corpus.select(F.col(id_col).alias('vec_id'),
                           F.col(vec_col).alias(vec_col))
             .select('vec_id', vec_col,
@@ -986,7 +991,8 @@ def ivfpq_index(corpus: DataFrame, n_cells: int = 16, m: int = 4,
     C = _ivf_centroids(corpus, n_cells, id_col, vec_col,
                        train_sample=train_sample)
     B = pq_codebooks(corpus, m, nbits, id_col, vec_col)
-    assign = _cell_udf(C, 1)
+    # ND per-call instance: see ivf_index.
+    assign = _cell_udf(C, 1).asNondeterministic()
     return (corpus.select(F.col(id_col).alias('vec_id'),
                           F.col(vec_col).alias('_cv'))
             .select('vec_id',

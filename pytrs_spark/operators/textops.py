@@ -787,7 +787,8 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
                            id_col='doc_id', max_hamming: int = 3,
                            bands: int = None,
                            max_bucket: int = None,
-                           drop_stats: dict = None) -> DataFrame:
+                           drop_stats: dict = None,
+                           persist: bool = True) -> DataFrame:
     """All document pairs whose 64-bit SimHashes differ in at most
     ``max_hamming`` bits -- SimHash-based near-dup detection as a
     banded Hamming-LSH join.
@@ -840,9 +841,14 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
     # below consumes it from many branches, and un-cached each one
     # re-runs the simhash kernel over the full text corpus (measured
     # TEN ArrowEvalPython evaluations in one plan).  16 B/row
-    # MEMORY_AND_DISK -- the CC loop's skinny-cache convention.
+    # MEMORY_AND_DISK -- the ngram_jaccard_pairs convention,
+    # including the ``persist=False`` opt-out for callers managing
+    # their own lifecycle (the blocks otherwise live until the
+    # session GCs the plan; one cached table per call).
     sh = docs.select(F.col(id_col).alias('id'),
-                     simhash_col(F.col(text_col)).alias('sh')).persist()
+                     simhash_col(F.col(text_col)).alias('sh'))
+    if persist:
+        sh = sh.persist()
     return hamming_near_dup_pairs(
         sh, id_col='id', hash_col='sh', max_hamming=max_hamming,
         bands=bands, max_bucket=max_bucket, drop_stats=drop_stats)

@@ -45,7 +45,6 @@ def main():
              .getOrCreate())
     tune_session(spark)
     spark.sparkContext.setLogLevel('ERROR')
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     for n in sizes:
         edges = build_graph(spark, n).persist()
