@@ -3272,6 +3272,42 @@ WHERE rk <= ceil(0.25 * n - 1e-9)
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T39: overlapping token-window chunking of long documents
+    (max_tokens=24, overlap=6 -> stride 18) -- the long-doc half of
+    the pretraining layout (pack_sequences is the short-doc half).
+    Chunk text itself is projected so the gate verifies the window
+    CONTENT, not just the arithmetic."""
+    from pytrs_spark.operators.textops import chunk_documents
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    return chunk_documents(docs, max_tokens=24, overlap=6)
+
+
+_ORACLE_CHUNK_DOCS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(text, '[ \t\n\r\f\x0b]+'),
+           x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0
+)
+, s AS (
+  SELECT doc_id, toks, nt, unnest(range(0, nt, 18)) AS start FROM d
+)
+SELECT doc_id,
+       CAST(start // 18 AS INT) AS chunk_id,
+       CAST(start AS INT) AS begin_tok,
+       CAST(least(24, nt - start) AS INT) AS n_tok,
+       array_to_string(toks[start + 1 : start + 24], ' ')
+         AS chunk_text
+FROM s
+WHERE start = 0 OR start + 6 < nt
+"""
+
+
 def q_clip_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G22c: sample-calibrated per-group alignment threshold -- the
     documented scale move for top-frac mode's extreme groups (hash-
@@ -4171,6 +4207,7 @@ _RAW_QUERIES = {
         'clip_threshold': q_clip_threshold,
         'clip_calibrated': q_clip_calibrated,
         'write_sharded': q_write_sharded,
+        'chunk_docs': q_chunk_docs,
         # -- driver-verified green in CORRECTNESS_r04 --
         'aspect_bucket': q_aspect_bucket,
         'pack_patches': q_pack_patches,
@@ -4297,6 +4334,7 @@ def oracle_sql() -> dict[str, str]:
         'clip_threshold': _ORACLE_CLIP_THRESHOLD,
         'clip_calibrated': _ORACLE_CLIP_CALIBRATED,
         'write_sharded': _ORACLE_WRITE_SHARDED,
+        'chunk_docs': _ORACLE_CHUNK_DOCS,
         'bbox_overlap': _ORACLE_BBOX,
         'lm_score': _ORACLE_LM,
         'dbscan': _ORACLE_DBSCAN,

@@ -615,6 +615,21 @@ def main():
         lambda: textops.pack_sequences(docs, 256, n_shards=8)
         .agg(F.count(F.lit(1)), F.sum('n_tok')).collect(), runs=RUNS), 3)
 
+    # T39 long-document chunking at scale: 1M synthetic docs of
+    # 81-120 tokens (~100M tokens) -> overlapping 32-token windows.
+    # Pure scan-stage codegen (zero shuffle, zero UDF): this row is
+    # the engine's native text-layout throughput ceiling.
+    _cdocs = spark.range(1_000_000).select(
+        F.col('id').alias('doc_id'),
+        F.array_join(F.transform(
+            F.sequence(F.lit(0), F.lit(80) + (F.col('id') % 40)),
+            lambda i: F.concat(F.lit('w'), i)), ' ').alias('text'))
+    queries['chunk_docs_1m'] = round(_median_time(
+        lambda: textops.chunk_documents(_cdocs, 32, overlap=4)
+        .agg(F.count(F.lit(1)), F.sum('n_tok'),
+             F.bit_xor(F.xxhash64('doc_id', 'chunk_id', 'chunk_text')))
+        .collect(), runs=RUNS), 3)
+
     # Deterministic hash sampling: codegen-native filter over the
     # biggest table we have (lineitem-scale via the images parquet is
     # spatial; use documents x a range blowup for a text-side count).

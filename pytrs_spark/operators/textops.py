@@ -2121,6 +2121,68 @@ def mask_pii(docs: DataFrame, text_col: str = 'text',
     return docs.select(*cols, masked.alias('masked'), *counts)
 
 
+def chunk_documents(docs: DataFrame, max_tokens: int,
+                    overlap: int = 0, text_col: str = 'text',
+                    id_col: str = 'doc_id') -> DataFrame:
+    """T39: split LONG documents into overlapping ``max_tokens``-token
+    windows -- the other half of the pretraining layout problem from
+    :func:`pack_sequences` (that one concatenates SHORT docs into
+    fixed windows; this one chops docs longer than the context into
+    stride ``max_tokens - overlap`` windows so no text is dropped and
+    window boundaries keep ``overlap`` tokens of left context).
+
+    Tokens are the pinned ASCII-whitespace split of the text (the
+    ``normalized_text`` class: ``[ \\t\\n\\r\\f\\x0b]``), so chunk
+    text is the SINGLE-SPACE join of its token slice -- original
+    inter-token whitespace is not preserved (the standard contract
+    for token-window chunking; byte-exact spans are what
+    :func:`exact_substr_spans` provides).  A doc with ``n`` tokens
+    yields windows starting at ``0, s, 2s, ...`` (``s = max_tokens -
+    overlap``) for every start that contributes at least one NEW
+    token (``start == 0`` or ``start + overlap < n`` -- a tail
+    window fully contained in the previous window's coverage is
+    dropped); the last window may be short; a doc with no tokens
+    (null/empty/whitespace text) yields NO rows.  ``chunk_id`` is
+    the 0-based window index.
+
+    Output: ``(id_col, chunk_id, begin_tok, n_tok, chunk_text)``
+    with ``begin_tok`` the window's token offset in the doc (end =
+    begin + n_tok, exclusive).
+
+    Scale shape: pure scan-stage codegen -- ``split`` + ``sequence``
+    + ``posexplode`` + ``slice``/``array_join``; ZERO shuffle, no
+    UDF, output rows ~ total_tokens / stride.  Catalyst prunes to
+    (id, text); at 100 TB this runs at scan speed and composes with
+    any downstream shuffle untouched.
+    """
+    if max_tokens < 1:
+        raise ValueError(f'max_tokens must be >= 1, got {max_tokens}')
+    if not 0 <= overlap < max_tokens:
+        raise ValueError('need 0 <= overlap < max_tokens, got '
+                         f'overlap={overlap}, max_tokens={max_tokens}')
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r'[ \t\n\r\f\x0b]+')
+    # split('') == [''] -- strip empties so blank text has 0 tokens
+    toks = F.filter(toks, lambda x: x != '')
+    base = (docs.select(F.col(id_col), toks.alias('_t'))
+            .withColumn('_n', F.size('_t'))
+            .filter(F.col('_n') > 0))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col('_n') - 1, F.lit(step)),
+        lambda s: (s == 0) | (s + overlap < F.col('_n')))
+    return (base
+            .select(id_col, '_t', '_n',
+                    F.posexplode(starts).alias('chunk_id', 'begin_tok'))
+            .select(id_col, 'chunk_id', 'begin_tok',
+                    F.least(F.lit(max_tokens),
+                            F.col('_n') - F.col('begin_tok'))
+                    .alias('n_tok'),
+                    F.array_join(
+                        F.slice('_t', F.col('begin_tok') + 1,
+                                F.lit(max_tokens)), ' ')
+                    .alias('chunk_text')))
+
+
 def pack_sequences(docs: DataFrame, context_len: int,
                    n_shards: int = 64, text_col: str = 'text',
                    id_col: str = 'doc_id') -> DataFrame:

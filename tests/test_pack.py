@@ -96,3 +96,55 @@ def test_pack_validation(spark):
         pack_sequences(df, 0)
     with pytest.raises(ValueError):
         pack_sequences(df, 8, n_shards=0)
+
+
+class TestChunkDocuments:
+    def test_basic_overlap(self, spark):
+        from pytrs_spark.operators.textops import chunk_documents
+        df = spark.createDataFrame(
+            [(1, 'a b c d e f g'), (2, 'x  y\t z'), (3, ''),
+             (4, None), (5, '   \t'), (6, 'one')],
+            'doc_id long, text string')
+        out = sorted((tuple(r) for r in
+                      chunk_documents(df, 3, 1).collect()))
+        assert out == [
+            (1, 0, 0, 3, 'a b c'), (1, 1, 2, 3, 'c d e'),
+            (1, 2, 4, 3, 'e f g'),
+            (2, 0, 0, 3, 'x y z'),   # tail window (start 2) adds no
+                                     # new token -> dropped
+            (6, 0, 0, 1, 'one'),     # short doc: one short chunk
+        ]
+
+    def test_no_overlap_exact_multiple(self, spark):
+        from pytrs_spark.operators.textops import chunk_documents
+        df = spark.createDataFrame([(1, 'a b c d')],
+                                   'doc_id long, text string')
+        out = sorted(tuple(r) for r in
+                     chunk_documents(df, 2, 0).collect())
+        assert out == [(1, 0, 0, 2, 'a b'), (1, 1, 2, 2, 'c d')]
+
+    def test_coverage_no_token_dropped(self, spark):
+        from pyspark.sql import functions as F
+        from pytrs_spark.operators.textops import chunk_documents
+        text = ' '.join(f't{i}' for i in range(53))
+        df = spark.createDataFrame([(1, text)], 'doc_id long, text string')
+        out = chunk_documents(df, 8, 3)
+        # union of [begin, begin+n_tok) must cover 0..52 exactly
+        covered = set()
+        for r in out.collect():
+            covered.update(range(r.begin_tok, r.begin_tok + r.n_tok))
+        assert covered == set(range(53))
+        # zero exchange, zero UDF
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange' not in plan and 'ArrowEvalPython' not in plan
+
+    def test_validation(self, spark):
+        import pytest
+        from pytrs_spark.operators.textops import chunk_documents
+        df = spark.createDataFrame([(1, 'a')], 'doc_id long, text string')
+        with pytest.raises(ValueError):
+            chunk_documents(df, 0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, 4, overlap=4)
+        with pytest.raises(ValueError):
+            chunk_documents(df, 4, overlap=-1)
