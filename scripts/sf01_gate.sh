@@ -16,7 +16,7 @@ events_pivot percentiles topk_per_group json_extract rolling_window \
 session_window lm_score mask_pii aspect_bucket char_entropy \
 histogram hll_registers sample_hash assign_split stratified_sample \
 clip_filter clip_topq clip_threshold clip_calibrated write_sharded \
-zorder_key zorder_scan}"
+chunk_docs zorder_key zorder_scan}"
 for q in $Q; do
   echo "--- $q"
   timeout 900 python scripts/check_correctness.py /root/testdata/sf0.1 "$q" \
