@@ -148,3 +148,51 @@ class TestChunkDocuments:
             chunk_documents(df, 4, overlap=4)
         with pytest.raises(ValueError):
             chunk_documents(df, 4, overlap=-1)
+
+    def test_chunk_matches_python_reference_property(self, spark):
+        """Random texts/params vs an independent pure-Python chunker:
+        same windows, same text, full coverage."""
+        from hypothesis import given, settings, strategies as st
+
+        from pytrs_spark.operators.textops import chunk_documents
+
+        def py_chunks(text, max_tokens, overlap):
+            toks = [t for t in
+                    (text or '').replace('\t', ' ').replace('\n', ' ')
+                    .replace('\r', ' ').replace('\f', ' ')
+                    .replace('\x0b', ' ').split(' ') if t]
+            n, step, out = len(toks), max_tokens - overlap, []
+            s = 0
+            while s < n and (s == 0 or s + overlap < n):
+                w = toks[s:s + max_tokens]
+                out.append((s // step, s, len(w), ' '.join(w)))
+                s += step
+            return out
+
+        word = st.text(alphabet='abc', min_size=1, max_size=3)
+        sep = st.sampled_from([' ', '  ', '\t', '\n', ' \x0b '])
+        texts = st.lists(word, min_size=0, max_size=30).flatmap(
+            lambda ws: st.lists(sep, min_size=max(len(ws) - 1, 0),
+                                max_size=max(len(ws) - 1, 0)).map(
+                lambda ss: ''.join(
+                    w + s for w, s in zip(ws, ss + [''])))
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(texts, min_size=1, max_size=6),
+               st.integers(1, 7), st.integers(0, 6))
+        def check(docs, max_tokens, overlap):
+            if overlap >= max_tokens:
+                overlap = max_tokens - 1
+            df = spark.createDataFrame(
+                list(enumerate(docs)), 'doc_id long, text string')
+            got = sorted(tuple(r) for r in
+                         chunk_documents(df, max_tokens, overlap)
+                         .collect())
+            want = sorted(
+                (i, cid, b, nt, txt)
+                for i, d in enumerate(docs)
+                for cid, b, nt, txt in py_chunks(d, max_tokens, overlap))
+            assert got == want
+
+        check()
