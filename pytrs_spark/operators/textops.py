@@ -970,8 +970,22 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
             'C(n_blocks, max_hamming) = %d tables is past the 512 '
             'explode cap; lower n_blocks'
             % comb(n_blocks, k))
-    reps = sh.groupBy('sh').agg(F.min('id').alias('rep_id'))
-    member = sh.join(reps, 'sh').select('id', 'rep_id', 'sh')
+    # Membership is only ever CONSUMED for duplicated hashes: a
+    # singleton group's rep is the row itself, so the cross expansion
+    # can default to the rep id (left join + coalesce) and the within
+    # pairs of a size-1 group are empty.  Restricting `member` to
+    # groups with >= 2 rows turns three corpus-sized joins (member
+    # attach, within self-join, cross expansion) into joins against a
+    # duplication-mass-bounded table -- ~empty for perceptual-hash
+    # image corpora (distinct hashes), proportional to the duplicated
+    # mass for crawl simhash corpora (where the old full-member join
+    # cost the same; identical output either way, pinned by
+    # test_simhash/test_multimodal oracle gates).
+    reps = sh.groupBy('sh').agg(F.min('id').alias('rep_id'),
+                                F.count(F.lit(1)).alias('_cnt'))
+    member = sh.join(reps.filter(F.col('_cnt') >= 2)
+                     .select('sh', 'rep_id'), 'sh') \
+        .select('id', 'rep_id')
 
     # Contiguous block split: widths differ by at most 1 and cover
     # all 64 bits exactly once.
@@ -1069,14 +1083,20 @@ def hamming_near_dup_pairs(hashes: DataFrame, id_col: str = 'id',
         near_reps = cand.select('rep_a', 'rep_b', 'hamming').distinct()
 
     # Cross-group expansion: members inherit their reps' distance
-    # (members share their rep's simhash exactly).
+    # (members share their rep's simhash exactly).  LEFT joins against
+    # the dup-only member table: a rep with no member rows IS its
+    # group (coalesce to the rep id), so singleton groups never ride
+    # a join.
     ma = member.select(F.col('rep_id').alias('rep_a'),
                        F.col('id').alias('_ma'))
     mb = member.select(F.col('rep_id').alias('rep_b'),
                        F.col('id').alias('_mb'))
-    cross = (near_reps.join(ma, 'rep_a').join(mb, 'rep_b')
-             .select(F.least('_ma', '_mb').alias('id_a'),
-                     F.greatest('_ma', '_mb').alias('id_b'),
+    _a = F.coalesce('_ma', F.col('rep_a'))
+    _b = F.coalesce('_mb', F.col('rep_b'))
+    cross = (near_reps.join(ma, 'rep_a', 'left')
+             .join(mb, 'rep_b', 'left')
+             .select(F.least(_a, _b).alias('id_a'),
+                     F.greatest(_a, _b).alias('id_b'),
                      'hamming'))
 
     # Within-group pairs: identical simhash -> Hamming exactly 0.

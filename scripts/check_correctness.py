@@ -87,14 +87,28 @@ def main():
         cols_ok = sorted(sdf.columns) == sorted(odf.columns)
         rows_ok = len(sdf) == len(odf)
         hash_ok = cols_ok and canon(sdf) == canon(odf)
-        status = 'MATCH' if (cols_ok and rows_ok and hash_ok) else 'MISMATCH'
+        # Driver-canon guard: the %.6g float formatting above masks
+        # int64-vs-float64 dtype splits that a stricter str()-based
+        # canon (the driver's) fails on -- the r5 exact_substr_trim
+        # signature.  Flag any numeric-kind mismatch per column.
+        dtype_bad = []
+        if cols_ok:
+            for c in sdf.columns:
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                if ks != ko and {ks, ko} <= {'i', 'u', 'f'}:
+                    dtype_bad.append(f'{c}:{ks}!={ko}')
+        status = 'MATCH' if (cols_ok and rows_ok and hash_ok
+                             and not dtype_bad) else 'MISMATCH'
         report[name] = {
             'status': status, 'rows_spark': len(sdf), 'rows_oracle': len(odf),
             'cols_ok': cols_ok, 'hash_ok': hash_ok,
+            'dtype_bad': dtype_bad,
             'spark_s': round(t_spark, 2),
         }
         print(f'{name}: {status} rows={len(sdf)}/{len(odf)} '
-              f'cols_ok={cols_ok} hash_ok={hash_ok} ({t_spark:.1f}s)')
+              f'cols_ok={cols_ok} hash_ok={hash_ok}'
+              + (f' dtype_bad={dtype_bad}' if dtype_bad else '')
+              + f' ({t_spark:.1f}s)')
         if status == 'MISMATCH' and cols_ok:
             s = sdf[sorted(sdf.columns)].astype(str).apply(
                 '|'.join, axis=1).sort_values().reset_index(drop=True)
