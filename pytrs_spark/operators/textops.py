@@ -217,6 +217,29 @@ def _minhash_sig_udf(k: int, num_perm: int):
     return udf
 
 
+def _sig_from_shingles_udf(num_perm: int):
+    """MinHash signature from an ALREADY-SHINGLED doc: input is
+    :func:`shingles_col`'s output (distinct int64 shingle hashes,
+    never empty -- short texts are padded to one window), output is
+    bit-identical to :func:`_minhash_sig_udf` on the source text.
+    Callers that materialize the shingle table anyway
+    (:func:`near_duplicate_pairs` needs it for the exact verify) get
+    signatures for the cost of the permutation sweep alone instead of
+    a second full re-tokenization of the corpus."""
+    a_vec, b_vec, prime = _perm_coeffs(num_perm)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(shingles: pd.Series) -> pd.Series:
+        def one(sh):
+            h31 = np.mod(np.asarray(sh, dtype=np.int64), prime)
+            out = np.empty(len(a_vec), dtype=np.int64)
+            for i in range(len(a_vec)):
+                out[i] = ((h31 * a_vec[i] + b_vec[i]) % prime).min()
+            return out
+        return shingles.map(one)
+    return udf
+
+
 def minhash_signatures(df: DataFrame, text_col='text', id_col='doc_id',
                        k: int = 5, num_perm: int = 32) -> DataFrame:
     """MinHash signatures, one row per doc with a ``sig`` array.
@@ -264,8 +287,28 @@ def minhash_lsh_candidates(df: DataFrame, text_col='text',
         # silently ignore trailing signature slots.  No silent caps.
         raise ValueError(
             f'bands must divide num_perm ({num_perm}), got {bands}')
-    rows_per_band = num_perm // bands
     with_sig = minhash_signatures(df, text_col, id_col, k, num_perm)
+    return _lsh_from_sig(with_sig, num_perm=num_perm, bands=bands,
+                         max_bucket=max_bucket, drop_stats=drop_stats,
+                         min_sig_matches=min_sig_matches)
+
+
+def _lsh_from_sig(with_sig: DataFrame, num_perm: int, bands: int,
+                  max_bucket: int = None, drop_stats: dict = None,
+                  min_sig_matches: int = None) -> DataFrame:
+    """LSH banding + bucket self-join + optional signature-estimate
+    prefilter over a prepared ``(id, sig)`` table -- the shared tail
+    of :func:`minhash_lsh_candidates` and :func:`near_duplicate_pairs`
+    (which feeds signatures derived from its persisted shingle table
+    instead of re-tokenizing).  When the prefilter is on, the plan
+    consumes ``with_sig`` from three branches (band explode + both
+    prefilter sides), so the table is persisted here -- otherwise the
+    signature kernel re-runs once per branch (the same multi-branch
+    pathology the jaccard/simhash persists close)."""
+    rows_per_band = num_perm // bands
+    if min_sig_matches is not None and min_sig_matches > 0:
+        from pyspark import StorageLevel
+        with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = with_sig.select(
         'id',
         F.explode(F.transform(
@@ -651,15 +694,34 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
         min_sig = int((p * num_perm) // (2 * q))
     else:
         min_sig = min_sig_matches
-    cand = minhash_lsh_candidates(
-        rep_docs, text_col='text', id_col='id', k=k, num_perm=num_perm,
-        bands=bands, max_bucket=max_bucket, drop_stats=drop_stats,
-        min_sig_matches=min_sig)
-    verified = ngram_jaccard(cand, rep_docs, text_col='text', id_col='id',
-                             k=k)
-    near_reps = verified.filter(
-        F.col('n_inter') * q >= F.col('n_union') * p) \
-        .select('id_a', 'id_b', 'n_inter', 'n_union')
+    # ONE shingle pass serves everything downstream: the persisted
+    # (id, shingles) table feeds the MinHash signatures (permutation
+    # sweep only -- no re-tokenization), both sides of the exact
+    # verify, and the within-group size lookup.  Before this the
+    # shingle/signature kernels re-ran once per plan branch (3x sig +
+    # 3x shingles measured on the bench corpus: ~6 s of duplicate
+    # kernel work in an 11 s wall).  Same persist convention --
+    # MEMORY_AND_DISK, skinny rows -- as ngram_jaccard_pairs.
+    from pyspark import StorageLevel
+    sh_tab = rep_docs.select(
+        'id', shingles_col(F.col('text'), k).alias('_sh')) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    with_sig = sh_tab.select(
+        'id', _sig_from_shingles_udf(num_perm)(F.col('_sh')).alias('sig'))
+    cand = _lsh_from_sig(with_sig, num_perm=num_perm, bands=bands,
+                         max_bucket=max_bucket, drop_stats=drop_stats,
+                         min_sig_matches=min_sig)
+    sha = sh_tab.select(F.col('id').alias('id_a'),
+                        F.col('_sh').alias('_sha'))
+    shb = sh_tab.select(F.col('id').alias('id_b'),
+                        F.col('_sh').alias('_shb'))
+    _inter = F.size(F.array_intersect('_sha', '_shb'))
+    _union = F.size(F.array_union('_sha', '_shb'))
+    near_reps = (cand.join(sha, 'id_a').join(shb, 'id_b')
+                 .select('id_a', 'id_b',
+                         _inter.alias('n_inter'),
+                         _union.alias('n_union'))
+                 .filter(F.col('n_inter') * q >= F.col('n_union') * p))
 
     # Cross-group expansion: every member of group(id_a) pairs with
     # every member of group(id_b); counts equal the rep pair's.
@@ -674,9 +736,9 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
 
     # Within-group pairs: identical texts, Jaccard exactly 1
     # (n_inter = n_union = |shingle set| of the group's text).
-    sizes = rep_docs.select(
+    sizes = sh_tab.select(
         F.col('id').alias('rep_id'),
-        F.size(shingles_col(F.col('text'), k)).alias('_n_sh'))
+        F.size('_sh').alias('_n_sh'))
     m1 = member.alias('m1')
     m2 = member.alias('m2')
     within = (m1.join(m2, 'rep_id')
