@@ -1843,7 +1843,8 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
 
 
 def _cc_local(edges: DataFrame, stats: dict = None) -> DataFrame:
-    """Driver-side closure for a SMALL symmetric edge set: collect the
+    """Driver-side closure for a SMALL edge set (raw directed pairs;
+    symmetrized and deduped in numpy below): collect the
     skinny (src, dst) rows and resolve min-id components with a
     vectorized numpy hook-and-contract loop (edge contraction + sorted
     segment-min hooking + pointer jumping: O(log diameter) rounds of
@@ -1873,7 +1874,12 @@ def _cc_local(edges: DataFrame, stats: dict = None) -> DataFrame:
     both = np.concatenate([pdf['src'].to_numpy(), pdf['dst'].to_numpy()])
     ids, inv = np.unique(both, return_inverse=True)
     m = len(pdf)
-    src, dst = inv[:m], inv[m:]
+    # Symmetrize in numpy (two cheap concatenates) -- the caller hands
+    # RAW directed pairs, so the Spark-side explode + distinct + 2x
+    # checkpoint bytes the old flow paid per closure are gone.
+    # Duplicate edges are harmless to the segment-min hook.
+    src = np.concatenate([inv[:m], inv[m:]])
+    dst = np.concatenate([inv[m:], inv[:m]])
     label = np.arange(len(ids), dtype=np.int64)
     rounds = 0
     # Hook-and-contract rounds (the numpy mirror of the distributed
@@ -1968,44 +1974,47 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     otherwise floors small graphs at ~7 rounds x scheduler latency.
     0 forces the distributed path.
     """
-    # Single-scan symmetrization: explode each pair into both
-    # directions instead of UNIONing two selects of `pairs` -- a union
-    # evaluates the (possibly expensive: grouped BLAS kernels, LSH
-    # joins) pair-derivation subtree TWICE inside the first job.
+    # Materialize the RAW directed pairs once (checkpoint, not
+    # persist: the contraction loop below replaces edge generations
+    # and every generation must be plan-truncated + stats-stripped
+    # the same way).  The pair-derivation subtree (possibly
+    # expensive: grouped BLAS kernels, LSH joins) runs exactly once;
+    # the gate count and the local collect both read the checkpoint.
     # Null endpoints take no edges (absence of evidence, the caption-
     # edge convention): a null id cannot name a document, and letting
     # it through would emit a junk (null, null) label row from the
     # distributed loop and break the driver closure's int64 columns
     # (pandas coerces a nullable long to float64 NaN).
-    sym = (pairs.filter(F.col(id_a).isNotNull()
+    raw = (pairs.filter(F.col(id_a).isNotNull()
                         & F.col(id_b).isNotNull())
-           .select(F.explode(F.array(
-               F.struct(F.col(id_a).alias('src'),
-                        F.col(id_b).alias('dst')),
-               F.struct(F.col(id_b).alias('src'),
-                        F.col(id_a).alias('dst'))))
-               .alias('_e')).select('_e.src', '_e.dst'))
-    # Checkpoint (not just persist) the initial edge set too: the
-    # contraction loop below replaces it per round, and every generation
-    # must be plan-truncated + stats-stripped + unpersistable the same
-    # way.
-    edges = _checkpoint_fresh(sym.distinct())
-    n_edges = edges.count()
-    # Size-gated driver closure: when the (materialized, skinny)
-    # edge set is small, the distributed loop's wall is ~100% fixed
+           .select(F.col(id_a).alias('src'), F.col(id_b).alias('dst')))
+    raw_ck = _checkpoint_fresh(raw)
+    n_raw = raw_ck.count()
+    # Size-gated driver closure: when the (materialized, skinny) edge
+    # set is small, the distributed loop's wall is ~100% fixed
     # per-round JOB overhead, not data -- collect the (long, long)
     # rows and close locally instead (same min-id semantics, pinned
     # by tests/test_cc_checkpoint.py equivalence).  The gate counts
-    # UNDIRECTED pairs (n_edges is the symmetric materialization, 2x
-    # that); at the 2M default the collect is ~64 MB of int64
-    # columns -- the BROADCAST_MAX_ROWS convention.
+    # raw pair rows (>= distinct undirected pairs, so the bound is
+    # conservative); at the 2M default the collect is ~32 MB of
+    # int64 columns -- the BROADCAST_MAX_ROWS convention.  The local
+    # path symmetrizes and dedups in numpy, skipping the Spark-side
+    # explode + distinct shuffle the distributed loop needs.
     # local_max_edges=0 forces the distributed path, including for an
     # empty graph -- a forced caller must always see
     # mode='distributed'.
-    if local_max_edges and n_edges <= 2 * local_max_edges:
-        out = _cc_local(edges, stats=stats)
-        _unpersist_checkpoint(edges)
+    if local_max_edges and n_raw <= local_max_edges:
+        out = _cc_local(raw_ck, stats=stats)
+        _unpersist_checkpoint(raw_ck)
         return out
+    sym = raw_ck.select(F.explode(F.array(
+        F.struct(F.col('src'), F.col('dst')),
+        F.struct(F.col('dst').alias('src'),
+                 F.col('src').alias('dst')))).alias('_e')) \
+        .select('_e.src', '_e.dst')
+    edges = _checkpoint_fresh(sym.distinct())
+    _unpersist_checkpoint(raw_ck)
+    n_edges = edges.count()
     if stats is not None:
         stats['mode'] = 'distributed'
     labels = (edges.select(F.col('src').alias('id')).distinct()

@@ -103,10 +103,15 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     # core graph, border attach) and the component loop re-reads its
     # edges every round -- materialize the skinny (id, id, dist) rows
     # once instead of re-running the radius join per job.
+    # Project to (_c, id) BEFORE the checkpoint: localCheckpoint
+    # materializes whole rows, and nothing downstream reads `dist`
+    # (core counts, core graph and border attach are membership-only)
+    # -- keeping it would checkpoint a third more bytes and pay the
+    # sqrt for every pair.
     pairs = radius_join(points, centers, eps, res=res,
                         broadcast_centers=broadcast,
                         point_id=point_id, center_id='_c'
-                        ).localCheckpoint()
+                        ).select('_c', point_id).localCheckpoint()
     counts = pairs.groupBy('_c').agg(F.count(F.lit(1)).alias('_n'))
     cores = counts.filter(F.col('_n') >= min_pts).select('_c')
 
@@ -133,8 +138,17 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
               .groupBy('_c')
               .agg(F.min('cluster_id').alias('cluster_id')))
 
+    # Materialize the (small: cores + borders only) label table and
+    # FREE the pair checkpoint: the returned plan then carries one
+    # lineage-free table instead of the core/border join tree, so (a)
+    # every downstream action replays one tiny join, not the whole
+    # graph labeling, and (b) the 2x-pairs checkpoint blocks don't
+    # outlive the call (they used to leak until session end -- one
+    # orphaned multi-MB RDD per dbscan() invocation).
     labeled = (core_clusters.withColumn('role', F.lit('core'))
-               .unionByName(border.withColumn('role', F.lit('border'))))
+               .unionByName(border.withColumn('role', F.lit('border')))
+               ).localCheckpoint()
+    pairs.unpersist()
     return (points.select(point_id)
             .join(labeled.withColumnRenamed('_c', point_id),
                   point_id, 'left')
