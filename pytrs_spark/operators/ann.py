@@ -436,15 +436,60 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.4,
     # exact-cosine verify late-materializes vectors by id join over
     # the deduped (much smaller) pair set -- the same
     # late-materialization policy as the tile path's payload columns.
-    b = base.select('id', F.posexplode(sketch(F.col('_v')))
-                    .alias('table', 'bucket'))
-    left = b.alias('l')
-    right = b.alias('r')
-    cand = (left.join(right, ['table', 'bucket'])
-            .filter(F.col('l.id') < F.col('r.id'))
-            .select(F.col('l.id').alias('id_a'),
-                    F.col('r.id').alias('id_b'))
-            .distinct())
+    if tables * planes <= 63:
+        # Zero-exchange exactly-once emission (the hamming-join
+        # least-table rule): pack every table's bucket bits into one
+        # long carried through the self-join; a pair that meets in
+        # several tables is reported only by the FIRST table whose
+        # buckets agree -- a codegen conjunction over the packed
+        # fields -- so the distinct() shuffle of the (quadratic-in-
+        # occupancy) candidate stream disappears.  Identical pair set:
+        # bucket equality in table t == equality of the t-th
+        # planes-bit field by construction (buckets < 2^planes).
+        arr = base.select('id', sketch(F.col('_v')).alias('_sk'))
+        # The no-distinct pipeline has NO exchange between the bucket
+        # join and the cosine verify, so the join's probe side sets
+        # the parallelism of the whole quadratic expansion; a small
+        # single-file corpus would run it in one task.  Spread the
+        # (skinny) sketch table first -- a few-KB shuffle; wide
+        # corpora already exceed the default parallelism and skip it.
+        par = base.sparkSession.sparkContext.defaultParallelism
+        if arr.rdd.getNumPartitions() < par:
+            arr = arr.repartition(par)
+        pk = F.lit(0).cast('long')
+        for t in range(tables):
+            pk = pk.bitwiseOR(
+                F.shiftleft(F.element_at('_sk', t + 1).cast('long'),
+                            planes * t))
+        b = arr.select('id', pk.alias('_pk'),
+                       F.posexplode('_sk').alias('table', 'bucket'))
+        left = b.alias('l')
+        right = b.alias('r')
+
+        def _field(col, t):
+            return F.shiftrightunsigned(col, planes * t) \
+                .bitwiseAND(F.lit((1 << planes) - 1))
+
+        first_tab = F.lit(True)
+        for t in range(tables - 1):
+            first_tab = first_tab & (
+                (F.col('table') <= t)
+                | (_field(F.col('l._pk'), t) != _field(F.col('r._pk'), t)))
+        cand = (left.join(right, ['table', 'bucket'])
+                .filter(F.col('l.id') < F.col('r.id'))
+                .filter(first_tab)
+                .select(F.col('l.id').alias('id_a'),
+                        F.col('r.id').alias('id_b')))
+    else:
+        b = base.select('id', F.posexplode(sketch(F.col('_v')))
+                        .alias('table', 'bucket'))
+        left = b.alias('l')
+        right = b.alias('r')
+        cand = (left.join(right, ['table', 'bucket'])
+                .filter(F.col('l.id') < F.col('r.id'))
+                .select(F.col('l.id').alias('id_a'),
+                        F.col('r.id').alias('id_b'))
+                .distinct())
     va = base.select(F.col('id').alias('id_a'), F.col('_v').alias('_va'))
     vb = base.select(F.col('id').alias('id_b'), F.col('_v').alias('_vb'))
     return (cand.join(va, 'id_a').join(vb, 'id_b')
