@@ -29,6 +29,7 @@ Design notes for 100 TB:
 """
 
 import warnings
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -79,6 +80,7 @@ _FNV_PRIME = np.uint64(1099511628211)
 _FNV_OFFSET = np.uint64(14695981039346656037)
 
 
+@lru_cache(maxsize=64)
 def _shingle_udf(k: int):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def udf(texts: pd.Series) -> pd.Series:
@@ -114,6 +116,7 @@ def shingles_col(text_col, k: int = 5) -> F.Column:
     return _shingle_udf(k)(normalized_text(text_col))
 
 
+@lru_cache(maxsize=64)
 def _char_ngram_udf(n: int):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def udf(texts: pd.Series) -> pd.Series:
@@ -181,6 +184,7 @@ def _perm_coeffs(num_perm: int):
     return a, b, prime
 
 
+@lru_cache(maxsize=64)
 def _minhash_sig_udf(k: int, num_perm: int):
     """Shingle-hash + minhash signature fused in one numpy kernel:
     per doc, ``sig_i = min((a_i * (h mod p) + b_i) mod p)`` over the
@@ -217,6 +221,7 @@ def _minhash_sig_udf(k: int, num_perm: int):
     return udf
 
 
+@lru_cache(maxsize=64)
 def _sig_from_shingles_udf(num_perm: int):
     """MinHash signature from an ALREADY-SHINGLED doc: input is
     :func:`shingles_col`'s output (distinct int64 shingle hashes,
@@ -390,6 +395,7 @@ _POPCNT8 = np.unpackbits(
     .astype(np.uint16)
 
 
+@lru_cache(maxsize=64)
 def _pack_bits_udf(n_bits: int):
     """array<int> of gram ids -> packed bitmap binary(ceil(n_bits/8)).
     Vectorized per doc: scatter into a byte-per-bit scratch, packbits.
@@ -674,14 +680,19 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
     thresholds or small num_perm, pass ``min_sig_matches=None``.
     """
     p, q = threshold
+    from pyspark import StorageLevel
     base = docs.select(
         F.col(id_col).alias('id'),
         F.col(text_col).alias('_text'),
         F.xxhash64(normalized_text(F.col(text_col))).alias('_h'))
     reps = base.groupBy('_h').agg(F.min('id').alias('rep_id'))
     # (id, rep_id) membership -- only ids+hashes shuffle, never text.
+    # Persisted (same skinny-row MEMORY_AND_DISK convention as the
+    # shingle table below): FOUR plan branches consume it (ma/mb in
+    # the cross expansion, m1/m2 in the within pairs), and each
+    # un-persisted branch re-ran the base scan + rep groupBy + join.
     member = base.select('id', '_h').join(reps, '_h') \
-        .select('id', 'rep_id')
+        .select('id', 'rep_id').persist(StorageLevel.MEMORY_AND_DISK)
     rep_docs = base.join(
         reps.select(F.col('rep_id').alias('id')), 'id') \
         .select('id', F.col('_text').alias('text'))
@@ -715,12 +726,22 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
                         F.col('_sh').alias('_sha'))
     shb = sh_tab.select(F.col('id').alias('id_b'),
                         F.col('_sh').alias('_shb'))
+    # The shingle arrays are DISTINCT sorted hashes (np.unique), so
+    # |A u B| = |A| + |B| - |A n B| exactly: ONE array_intersect per
+    # candidate instead of intersect + union (the union's hash-set
+    # pass was half the verify cost), and the size bound implied by
+    # J >= p/q (q*min(|A|,|B|) >= p*max) drops size-incompatible
+    # candidates before any set op.  Both rewrites are exact --
+    # neither can change which pairs qualify or their counts.
+    _sa = F.size('_sha')
+    _sb = F.size('_shb')
     _inter = F.size(F.array_intersect('_sha', '_shb'))
-    _union = F.size(F.array_union('_sha', '_shb'))
     near_reps = (cand.join(sha, 'id_a').join(shb, 'id_b')
+                 .filter(F.least(_sa, _sb) * q
+                         >= F.greatest(_sa, _sb) * p)
                  .select('id_a', 'id_b',
                          _inter.alias('n_inter'),
-                         _union.alias('n_union'))
+                         (_sa + _sb - _inter).alias('n_union'))
                  .filter(F.col('n_inter') * q >= F.col('n_union') * p))
 
     # Cross-group expansion: every member of group(id_a) pairs with
@@ -1376,6 +1397,7 @@ def _fp_kernel(texts: pd.Series, window: int):
     return content, minwin
 
 
+@lru_cache(maxsize=64)
 def _fp_udf(window: int):
     @F.pandas_udf('content_hash long, min_window_hash long')
     def udf(texts: pd.Series) -> pd.DataFrame:
