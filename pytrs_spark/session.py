@@ -108,4 +108,43 @@ def get_spark(app_name="pytrs_spark", cores=None, shuffle_partitions=None,
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_workers_async(spark, cores)
     return spark
+
+
+def _warm_python_workers_async(spark, cores):
+    """Fire one trivial Arrow-UDF job in a background thread so the
+    Python worker daemon (numpy/pandas/pyarrow imports, ~1.5-2 s
+    serial) and the Arrow eval codepath spin up CONCURRENTLY with the
+    driver's own setup work (parquet listing, input prep) instead of
+    inside the first real UDF stage.  Overlapping independent jobs is
+    plain Spark scheduling; the first production stage then starts
+    with a hot worker pool.  Set ``SPARK_GRAFT_WARM_WORKERS=0`` to
+    disable.  Failures are swallowed: this is an optimization, never
+    a correctness dependency."""
+    if os.environ.get("SPARK_GRAFT_WARM_WORKERS", "1") == "0":
+        return
+    if getattr(spark, "_pytrs_workers_warmed", False):
+        return
+    spark._pytrs_workers_warmed = True
+
+    def _warm():
+        try:
+            import pandas as pd  # noqa: F401
+            from pyspark.sql import functions as F
+
+            @F.pandas_udf("long")
+            def _wu(s):
+                return s
+
+            spark.sparkContext.setJobDescription(
+                "python-worker warmup (async)")
+            (spark.range(int(cores), numPartitions=int(cores))
+             .select(_wu("id").alias("x"))
+             .write.format("noop").mode("overwrite").save())
+        except Exception:  # noqa: BLE001
+            pass
+
+    import threading
+    threading.Thread(target=_warm, name="pytrs-worker-warmup",
+                     daemon=True).start()
