@@ -144,7 +144,13 @@ def _topk_udf(k: int, radius: int):
 def _topk_at_radius(pts: DataFrame, k: int, radius: int) -> DataFrame:
     """Add ``_topk`` (array of (d2, cx, cy), len <= k, sorted) and
     ``_safe`` columns for one ring radius."""
-    res = _topk_udf(k, radius)(F.col('x'), F.col('y'))
+    # asNondeterministic: the `_safe` filter right above this node
+    # otherwise gets pushed below the projection and the optimizer
+    # duplicates the whole kernel into a second ArrowEvalPython
+    # (guide 4.4 -- the ann_topk pathology; the knn_corners plan
+    # showed the kernel evaluated twice per row).  The kernel is
+    # pure; ND only forbids Catalyst from reordering/duplicating it.
+    res = _topk_udf(k, radius).asNondeterministic()(F.col('x'), F.col('y'))
     return pts.withColumn('_r', res) \
         .withColumn('_topk', F.col('_r')['topk']) \
         .withColumn('_safe', F.col('_r')['safe']).drop('_r')
