@@ -2293,21 +2293,24 @@ def chunk_documents(docs: DataFrame, max_tokens: int,
     toks = F.split(F.trim(F.col(text_col)), r'[ \t\n\r\f\x0b]+')
     # split('') == [''] -- strip empties so blank text has 0 tokens
     toks = F.filter(toks, lambda x: x != '')
-    # Drop token-less docs BEFORE tokenizing, with a cheap scan for
-    # one non-whitespace char on the raw text.  Filtering on
-    # size(_t) > 0 after the projection is equivalent but Catalyst
-    # pushes that predicate below the Project, re-evaluating the full
-    # split+filter tokenization once in the Filter and again in the
-    # Project (the plan showed the whole expression twice) -- 2x the
-    # dominant cost of the operator.  "has a token" == "has a char
-    # outside the split class", including NULL (rlike(NULL) is NULL
-    # -> dropped, matching size(NULL)= -1 -> dropped).
-    base = (docs.filter(F.col(text_col).rlike('[^ \t\n\r\f\x0b]'))
-            .select(F.col(id_col), toks.alias('_t'))
+    # No token-less-doc Filter at all: a `size(_t) > 0` predicate gets
+    # pushed below the Project by Catalyst and re-evaluates the whole
+    # tokenization (and, for expression-backed text columns, the text
+    # expression itself) a second time inside the Filter -- the plan
+    # showed the full split+filter twice, 2x the operator's dominant
+    # cost.  Instead the start-offset array is empty for token-less
+    # docs (`when` guards the sequence, whose bounds would otherwise
+    # be illegal at _n <= 0), so the posexplode Generate emits zero
+    # rows for them natively: null text -> _t null -> size = -1 ->
+    # empty starts, matching the documented "no rows" contract.
+    base = (docs.select(F.col(id_col), toks.alias('_t'))
             .withColumn('_n', F.size('_t')))
-    starts = F.filter(
-        F.sequence(F.lit(0), F.col('_n') - 1, F.lit(step)),
-        lambda s: (s == 0) | (s + overlap < F.col('_n')))
+    starts = F.when(
+        F.col('_n') > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.col('_n') - 1, F.lit(step)),
+            lambda s: (s == 0) | (s + overlap < F.col('_n')))
+    ).otherwise(F.array().cast('array<integer>'))
     return (base
             .select(id_col, '_t', '_n',
                     F.posexplode(starts).alias('chunk_id', 'begin_tok'))
