@@ -300,7 +300,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col='text',
 
 def _lsh_from_sig(with_sig: DataFrame, num_perm: int, bands: int,
                   max_bucket: int = None, drop_stats: dict = None,
-                  min_sig_matches: int = None) -> DataFrame:
+                  min_sig_matches: int = None,
+                  persist_registry: list = None) -> DataFrame:
     """LSH banding + bucket self-join + optional signature-estimate
     prefilter over a prepared ``(id, sig)`` table -- the shared tail
     of :func:`minhash_lsh_candidates` and :func:`near_duplicate_pairs`
@@ -314,6 +315,8 @@ def _lsh_from_sig(with_sig: DataFrame, num_perm: int, bands: int,
     if min_sig_matches is not None and min_sig_matches > 0:
         from pyspark import StorageLevel
         with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_registry is not None:
+            persist_registry.append(with_sig)
     banded = with_sig.select(
         'id',
         F.explode(F.transform(
@@ -719,9 +722,11 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
         .persist(StorageLevel.MEMORY_AND_DISK)
     with_sig = sh_tab.select(
         'id', _sig_from_shingles_udf(num_perm)(F.col('_sh')).alias('sig'))
+    _persisted = [member, sh_tab]
     cand = _lsh_from_sig(with_sig, num_perm=num_perm, bands=bands,
                          max_bucket=max_bucket, drop_stats=drop_stats,
-                         min_sig_matches=min_sig)
+                         min_sig_matches=min_sig,
+                         persist_registry=_persisted)
     sha = sh_tab.select(F.col('id').alias('id_a'),
                         F.col('_sh').alias('_sha'))
     shb = sh_tab.select(F.col('id').alias('id_b'),
@@ -769,7 +774,20 @@ def near_duplicate_pairs(docs: DataFrame, text_col='text',
                       F.col('m2.id').alias('id_b'),
                       F.col('_n_sh').alias('n_inter'),
                       F.col('_n_sh').alias('n_union')))
-    return cross.unionByName(within)
+    # Eager finish (the dbscan label-table pattern): materialize the
+    # SKINNY pair output once, then FREE the fat shared intermediates
+    # (shingle table, signature table, member table) before
+    # returning.  Left resident they outlive the call by the whole
+    # session -- measured in the full bench suite as 1.3-13x
+    # inflation of every later row (fingerprint 0.29 s -> 3.79 s
+    # in-suite vs 0.46 s isolated) from block-manager pressure.  The
+    # checkpoint is output-sized (pairs + two ints, bounded by the
+    # corpus's duplication mass); downstream actions replay one
+    # lineage-free table instead of the LSH/verify tree.
+    out = _checkpoint_fresh(cross.unionByName(within))
+    for h in _persisted:
+        h.unpersist()
+    return out
 
 
 # --- SimHash (spec'd, numpy-vectorized) --------------------------------
