@@ -4188,7 +4188,41 @@ def _tuned(fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: _tuned(v) for k, v in _RAW_QUERIES.items()}
+    q = {k: _tuned(v) for k, v in _RAW_QUERIES.items()}
+    head = {k: q.pop(k) for k in _R06_WINDOW}
+    head.update(q)
+    return head
+
+
+# Round-6 window composition (see the registry order note below: the
+# driver's per-round CORRECTNESS snapshot verifies the FIRST 50
+# entries).  r06 is an optimization round, so the window leads with
+# every query whose operator internals changed this round (16: the
+# near-dup/CC/dedup family, gap_fill, chunk_docs, knn_corners, and
+# exact_substr_trim -- r5's one red row, now dtype-aligned), then
+# rotates in the 34 entries whose newest driver evidence is r03 (the
+# PLSS/container block, the ANN ladder, and the r03 text metrics) so
+# the stalest greens get re-verified on the current tree.  All 107
+# entries remain declared; scripts/check_correctness.py sweeps them
+# all regardless of order.
+_R06_WINDOW = [
+    # changed this round
+    'exact_substr_trim', 'chunk_docs', 'knn_corners', 'gap_fill',
+    'dedup_embedding', 'semdedup', 'dbscan', 'minhash_pairs',
+    'jaccard_pairs', 'simhash_near_dup', 'dedup_components',
+    'dedup_keep_one', 'image_near_dup', 'image_keep_one',
+    'multimodal_keep_one', 'exact_substr',
+    # stalest driver evidence (r03)
+    'trs_roundtrip', 'pretty_twprge', 'parse_fanout', 'tract_qqs',
+    'aliquot_simplify', 'sort_default', 'sort_by_section',
+    'consolidate', 'group_by_twprge', 'dedup_trs', 'dedup_desc',
+    'dedup_instance', 'filter_errors', 'dedup_lots_qqs', 'quick_desc',
+    'membership', 'list_trs', 'sort_grouped', 'pretty_desc',
+    'from_multiple', 'compose_trs_errors', 'parse_layouts',
+    'dedup_exact', 'token_count', 'quality', 'ann_topk', 'ann_lsh',
+    'ann_pq', 'ann_ivf', 'ann_ivfpq', 'events_hourly', 'fingerprint',
+    'lang_id', 'repetition',
+]
 
 
 # Registry order note: the driver's per-round CORRECTNESS snapshot
