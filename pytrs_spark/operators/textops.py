@@ -521,9 +521,13 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col='text',
         raise ValueError(f'threshold must be a fraction 0 < p/q <= 1, '
                          f'got {threshold}')
 
+    _handles = []
+
     def _persist(df):
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if persist \
-            else df
+        if persist:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            _handles.append(df)
+        return df
 
     # Persist the GRAM TABLE itself (not just its explosion): every
     # downstream branch -- the exploded index, the bitmap packs, and
@@ -626,13 +630,24 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col='text',
         verified = (cand.join(ga, 'id_a').join(gb, 'id_b')
                     .withColumn('n_inter',
                                 F.size(F.array_intersect('_ga', '_gb'))))
-    return (verified
-            .withColumn('n_union',
-                        F.col('_sa') + F.col('_sb') - F.col('n_inter'))
-            .filter(F.col('n_inter') * q >= F.col('n_union') * p)
-            .select('id_a', 'id_b',
-                    F.col('n_inter').cast('int').alias('n_inter'),
-                    F.col('n_union').cast('int').alias('n_union')))
+    out = (verified
+           .withColumn('n_union',
+                       F.col('_sa') + F.col('_sb') - F.col('n_inter'))
+           .filter(F.col('n_inter') * q >= F.col('n_union') * p)
+           .select('id_a', 'id_b',
+                   F.col('n_inter').cast('int').alias('n_inter'),
+                   F.col('n_union').cast('int').alias('n_union')))
+    # Eager finish under persist=True (same session-lifetime hygiene
+    # as near_duplicate_pairs): the gram/index persists are corpus-
+    # sized and otherwise stay resident until session end, taxing
+    # every later workload; the output pair set is bounded by the
+    # corpus's duplication mass.  persist=False keeps the fully lazy
+    # plan for callers that manage their own lifecycle.
+    if persist:
+        out = _checkpoint_fresh(out)
+        for h in _handles:
+            h.unpersist()
+    return out
 
 
 def near_duplicate_pairs(docs: DataFrame, text_col='text',
@@ -950,9 +965,17 @@ def simhash_near_dup_pairs(docs: DataFrame, text_col='text',
                      simhash_col(F.col(text_col)).alias('sh'))
     if persist:
         sh = sh.persist()
-    return hamming_near_dup_pairs(
+    out = hamming_near_dup_pairs(
         sh, id_col='id', hash_col='sh', max_hamming=max_hamming,
         bands=bands, max_bucket=max_bucket, drop_stats=drop_stats)
+    if persist:
+        # Eager finish (near_duplicate_pairs convention): materialize
+        # the bounded pair output and FREE the per-call cache instead
+        # of leaking one persisted table per invocation until session
+        # end (the r5 ADVICE item on this function).
+        out = _checkpoint_fresh(out)
+        sh.unpersist()
+    return out
 
 
 def _hamming_pick_blocks(n_keys: int, k: int) -> int:
