@@ -3988,6 +3988,9 @@ FROM c, t
 """
 
 
+_WS_CLEANUP_REGISTERED = False
+
+
 def q_write_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T35 sink: run the ACTUAL sharded export (one ``shard=K/``
     directory per shard) to a scratch dir and return what is ON DISK
@@ -4015,6 +4018,19 @@ def q_write_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f'pytrs_spark_q_write_sharded_{os.getuid()}_{os.getpid()}',
         os.path.basename(os.path.normpath(sf_dir)), 'export')
+    # The scratch root is removed at interpreter exit (atexit runs
+    # after the harness's final action, when no lazy reader can still
+    # need it), so the per-process export no longer outlives the
+    # process.  Best-effort: a kill -9 still leaves it, bounded at
+    # one small export per process.
+    global _WS_CLEANUP_REGISTERED
+    if not _WS_CLEANUP_REGISTERED:
+        _WS_CLEANUP_REGISTERED = True
+        import atexit
+        import shutil
+        atexit.register(
+            shutil.rmtree, os.path.dirname(os.path.dirname(path)),
+            ignore_errors=True)
     write_sharded(blobs, path, 'nbytes', 'image_key',
                   n_shards=_SB_SHARDS, mode='overwrite')
     back = spark.read.parquet(path)

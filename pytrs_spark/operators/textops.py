@@ -2035,7 +2035,11 @@ def connected_components(pairs: DataFrame, id_a='id_a', id_b='id_b',
     that), the closure runs driver-side (``_cc_local``) -- identical
     min-id semantics, none of the per-round job overhead that
     otherwise floors small graphs at ~7 rounds x scheduler latency.
-    0 forces the distributed path.
+    0 forces the distributed path.  The default gate is sized for
+    int64 ids (~16 B/row, ~32 MB at 2M): STRING vertex ids are
+    supported but each row then carries both strings, so scale the
+    gate down by your mean id width (e.g. ~64-byte ids -> ~8x the
+    footprint at the same gate) or pass 0 to stay distributed.
     """
     # Materialize the RAW directed pairs once (checkpoint, not
     # persist: the contraction loop below replaces edge generations

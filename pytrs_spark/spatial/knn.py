@@ -204,6 +204,13 @@ def knn_section_corners(points: DataFrame, k: int = 4,
             remaining = staged.filter('NOT _safe') \
                 .select('image_id', 'x', 'y')
             break
+        # Fault-tolerance trade-off (documented, deliberate): the
+        # localCheckpoint below truncates lineage into executor-local
+        # storage, so losing an executor before the final union fails
+        # the job instead of recomputing the lost part -- acceptable
+        # for this bounded (<= max_radius rounds) interactive loop;
+        # configure spark.checkpoint.dir and swap for reliable
+        # checkpoint() if running inside a long fault-sensitive job.
         # Iterative-round cache hygiene: persist `staged` so the
         # round's kernel runs ONCE (three consumers below), make the
         # round's outputs self-contained -- the safe part via eager
